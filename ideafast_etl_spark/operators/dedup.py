@@ -1,0 +1,237 @@
+"""Deduplication operators for LLM-corpus pipelines (SURVEY.md §2.13).
+
+Four families, all engine-reproducible (sha256-derived hashing, no engine-
+private hash functions) so the DuckDB differential oracle can replicate them
+bit-for-bit:
+
+  - exact dedup        — sha256 fingerprint over normalised text
+  - MinHash + LSH      — word-shingle minhash signatures, banded self-join
+  - SimHash            — sign-aggregated bitwise fingerprint, hamming buckets
+  - n-gram Jaccard     — exact pairwise set similarity (the verify step)
+
+Scale posture: the LSH band join is the scale path — candidate generation is
+an equi-join on (band, band_key), which shuffles on a uniformly-hashed key
+(no skew), instead of the O(n²) cross join. Exact Jaccard runs only on
+candidate pairs. At 100 TB you'd also partition the corpus and run per-band
+bucketed joins; the operator shape here already is that join.
+
+In production (no oracle constraint) swap `_shingle_hash` to `xxhash64` for
+~10× cheaper hashing — the operator structure is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import norm_text
+
+# Universal-hash family constants for minhash permutations:
+# h_i(x) = (A[i] * x + B[i]) mod MERSENNE31, over x = shingle hash mod MERSENNE31.
+# Products stay < 2^62, so bigint arithmetic is exact in both Spark and DuckDB.
+MERSENNE31 = 2_147_483_647
+NUM_HASHES = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # NUM_HASHES / LSH_BANDS
+MINHASH_A = [(i * 2_654_435_761 + 1) % MERSENNE31 for i in range(1, NUM_HASHES + 1)]
+MINHASH_B = [(i * 40_503 + 17) % MERSENNE31 for i in range(1, NUM_HASHES + 1)]
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(norm_text(col), " ")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalised text (array<string>).
+    Documents with fewer than ``n`` words yield an empty array."""
+    toks = _tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def _shingle_hash(shingle: Column) -> Column:
+    """Deterministic 31-bit shingle hash: first 15 hex chars of sha256 → bigint
+    → mod Mersenne-31. Reproducible in DuckDB as
+    ``('0x' || substr(sha256(s),1,15))::BIGINT % 2147483647``."""
+    return (
+        F.conv(F.substring(F.sha2(shingle, 256), 1, 15), 16, 10).cast("bigint")
+        % MERSENNE31
+    )
+
+
+def _perm(a: int, b: int):
+    # closure factory: PySpark infers lambda arity from the signature, so the
+    # returned lambda must take exactly one argument
+    return lambda h: (a * h + b) % MERSENNE31
+
+
+def minhash_signature(shingles: Column) -> Column:
+    """array<bigint> of NUM_HASHES minhash values; empty shingle set → NULLs."""
+    hashes = F.transform(shingles, _shingle_hash)
+    sig = [
+        F.array_min(F.transform(hashes, _perm(a, b)))
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+    return F.array(*sig)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the lowest id per normalised-text sha256 fingerprint.
+    Generalises the reference's hash anti-join identity (J1/X1,
+    ideafast_etl/hooks/db.py:49-55) to content-normalised text.
+
+    One shuffle on the 256-bit fingerprint (uniform, skew-free); min-by
+    aggregation instead of a window so the map side pre-aggregates."""
+    fp = F.sha2(norm_text(F.col(text_col)), 256)
+    return (
+        df.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .select(id_col, "fingerprint", "n_dupes")
+    )
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", shingle_words: int = 3
+) -> DataFrame:
+    """Attach ``shingles`` and ``minhash`` (signature array) columns.
+    Documents too short to shingle are dropped (no signature)."""
+    out = df.withColumn("shingles", word_shingles(F.col(text_col), shingle_words))
+    out = out.filter(F.size("shingles") > 0)
+    return out.withColumn("minhash", minhash_signature(F.col("shingles")))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Banded-LSH candidate generation: explode the signature into LSH_BANDS
+    band keys, self-join on (band, band_key), keep each unordered pair once.
+    Returns (id_a, id_b) distinct candidate pairs."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(F.col("minhash"), b * LSH_ROWS + r + 1)
+                        for r in range(LSH_ROWS)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = (
+        sig_df.select(F.col(id_col), F.explode(bands).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.band_key") == F.col("r.band_key"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+    )
+    return pairs.distinct()
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: signature → banded candidates → exact
+    Jaccard verify on candidates only. Returns (id_a, id_b, jaccard_sim)
+    for pairs the LSH surfaced with true Jaccard ≥ threshold."""
+    sig = with_minhash(df, text_col).select(id_col, "shingles", "minhash")
+    cands = lsh_candidate_pairs(sig, id_col)
+    sh = sig.select(F.col(id_col), F.col("shingles"))
+    verified = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    shingle_words: int = 3,
+    block_col: str | None = "lang",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup: all-pairs within a blocking key (default
+    ``lang`` — a cheap, semantically safe blocker) with true Jaccard ≥
+    threshold. The brute-force baseline the LSH path approximates; at scale,
+    use :func:`minhash_near_dup_pairs` instead (this one is O(n²) per block)."""
+    sh = df.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        word_shingles(F.col(text_col), shingle_words).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("a.shingles"), F.col("b.shingles")), 6))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "jaccard_sim",
+        )
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint: per-token 31-bit sha256-derived hash; each bit
+    contributes +1/-1 weighted by presence; sign of the sum sets the output
+    bit. Returns bigint. Engine-reproducible (pure integer arithmetic)."""
+    toks = F.array_distinct(_tokens(col))
+    hashes = F.transform(toks, _shingle_hash)
+    def _vote(mask: int):
+        return lambda s, h: s + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    acc = F.lit(0).cast("bigint")
+    for bit in range(bits):
+        mask = 1 << bit
+        votes = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote(mask))
+        acc = acc + F.when(votes > 0, F.lit(mask)).otherwise(F.lit(0))
+    return acc

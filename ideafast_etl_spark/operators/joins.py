@@ -1,0 +1,99 @@
+"""Join operators (SURVEY.md §2.6, J1-J4).
+
+Scale notes (100 TB posture):
+  - J1 anti-join: both sides big → shuffle hash/sort-merge on `hash`, which is
+    a uniformly distributed sha256 key, so no skew; AQE handles stragglers.
+  - J2/J3 lookups: dimension side is tiny → explicit ``broadcast()`` so the
+    fact table never shuffles.
+  - J4 interval join: equi-key ``device_id`` hash join with a non-equi residual
+    filter — Catalyst plans BroadcastHashJoin when the assignments dim is small
+    (the realistic case: assignments ≪ recordings). The first-match tie-break
+    is a per-record window, partitioned by the record key, so it shuffles only
+    the *matched* rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import normalise_day
+
+
+def dedup_against_state(incoming: DataFrame, state_hashes: DataFrame, key: str = "hash") -> DataFrame:
+    """J1 — hash anti-join: keep incoming rows never seen in state
+    (dags/dreem.py:48-66 + db.py:228-231, where it's a collected Python set —
+    here it stays distributed as a left_anti join)."""
+    return incoming.join(state_hashes.select(key), on=key, how="left_anti")
+
+
+def lookup_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: Column,
+    select_from_dim: dict[str, str],
+    how: str = "left",
+) -> DataFrame:
+    """J2/J3 — broadcast lookup equi-join; unmatched rows keep NULL and are
+    retried next run (dags/dreem.py:75-115, operators/ucam.py:12-68).
+
+    ``select_from_dim`` maps dim column → output alias."""
+    dim_small = dim.select(*select_from_dim.keys())
+    joined = facts.join(F.broadcast(dim_small), on, how)
+    for src, alias in select_from_dim.items():
+        if src != alias:
+            joined = joined.withColumnRenamed(src, alias)
+    return joined
+
+
+def interval_containment_join(
+    records: DataFrame,
+    assignments: DataFrame,
+    record_key: str = "hash",
+    device_col: str = "device_id",
+    rec_start: str = "start",
+    rec_end: str = "end",
+    asg_start: str = "start_wear",
+    asg_end: str = "end_wear",
+    payload_cols: tuple[str, ...] = ("patient_id",),
+    order_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """J4 — interval-containment join: for each record, find the assignment on
+    the same device whose day-normalised wear period contains BOTH the record's
+    start and end days; NULL ``end_wear`` means "still wearing" (open interval,
+    treated as today). First match wins, made deterministic with an explicit
+    ``order_col`` tie-break (the reference relies on API list order —
+    ideafast_etl/hooks/ucam.py:119-136, dags/dreem.py:117-151; divergence
+    documented in SURVEY.md §7.4).
+
+    Plan shape: equi-join on ``device_col`` (hash join; broadcast when the
+    assignments side is small) + residual range predicates, then a window
+    partitioned by the record key to keep row_number()==1.
+    """
+    order_cols = order_cols or (asg_start,)
+    a = assignments.alias("a")
+    r = records.alias("r")
+
+    r_start_d = normalise_day(F.col(f"r.{rec_start}"))
+    r_end_d = normalise_day(F.col(f"r.{rec_end}"))
+    a_start_d = normalise_day(F.col(f"a.{asg_start}"))
+    a_end_d = F.coalesce(
+        normalise_day(F.col(f"a.{asg_end}")), F.current_date().cast("timestamp")
+    )
+
+    cond = (
+        (F.col(f"r.{device_col}") == F.col(f"a.{device_col}"))
+        & (a_start_d <= r_start_d)
+        & (r_start_d <= a_end_d)
+        & (a_start_d <= r_end_d)
+        & (r_end_d <= a_end_d)
+    )
+    joined = r.join(a, cond, "left")
+    w = Window.partitionBy(F.col(f"r.{record_key}")).orderBy(
+        *[F.col(f"a.{c}").asc_nulls_last() for c in order_cols]
+    )
+    first = joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    out_cols = [F.col(f"r.{c}") for c in records.columns if c not in payload_cols] + [
+        F.col(f"a.{c}").alias(c) for c in payload_cols
+    ]
+    return first.select(*out_cols)

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (SURVEY.md §2.13).
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed variant is
+the 100 TB scale path (candidate generation becomes an equi-join on bucket
+signature instead of a cross join).
+
+All arithmetic is done in float64 with a fixed left-to-right summation order
+(``F.aggregate`` over the zipped arrays) so the DuckDB oracle — summing with
+the same ordering via ``list_dot_product`` on DOUBLE[] — produces bit-identical
+results; outputs round similarities to 6 decimals as a belt-and-braces guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Float64 dot product with left-to-right summation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    Plan: broadcast the (small) query set → one pass over the corpus computing
+    similarities JVM-side → per-query top-k via window. The corpus never
+    shuffles more than the matched candidate rows; at 1000 executors this is a
+    single map stage plus a k-row-per-query aggregation.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("query_vec"), F.col("vec")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+# --- LSH-bucketed ANN (scale path) ------------------------------------------
+
+# Deterministic pseudo-random hyperplanes: component h[i][d] derived from a
+# fixed affine sequence mapped to [-1, 1]. Engine-reproducible and cheap.
+NUM_HYPERPLANES = 16
+
+
+def _hyperplane(dim: int, i: int) -> list[float]:
+    vals = []
+    x = (i * 2_654_435_761 + 97) % 2_147_483_647
+    for _ in range(dim):
+        x = (x * 1_103_515_245 + 12_345) % 2_147_483_647
+        vals.append((x / 2_147_483_647.0) * 2.0 - 1.0)
+    return vals
+
+
+def signbit_signature(vec: Column, dim: int, n_planes: int = NUM_HYPERPLANES) -> Column:
+    """Random-hyperplane (SimHash-for-cosine) signature: one bit per plane."""
+    sig = F.lit(0).cast("bigint")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, i)])
+        proj = dot(vec, plane)
+        sig = sig + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = NUM_HYPERPLANES,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane sign bands,
+    equi-join on (band, band_key), then exact cosine + per-query top-k over the
+    candidates only. Recall < 1.0 by construction — the brute-force operator is
+    the correctness baseline; this is the shape that scales (equi-join shuffle
+    on uniform keys instead of a cross join)."""
+    n_bands = n_planes // band_bits
+
+    def banded(side: DataFrame, ident: str, vec_alias: str) -> DataFrame:
+        s = side.select(
+            F.col(id_col).alias(ident),
+            F.col(vec_col).alias(vec_alias),
+            signbit_signature(F.col(vec_col), dim, n_planes).alias("_sig"),
+        )
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("_sig"), b * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .alias("band_key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return s.select(ident, vec_alias, F.explode(bands).alias("bk")).select(
+            ident, vec_alias, "bk.band", "bk.band_key"
+        )
+
+    cb = banded(df, "neighbor_id", "vec")
+    qb = banded(queries, "query_id", "query_vec")
+    cands = (
+        cb.join(F.broadcast(qb), ["band", "band_key"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "query_vec", "neighbor_id", "vec")
+        .distinct()
+    )
+    scored = cands.withColumn(
+        "cosine_sim", F.round(cosine(F.col("query_vec"), F.col("vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: unordered pairs with cosine ≥ threshold.
+    Brute-force within-corpus variant (exact); the LSH bucketing above is the
+    candidate-generation path at scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

@@ -1,0 +1,311 @@
+"""DuckDB oracle SQL — one ANSI-SQL statement per query in
+:mod:`ideafast_etl_spark.queries`, semantically (and numerically) identical.
+
+Shared determinism discipline with the Spark side:
+  - money aggregates in DECIMAL, cast to DOUBLE at the end;
+  - sha256-derived hashing (both engines implement FIPS sha256 identically);
+  - minhash permutations share the exact integer constants;
+  - similarity math in float64 with matching summation order, round(…, 6).
+"""
+
+from __future__ import annotations
+
+from .functions.text import LANG_MARKERS, EN_STOPWORDS, TOKEN_REGEX
+from .operators.dedup import LSH_BANDS, LSH_ROWS, MERSENNE31, MINHASH_A, MINHASH_B
+
+# --- shared fragments -------------------------------------------------------
+
+NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_WORDS = r"string_split(" + NORM_TEXT + r", ' ')"
+_PUNCT_RE = r"[^A-Za-z0-9 \t\n\r]"
+_STOP_RE = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+
+_SHINGLES = f"""
+    SELECT doc_id, lang,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]) AS shingles
+    FROM (SELECT doc_id, lang, {_WORDS} AS t FROM documents)
+    WHERE len(t) >= 3
+"""
+
+_JACCARD = (
+    "round(len(list_intersect(a.shingles, b.shingles))::DOUBLE"
+    " / len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE, 6)"
+)
+
+
+def _minhash_sig_sql() -> str:
+    """Signature list expression over a hash-value list column ``hv``."""
+    parts = [
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {MERSENNE31}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+def _lang_scores() -> dict[str, str]:
+    return {
+        code: (
+            r"len(regexp_extract_all(lower(text), '\b("
+            + "|".join(words)
+            + r")\b'))"
+        )
+        for code, words in sorted(LANG_MARKERS.items())
+    }
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["tpch_q1_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["revenue_by_nation"] = """
+SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+"""
+
+ORACLES["top_customers_by_revenue"] = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+), joined AS (
+  SELECT n_name, c_custkey, c_name, revenue
+  FROM per_cust
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC) AS INT) AS rank
+  FROM joined
+)
+SELECT n_name, c_custkey, c_name, revenue, rank FROM ranked WHERE rank <= 3
+"""
+
+ORACLES["order_priority_counts"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+ORACLES["hash_dedup_anti_join"] = """
+WITH hashed AS (
+  SELECT event_id, sha256(event_type || CAST(event_id AS VARCHAR)) AS hash
+  FROM events
+), state AS (
+  SELECT hash FROM hashed WHERE event_id % 7 = 0
+)
+SELECT h.event_id, h.hash
+FROM hashed h
+WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.hash = h.hash)
+"""
+
+ORACLES["lookup_enrich"] = """
+SELECT event_id, user_id, event_type, c_name, n_name
+FROM events
+LEFT JOIN customer ON user_id = c_custkey
+LEFT JOIN nation   ON c_nationkey = n_nationkey
+"""
+
+ORACLES["interval_containment_join"] = """
+WITH r AS (
+  SELECT o_orderkey AS rec_id, o_custkey AS cust,
+         o_orderdate AS "start", o_orderdate AS "end"
+  FROM orders
+), a AS (
+  SELECT o_custkey AS cust, o_orderdate AS start_wear,
+         o_orderdate + INTERVAL 90 DAY AS end_wear, o_orderkey AS assignment_id
+  FROM orders
+), j AS (
+  SELECT r.rec_id, r.cust, r."start", r."end", a.assignment_id,
+         row_number() OVER (
+           PARTITION BY r.rec_id
+           ORDER BY a.start_wear ASC NULLS LAST, a.assignment_id ASC NULLS LAST
+         ) AS rn
+  FROM r
+  LEFT JOIN a ON r.cust = a.cust
+    AND date_trunc('day', a.start_wear) <= date_trunc('day', r."start")
+    AND date_trunc('day', r."start") <= date_trunc('day', a.end_wear)
+    AND date_trunc('day', a.start_wear) <= date_trunc('day', r."end")
+    AND date_trunc('day', r."end") <= date_trunc('day', a.end_wear)
+)
+SELECT rec_id, cust, "start", "end", assignment_id FROM j WHERE rn = 1
+"""
+
+_DMP_KEY = (
+    "replace(device_id, '-', '') || '-' || replace(patient_id, '-', '') || '-' || "
+    "strftime(bucket_start, '%Y%m%d') || '-' || strftime(bucket_end, '%Y%m%d')"
+)
+
+ORACLES["day_window_grouping"] = f"""
+WITH ev AS (
+  SELECT event_id, ts, event_type AS device_id, CAST(user_id AS VARCHAR) AS patient_id,
+         date_trunc('day', ts - INTERVAL 43200 SECONDS) AS bucket_start,
+         date_trunc('day', ts - INTERVAL 43200 SECONDS) + INTERVAL 1 DAY AS bucket_end
+  FROM events
+)
+SELECT {_DMP_KEY} AS dmp_id,
+       COUNT(*) AS n_records, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM ev
+GROUP BY dmp_id
+"""
+
+ORACLES["day_window_grouping_midnight"] = f"""
+WITH ev AS (
+  SELECT event_id, ts, event_type AS device_id, CAST(user_id AS VARCHAR) AS patient_id,
+         date_trunc('day', ts) AS bucket_start,
+         date_trunc('day', ts) AS bucket_end
+  FROM events
+)
+SELECT {_DMP_KEY} AS dmp_id, COUNT(*) AS n_records
+FROM ev
+GROUP BY dmp_id
+"""
+
+ORACLES["lifecycle_worklist"] = """
+WITH state AS (
+  SELECT event_id, event_type,
+    CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS VARCHAR) END AS device_serial,
+    CASE WHEN event_id % 6 = 0 THEN 'DEV-' || CAST(user_id AS VARCHAR) END AS device_id
+  FROM events
+)
+SELECT event_id, device_serial
+FROM state
+WHERE event_type = 'click' AND device_serial IS NOT NULL AND device_id IS NULL
+"""
+
+ORACLES["distinct_worklists"] = """
+SELECT DISTINCT event_type AS work_key FROM events WHERE value > 50.0
+"""
+
+ORACLES["text_stats"] = f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS chars,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS words,
+  CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS tokens,
+  round(CASE WHEN length(text) = 0 THEN 0.0
+        ELSE len(regexp_extract_all(text, '{_PUNCT_RE}'))::DOUBLE / length(text)::DOUBLE END, 6) AS punct_ratio,
+  round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+        WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0
+        ELSE len(regexp_extract_all(lower(text), '{_STOP_RE}'))::DOUBLE
+             / len(string_split_regex(trim(text), '\\s+'))::DOUBLE END, 6) AS stopword_ratio
+FROM documents
+"""
+
+
+def _lang_id_sql() -> str:
+    scores = _lang_scores()
+    cols = ", ".join(f"{expr} AS s_{code}" for code, expr in scores.items())
+    codes = list(scores.keys())
+    total = " + ".join(f"s_{c}" for c in codes)
+    greatest = "greatest(" + ", ".join(f"s_{c}" for c in codes) + ")"
+    case = " ".join(
+        f"WHEN s_{c} = {greatest} THEN '{c}'" for c in codes
+    )
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {cols} FROM documents)
+SELECT doc_id, lang,
+  CASE WHEN ({total}) = 0 THEN 'und' {case} END AS lang_guess
+FROM scored
+"""
+
+
+ORACLES["lang_id"] = _lang_id_sql()
+
+ORACLES["doc_fingerprint"] = f"""
+SELECT doc_id, substr(sha256({NORM_TEXT}), 1, 16) AS fingerprint FROM documents
+"""
+
+ORACLES["exact_dedup"] = f"""
+WITH fp AS (
+  SELECT doc_id, sha256({NORM_TEXT}) AS fingerprint FROM documents
+)
+SELECT MIN(doc_id) AS doc_id, fingerprint, COUNT(*) AS n_dupes
+FROM fp GROUP BY fingerprint
+"""
+
+ORACLES["ngram_jaccard_pairs"] = f"""
+WITH sh AS ({_SHINGLES})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD} AS jaccard_sim
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE {_JACCARD} >= 0.2
+"""
+
+ORACLES["minhash_near_dup"] = f"""
+WITH sh AS ({_SHINGLES}),
+hs AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles,
+           s -> ('0x' || substr(sha256(s), 1, 15))::BIGINT % {MERSENNE31}) AS hv
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, shingles, {_minhash_sig_sql()} AS mh FROM hs
+),
+banded AS (
+  SELECT doc_id, b.range AS band,
+         array_to_string(mh[(b.range * {LSH_ROWS} + 1):(b.range * {LSH_ROWS} + {LSH_ROWS})], ',') AS band_key
+  FROM sig, range({LSH_BANDS}) b
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b, {_JACCARD} AS jaccard_sim
+FROM cands c
+JOIN sh a ON a.doc_id = c.id_a
+JOIN sh b ON b.doc_id = c.id_b
+WHERE {_JACCARD} >= 0.2
+"""
+
+_COS = (
+    "round(list_dot_product(qv, v)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)"
+)
+
+ORACLES["embedding_topk"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cosine_sim
+  FROM c, q WHERE neighbor_id != query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+ORACLES["embedding_near_dup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.8
+"""

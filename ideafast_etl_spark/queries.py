@@ -1,0 +1,353 @@
+"""Query registry — one entry per implemented operator (SURVEY.md §2).
+
+Each query is a callable ``(spark, sf_dir) -> DataFrame``; the matching
+ANSI-SQL oracle lives in :mod:`ideafast_etl_spark.oracles`. Column names are
+aliased identically on both sides (the driver's compare sorts columns by name
+and hashes values).
+
+Float discipline for the differential oracle: money aggregates are computed in
+DECIMAL (exact in both engines) and cast to DOUBLE only at the end; ratios are
+integer-derived double divisions (bit-identical across engines); similarity
+scores use fixed left-to-right summation and are rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import tables
+from .functions import text as T
+from .functions.scalar import record_hash
+from .operators import dedup, similarity
+from .operators.grouping import assign_group_id
+from .operators.joins import dedup_against_state, interval_containment_join
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+
+
+def register(name: str) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, name, sf_dir)
+
+
+_DEC = "decimal(12,2)"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational core (scan/filter/project/join/agg/sort/limit)
+# ---------------------------------------------------------------------------
+
+
+@register("tpch_q1_pricing_summary")
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide aggregation with decimal-exact money sums.
+    Exercises scan + filter pushdown + partial aggregation (G5/§2.7)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    tax = F.col("l_tax").cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register("revenue_by_nation")
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shape star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with
+    broadcast dims (J2/J3 generalisation). Dim joins broadcast; the single
+    big-big join (lineitem⋈orders) shuffles on the uniform orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(price * (one - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register("top_customers_by_revenue")
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (§2.8 upgrade — the reference has limits but no top-k):
+    3 highest-revenue customers per nation via window + row_number."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        per_cust.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "c_custkey", "c_name", "revenue", "rank")
+    )
+
+
+@register("order_priority_counts")
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS semi-join — orders with at least one late lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference pipeline operators (SURVEY.md §2) over the synthetic feed
+# ---------------------------------------------------------------------------
+
+
+@register("hash_dedup_anti_join")
+def hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+X1 — the reference's semantic heart: sha256 content identity,
+    anti-join against already-seen state (dags/dreem.py:48-66, db.py:49-55).
+    State here = every 7th event (a deterministic 'previous run')."""
+    ev = _t(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_id",
+        record_hash(F.col("event_type"), F.col("event_id")).alias("hash"),
+    )
+    state = hashed.filter(F.col("event_id") % 7 == 0).select("hash")
+    return dedup_against_state(hashed, state)
+
+
+@register("lookup_enrich")
+def lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 — chained broadcast lookup joins (uid→serial→device_id analog):
+    events.user_id → customer → nation. Unmatched rows keep NULLs (retried
+    next run in the reference's lifecycle)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ev.join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"), "left")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .select("event_id", "user_id", "event_type", "c_name", "n_name")
+    )
+
+
+@register("interval_containment_join")
+def interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — interval-containment join with first-match tie-break
+    (dags/dreem.py:117-151, ideafast_etl/hooks/ucam.py:119-136): each order is
+    matched to the earliest 90-day 'wear window' opened by any earlier order of
+    the same customer that day-contains its order date."""
+    orders = _t(spark, sf_dir, "orders")
+    records = orders.select(
+        F.col("o_orderkey").alias("rec_id"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("start"),
+        F.col("o_orderdate").alias("end"),
+    )
+    assignments = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("start_wear"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("end_wear"),
+        F.col("o_orderkey").alias("assignment_id"),
+    )
+    return interval_containment_join(
+        records,
+        assignments,
+        record_key="rec_id",
+        device_col="cust",
+        payload_cols=("assignment_id",),
+        order_cols=("start_wear", "assignment_id"),
+    )
+
+
+@register("day_window_grouping")
+def day_window_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — offset tumbling day-window bucketing + upload-group key with the
+    production 12:00:00 cut-off (ideafast_etl/operators/ucam.py:71-134,
+    dags/dreem.py:276-281); event_type/user_id stand in for device/patient."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.col("event_type").alias("device_id"),
+        F.col("user_id").cast("string").alias("patient_id"),
+    )
+    grouped = assign_group_id(ev, cut_off="12:00:00", ts_col="ts")
+    return grouped.groupBy("dmp_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register("day_window_grouping_midnight")
+def day_window_grouping_midnight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 midnight mode: window start = end = the record's own day."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.col("event_type").alias("device_id"),
+        F.col("user_id").cast("string").alias("patient_id"),
+    )
+    grouped = assign_group_id(ev, cut_off="00:00:00", ts_col="ts")
+    return grouped.groupBy("dmp_id").agg(F.count(F.lit(1)).alias("n_records"))
+
+
+@register("lifecycle_worklist")
+def lifecycle_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F7 — NULL-rung lifecycle predicates. Events double as a state table:
+    'value IS NULL'-style rungs are synthesised deterministically from
+    event_id so the predicate logic (conjunction of equality + NULL tests,
+    db.py:140-231) is exercised for real."""
+    ev = _t(spark, sf_dir, "events")
+    state = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, F.col("user_id").cast("string")).alias(
+            "device_serial"
+        ),
+        F.when(F.col("event_id") % 6 == 0, F.concat(F.lit("DEV-"), F.col("user_id"))).alias(
+            "device_id"
+        ),
+    )
+    return state.filter(
+        (F.col("event_type") == "click")
+        & F.col("device_serial").isNotNull()
+        & F.col("device_id").isNull()
+    ).select("event_id", "device_serial")
+
+
+@register("distinct_worklists")
+def distinct_worklists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — streamed distinct of pending work keys (db.py:144-170)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") > 50.0)
+        .select(F.col("event_type").alias("work_key"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (SURVEY.md §2.13) — documents / embeddings
+# ---------------------------------------------------------------------------
+
+
+@register("text_stats")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality metrics: char/word/token counts, punctuation + stopword
+    ratios. All JVM-side regex/length expressions (§2.13 text analysis)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.char_count(F.col("text")).cast("long").alias("chars"),
+        T.word_count(F.col("text")).cast("long").alias("words"),
+        T.token_count(F.col("text")).cast("long").alias("tokens"),
+        F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+    )
+
+
+@register("lang_id")
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word argmax) vs the labelled lang col."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", T.lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+@register("doc_fingerprint")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 64-bit sha256-derived fingerprint over
+    normalised text (generalises X1)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.fingerprint64(F.col("text")).alias("fingerprint")
+    )
+
+
+@register("exact_dedup")
+def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint: survivor id + duplicate count per
+    distinct normalised text."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+@register("ngram_jaccard_pairs")
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (lang-blocked brute force —
+    the verify baseline for the LSH path)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+@register("minhash_near_dup")
+def minhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: banded candidate join + exact Jaccard verify.
+    Deterministic universal-hash family → exactly reproducible in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_pairs(docs, threshold=0.2)
+
+
+@register("embedding_topk")
+def embedding_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbours for the first 5 vectors (§2.13
+    similarity search, exact baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+@register("embedding_near_dup")
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.8, exact)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.8)

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for this engine.
+
+Scale posture (100 TB design, local[N] test): AQE on (skew-join splitting +
+dynamic coalescing), UTC session timezone (the reference inherits container-local
+time from ``datetime.fromtimestamp`` — a latent bug we fix, see SURVEY.md §7.4),
+Arrow enabled for the Pandas-UDF paths, shuffle partitions sized to cores locally
+(overridable for cluster runs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "ideafast-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    On a real cluster, ``master`` comes from spark-submit and
+    ``shuffle_partitions`` should be ~2-3x total executor cores; locally we
+    default both from SPARK_GRAFT_CPUS.
+    """
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is None and "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    elif master is not None:
+        builder = builder.master(master)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
