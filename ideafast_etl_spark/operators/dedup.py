@@ -45,14 +45,17 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalised text (array<string>).
     Documents with fewer than ``n`` words yield an empty array."""
     toks = _tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
     gram = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(gram)
+    # sequence(0, k) DESCENDS for k < 0, so short docs must short-circuit to []
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def _shingle_hash(shingle: Column) -> Column:

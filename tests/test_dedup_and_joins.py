@@ -1,0 +1,83 @@
+"""J1/J2 join semantics and the §2.13 dedup operators on tiny fixtures."""
+
+from pyspark.sql import functions as F
+
+from ideafast_etl_spark.operators import dedup
+from ideafast_etl_spark.operators.joins import dedup_against_state, lookup_join
+
+
+def test_anti_join_removes_seen_hashes(spark):
+    incoming = spark.createDataFrame([("a",), ("b",), ("c",)], ["hash"])
+    state = spark.createDataFrame([("b",)], ["hash"])
+    out = {r["hash"] for r in dedup_against_state(incoming, state).collect()}
+    assert out == {"a", "c"}
+
+
+def test_lookup_join_keeps_unmatched_as_null(spark):
+    facts = spark.createDataFrame([("u1",), ("u2",)], ["uid"])
+    dim = spark.createDataFrame([("u1", "S-1")], ["dreem_uid", "serial"])
+    out = lookup_join(
+        facts,
+        dim,
+        on=F.col("uid") == F.col("dreem_uid"),
+        select_from_dim={"dreem_uid": "dreem_uid", "serial": "device_serial"},
+    )
+    rows = {r["uid"]: r["device_serial"] for r in out.collect()}
+    assert rows == {"u1": "S-1", "u2": None}
+
+
+def test_exact_dedup_keeps_lowest_id_and_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["n_dupes"] for r in dedup.exact_dedup(docs).collect()}
+    # normalisation (lowercase + whitespace collapse) makes 1 and 2 identical
+    assert out == {1: 2, 3: 1}
+
+
+def test_word_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([("a b c d",)], ["text"])
+    sh = df.select(dedup.word_shingles(F.col("text")).alias("s")).first()["s"]
+    assert sh == ["a b c", "b c d"]
+    short = spark.createDataFrame([("a b",)], ["text"])
+    assert short.select(dedup.word_shingles(F.col("text")).alias("s")).first()["s"] == []
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely unrelated text about something else entirely")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["minhash"] for r in dedup.with_minhash(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_near_dup_finds_identical_pair(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "completely unrelated text about anything else entirely now")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard_sim"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_similar_docs_close_hamming(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "zzz qqq www eee rrr ttt yyy uuu iii")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("sh")).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(out[1], out[2]) < ham(out[1], out[3])

@@ -1,0 +1,75 @@
+"""Text-analysis functions and embedding similarity on tiny fixtures."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from ideafast_etl_spark.functions import text as T
+from ideafast_etl_spark.operators import similarity
+
+
+def test_word_and_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world! 42",), ("",)], ["text"])
+    rows = df.select(
+        T.word_count("text").alias("w"), T.token_count("text").alias("t")
+    ).collect()
+    # tokens: Hello , world ! 42 → 5
+    assert (rows[0]["w"], rows[0]["t"]) == (3, 5)
+    assert (rows[1]["w"], rows[1]["t"]) == (0, 0)
+
+
+def test_punct_and_stopword_ratio(spark):
+    df = spark.createDataFrame([("the cat, the hat",)], ["text"])
+    r = df.select(
+        T.punct_ratio("text").alias("p"), T.stopword_ratio("text").alias("s")
+    ).first()
+    assert abs(r["p"] - 1 / 16) < 1e-9  # one comma in 16 chars
+    assert abs(r["s"] - 2 / 4) < 1e-9  # 'the' twice in 4 words
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is in that house"),
+         (2, "der hund und die katze ist nicht auf"),
+         (3, "xyz qpr"),],
+        ["i", "text"],
+    )
+    out = {r["i"]: r["g"] for r in df.select("i", T.lang_id("text").alias("g")).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    a = [1.0, 2.0, 3.0]
+    b = [3.0, 2.0, 1.0]
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    got = df.select(similarity.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    expect = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert math.isclose(got, expect, rel_tol=1e-12)
+
+
+def test_brute_force_topk_ranks_by_similarity(spark):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),   # closest to 0
+        (2, [0.0, 1.0]),   # orthogonal to 0
+        (3, [0.7, 0.3]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(df, q, k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in out] == [(1, 1), (3, 2)]
+
+
+def test_lsh_topk_subset_of_brute_force_quality(spark):
+    # LSH candidates are approximate, but identical vectors always share all
+    # bucket bits, so an exact duplicate must be retrieved as rank 1
+    vecs = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(20)]
+    vecs.append((100, [2.5, 1.3, 0.7]))
+    vecs.append((101, [2.5, 1.3, 0.7]))  # dup of 100
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 100)
+    out = similarity.lsh_topk(df, q, dim=3, k=3).collect()
+    assert out[0]["neighbor_id"] == 101
+    assert out[0]["cosine_sim"] == 1.0
