@@ -1,1 +1,9 @@
-from . import dedup, filters, grouping, joins, projections, similarity  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    filters,
+    grouping,
+    joins,
+    multimodal,
+    projections,
+    similarity,
+)

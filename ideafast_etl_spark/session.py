@@ -15,6 +15,16 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Executor Python workers must be able to import this package regardless of
+# the caller's cwd (Pandas-UDF closures unpickle by module reference). Local
+# mode workers inherit the driver env, so exporting PYTHONPATH is enough; on
+# a real cluster ship a wheel via --py-files instead.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+
 
 def get_spark(
     app_name: str = "ideafast-etl-spark",

@@ -1,0 +1,171 @@
+"""End-to-end incremental pipeline test: mock vendor API → state store →
+resolution joins → grouping → upload flags, across multiple runs (the
+reference's scheduled-DAG lifecycle, SURVEY.md §3.1)."""
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ideafast_etl_spark.pipeline import DreemPipeline, PipelineConfig
+from ideafast_etl_spark.sources.rest import PaginatedRestSource, mock_dreem_api
+from ideafast_etl_spark.state import StateStore
+
+API_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("device", StringType()),
+        StructField(
+            "report",
+            StructType(
+                [
+                    StructField("start_time", LongType()),
+                    StructField("stop_time", LongType()),
+                ]
+            ),
+        ),
+        StructField("data_url", StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def dims(spark):
+    uid_map = spark.createDataFrame(
+        [(f"uid-{i}", f"SER-{i:03d}") for i in range(5)],  # uid-5, uid-6 unresolvable
+        ["dreem_uid", "device_serial"],
+    )
+    serial_map = spark.createDataFrame(
+        [(f"SER-{i:03d}", f"NR{i}-DEVICE") for i in range(5)],
+        ["device_serial", "device_id"],
+    )
+    assignments = spark.createDataFrame(
+        [
+            (f"NR{i}-DEVICE", f"P{i}-PATIENT", datetime(2021, 12, 1), None)
+            for i in range(5)
+        ],
+        "device_id string, patient_id string, start_wear timestamp, end_wear timestamp",
+    )
+    return uid_map, serial_map, assignments
+
+
+def test_full_run_resolves_and_uploads(spark, tmp_path, dims):
+    uid_map, serial_map, assignments = dims
+    store = StateStore(spark, str(tmp_path / "state"))
+    pipe = DreemPipeline(spark, store)
+    api = PaginatedRestSource(mock_dreem_api(60), API_SCHEMA).load(spark)
+
+    report = pipe.run(api, uid_map, serial_map, assignments)
+    assert report["ingested"] == 60
+    state = store.read()
+    # uid-5/uid-6 rows stay unresolved (retry next run); others fully resolved
+    resolved = state.filter(F.col("patient_id").isNotNull())
+    unresolved = state.filter(F.col("device_serial").isNull())
+    assert resolved.count() > 0
+    assert unresolved.count() > 0
+    assert report["serials"] == resolved.count()
+    # every resolved row got a well-formed dmp_id
+    bad_keys = resolved.filter(~F.col("dmp_id").rlike(r"^[A-Z0-9]+-[A-Z0-9]+-\d{8}-\d{8}$"))
+    assert bad_keys.count() == 0
+    n_ok, n_fail = report["uploaded"]
+    flagged = state.filter(F.col("is_uploaded")).select("dmp_id").distinct().count()
+    assert flagged == n_ok
+
+
+def test_rerun_is_incremental_and_idempotent(spark, tmp_path, dims):
+    uid_map, serial_map, assignments = dims
+    store = StateStore(spark, str(tmp_path / "state"))
+    pipe = DreemPipeline(spark, store)
+    api = PaginatedRestSource(mock_dreem_api(40), API_SCHEMA).load(spark)
+
+    pipe.run(api, uid_map, serial_map, assignments)
+    total_after_first = store.read().count()
+
+    # second run with the same feed: J1 anti-join drops everything
+    report2 = pipe.run(api, uid_map, serial_map, assignments)
+    assert report2["ingested"] == 0
+    assert store.read().count() == total_after_first
+
+    # a grown feed only inserts the delta
+    api_grown = PaginatedRestSource(mock_dreem_api(50), API_SCHEMA).load(spark)
+    report3 = pipe.run(api_grown, uid_map, serial_map, assignments)
+    assert report3["ingested"] == 10
+
+
+def test_merge_never_overwrites_resolved_values(spark, tmp_path, dims):
+    uid_map, serial_map, assignments = dims
+    store = StateStore(spark, str(tmp_path / "state"))
+    pipe = DreemPipeline(spark, store)
+    api = PaginatedRestSource(mock_dreem_api(20), API_SCHEMA).load(spark)
+    pipe.run(api, uid_map, serial_map, assignments)
+
+    before = {
+        r["hash"]: r["device_serial"]
+        for r in store.read().select("hash", "device_serial").collect()
+        if r["device_serial"] is not None
+    }
+    # adversarial second resolution with a poisoned map must not change
+    # anything already resolved (db.py:97-109 non-overwrite guard)
+    poisoned = uid_map.withColumn("device_serial", F.lit("POISON"))
+    pipe.resolve_serial(poisoned)
+    after = {
+        r["hash"]: r["device_serial"]
+        for r in store.read().select("hash", "device_serial").collect()
+        if r["device_serial"] is not None
+    }
+    for h, serial in before.items():
+        assert after[h] == serial
+
+
+def test_late_resolution_retry(spark, tmp_path, dims):
+    uid_map, serial_map, assignments = dims
+    store = StateStore(spark, str(tmp_path / "state"))
+    pipe = DreemPipeline(spark, store)
+    api = PaginatedRestSource(mock_dreem_api(30), API_SCHEMA).load(spark)
+    pipe.run(api, uid_map, serial_map, assignments)
+    stuck = store.read().filter(F.col("device_serial").isNull()).count()
+    assert stuck > 0
+
+    # the dim gains the missing entries → next run resolves the backlog
+    grown_uid = uid_map.union(
+        uid_map.sparkSession.createDataFrame(
+            [("uid-5", "SER-005"), ("uid-6", "SER-006")],
+            ["dreem_uid", "device_serial"],
+        )
+    )
+    n = pipe.resolve_serial(grown_uid)
+    assert n == stuck
+    assert store.read().filter(F.col("device_serial").isNull()).count() == 0
+
+
+def test_upload_retry_until_flagged(spark, tmp_path, dims):
+    uid_map, serial_map, assignments = dims
+    store = StateStore(spark, str(tmp_path / "state"))
+
+    attempts: dict[str, int] = {}
+
+    def flaky_then_ok(dmp_id: str, payload) -> bool:
+        # deterministic per-group failure on first attempt only — but since
+        # executor-side state doesn't persist, emulate via length parity
+        return len(dmp_id) % 2 == 0 or attempts.setdefault(dmp_id, True) is None
+
+    pipe = DreemPipeline(spark, store, uploader=lambda d, p: False)
+    api = PaginatedRestSource(mock_dreem_api(20), API_SCHEMA).load(spark)
+    pipe.run(api, uid_map, serial_map, assignments)
+    # all uploads failed → nothing flagged, groups still pending
+    assert store.read().filter(F.col("is_uploaded")).count() == 0
+
+    pipe_ok = DreemPipeline(spark, store, uploader=lambda d, p: True)
+    n_ok, n_fail = pipe_ok.upload()
+    assert n_fail == 0 and n_ok > 0
+    pending = store.read().filter(
+        F.col("dmp_id").isNotNull() & ~F.col("is_uploaded")
+    )
+    assert pending.count() == 0
