@@ -35,6 +35,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     spark = get_spark("bench")
+    # JVM/codegen warmup so the first measured query doesn't absorb startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -21,7 +21,7 @@ In production (no oracle constraint) swap `_shingle_hash` to `xxhash64` for
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import norm_text
@@ -41,10 +41,27 @@ def _tokens(col: Column) -> Column:
     return F.split(norm_text(col), " ")
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalised text (array<string>).
-    Documents with fewer than ``n`` words yield an empty array."""
-    toks = _tokens(col)
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition a small-file scan so per-row compute parallelises: a single
+    small parquet file arrives as ONE partition regardless of cores, which
+    serialises sha256-per-shingle work. The shuffle moves only the raw text
+    (cheap) and buys full-cluster parallelism for the hash stage. No-op effect
+    on results."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column
+    (array<string>). Documents with fewer than ``n`` tokens yield an empty
+    array.
+
+    PERF: ``toks`` must be a plain column *reference* to pre-materialised
+    tokens (see :func:`with_shingles`) — passing a tokenisation *expression*
+    embeds it at every element_at site, re-running the whole-document regex
+    split 3× per shingle (interpreted HOFs do no common-subexpression
+    elimination; this was a 10× slowdown in practice)."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     gram = F.transform(
         idx,
@@ -55,6 +72,45 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     # sequence(0, k) DESCENDS for k < 0, so short docs must short-circuit to []
     return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Add a ``shingles`` column (distinct word n-grams of the normalised
+    text), materialising the token array once per row first."""
+    return (
+        df.withColumn("__toks", _tokens(F.col(text_col)))
+        .withColumn("shingles", word_shingles(F.col("__toks"), n))
+        .drop("__toks")
+    )
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) ROWS — the fully codegen shingling path:
+    posexplode tokens → window ``lead`` per document → filter complete
+    n-grams → distinct. No arrays, no higher-order functions; every operator
+    whole-stage-codegens and the shuffle key (id) is the document, so it
+    parallelises regardless of input file layout. Semantics identical to
+    :func:`word_shingles` (used by the array-shaped API and tests)."""
+    toks = df.select(
+        F.col(id_col), F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grams = toks.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", "tok", *[F.lead("tok", j).over(w) for j in range(1, n)]
+        ).alias("shingle"),
+        F.lead("tok", n - 1).over(w).alias("__last"),
+    )
+    return (
+        grams.filter(F.col("__last").isNotNull())
+        .select(id_col, "shingle")
+        .distinct()
     )
 
 
@@ -95,7 +151,8 @@ def exact_dedup(
     aggregation instead of a window so the map side pre-aggregates."""
     fp = F.sha2(norm_text(F.col(text_col)), 256)
     return (
-        df.withColumn("fingerprint", fp)
+        _spread(df, id_col)
+        .withColumn("fingerprint", fp)
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias(id_col),
@@ -110,7 +167,8 @@ def with_minhash(
 ) -> DataFrame:
     """Attach ``shingles`` and ``minhash`` (signature array) columns.
     Documents too short to shingle are dropped (no signature)."""
-    out = df.withColumn("shingles", word_shingles(F.col(text_col), shingle_words))
+    out = _spread(df, "doc_id" if "doc_id" in df.columns else df.columns[0])
+    out = with_shingles(out, text_col, shingle_words)
     out = out.filter(F.size("shingles") > 0)
     return out.withColumn("minhash", minhash_signature(F.col("shingles")))
 
@@ -168,18 +226,87 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signature → banded candidates → exact
     Jaccard verify on candidates only. Returns (id_a, id_b, jaccard_sim)
-    for pairs the LSH surfaced with true Jaccard ≥ threshold."""
-    sig = with_minhash(df, text_col).select(id_col, "shingles", "minhash")
-    cands = lsh_candidate_pairs(sig, id_col)
-    sh = sig.select(F.col(id_col), F.col("shingles"))
-    verified = (
-        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-        .withColumn("jaccard_sim", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
-        .filter(F.col("jaccard_sim") >= threshold)
-        .select("id_a", "id_b", "jaccard_sim")
-    )
-    return verified
+    for pairs the LSH surfaced with true Jaccard ≥ threshold.
+
+    Plan shape (every stage whole-stage-codegens — no arrays or interpreted
+    higher-order lambdas anywhere):
+      1. distinct (id, shingle) rows via posexplode + window lead;
+      2. signature: sha256 shingle hash → 32 min() hash-aggregates
+         (map-side partial combine);
+      3. banding: 8 (band, band_key) rows per doc; candidates from the
+         equi-self-join on the band key (uniform, skew-free);
+      4. exact verify: intersection COUNTS via an equi-join on the shingle
+         string itself (no 31-bit-collision risk vs the oracle), sizes from a
+         per-doc count, |A∪B| = |A|+|B|−|A∩B|.
+    The shingle-row relation feeds four branches, hence the persist
+    (MEMORY_AND_DISK; at cluster scale, checkpoint to storage instead)."""
+    sh = shingle_rows(_spread(df, id_col), text_col, id_col).persist()
+    try:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        sig = sh.select(
+            F.col(id_col), _shingle_hash(F.col("shingle")).alias("h")
+        ).groupBy(id_col).agg(
+            *[
+                F.min((a * F.col("h") + b) % MERSENNE31).alias(f"mh{i}")
+                for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+            ]
+        )
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                    ).alias("band_key"),
+                )
+                for b in range(LSH_BANDS)
+            ]
+        )
+        banded = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+            id_col, "bk.band", "bk.band_key"
+        )
+        cands = (
+            banded.alias("l")
+            .join(
+                banded.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.band_key") == F.col("r.band_key"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        ra = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+        rb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+        inter = (
+            F.broadcast(cands)
+            .join(ra, "id_a")
+            .join(rb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        verified = (
+            inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+            .withColumn(
+                "jaccard_sim",
+                F.round(
+                    F.col("n_inter").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard_sim") >= threshold)
+            .select("id_a", "id_b", "jaccard_sim")
+        )
+        # materialise (small result) before unpersisting the shingle cache
+        out = verified.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -194,10 +321,10 @@ def ngram_jaccard_pairs(
     ``lang`` — a cheap, semantically safe blocker) with true Jaccard ≥
     threshold. The brute-force baseline the LSH path approximates; at scale,
     use :func:`minhash_near_dup_pairs` instead (this one is O(n²) per block)."""
-    sh = df.select(
+    sh = with_shingles(_spread(df, id_col), text_col, shingle_words).select(
         F.col(id_col),
-        *( [F.col(block_col)] if block_col else [] ),
-        word_shingles(F.col(text_col), shingle_words).alias("shingles"),
+        *([F.col(block_col)] if block_col else []),
+        F.col("shingles"),
     ).filter(F.size("shingles") > 0)
     a = sh.alias("a")
     b = sh.alias("b")

@@ -54,7 +54,11 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    # spread the corpus scan: a single small parquet file = one partition,
+    # which would serialise the similarity math on one core
+    c = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -164,8 +168,9 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-dup: unordered pairs with cosine ≥ threshold.
     Brute-force within-corpus variant (exact); the LSH bucketing above is the
     candidate-generation path at scale."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    a = spread.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = spread.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))

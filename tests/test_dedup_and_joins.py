@@ -38,10 +38,10 @@ def test_exact_dedup_keeps_lowest_id_and_counts(spark):
 
 def test_word_shingles_and_jaccard(spark):
     df = spark.createDataFrame([("a b c d",)], ["text"])
-    sh = df.select(dedup.word_shingles(F.col("text")).alias("s")).first()["s"]
+    sh = dedup.with_shingles(df).first()["shingles"]
     assert sh == ["a b c", "b c d"]
     short = spark.createDataFrame([("a b",)], ["text"])
-    assert short.select(dedup.word_shingles(F.col("text")).alias("s")).first()["s"] == []
+    assert dedup.with_shingles(short).first()["shingles"] == []
 
 
 def test_minhash_identical_docs_share_signature(spark):
