@@ -19,11 +19,15 @@ import __spark_entry__ as entrymod  # noqa: E402
 # extension operators. Kept stable across rounds so BENCH_r{N}.json trends.
 HEADLINE = [
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
     "revenue_by_nation",
     "top_customers_by_revenue",
     "hash_dedup_anti_join",
     "interval_containment_join",
     "day_window_grouping",
+    "sessionization",
+    "dreem_pipeline_e2e",
     "exact_dedup",
     "minhash_near_dup",
     "embedding_topk",

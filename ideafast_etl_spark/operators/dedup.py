@@ -348,6 +348,35 @@ def ngram_jaccard_pairs(
 SIMHASH_BITS = 32
 
 
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Row-based SimHash (the scale path — fully codegen, like
+    :func:`minhash_near_dup_pairs`): explode distinct tokens, one conditional
+    ±1 sum per bit (map-side partial agg), reassemble the fingerprint.
+    Returns (id, simhash bigint)."""
+    toks = _spread(df, id_col).select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
+    ).distinct()
+    h = toks.select(F.col(id_col), _shingle_hash(F.col("t")).alias("h"))
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
 def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint: per-token 31-bit sha256-derived hash; each bit
     contributes +1/-1 weighted by presence; sign of the sum sets the output

@@ -107,6 +107,100 @@ WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
 GROUP BY o_orderpriority
 """
 
+ORACLES["tpch_q6_forecast_revenue"] = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+ORACLES["tpch_q3_shipping_priority"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["revenue_rollup"] = """
+SELECT r_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+ORACLES["order_status_cube"] = """
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+ORACLES["pivot_priority_by_status"] = """
+SELECT o_orderpriority,
+  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_partial
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+ORACLES["set_ops_except_intersect"] = """
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+), y97 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_custkey, 'churned' AS cohort FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+UNION ALL
+SELECT o_custkey, 'retained' AS cohort FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+"""
+
+ORACLES["distinct_counts_by_flag"] = """
+SELECT l_returnflag,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_supps,
+  COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+ORACLES["sessionization"] = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR (epoch_us(ts) - epoch_us(prev_ts)) > 1800 * 1000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM lagged
+), sess AS (
+  SELECT *, SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess
+GROUP BY user_id, session_idx
+"""
+
 ORACLES["hash_dedup_anti_join"] = """
 WITH hashed AS (
   SELECT event_id, sha256(event_type || CAST(event_id AS VARCHAR)) AS hash
@@ -277,6 +371,79 @@ FROM cands c
 JOIN sh a ON a.doc_id = c.id_a
 JOIN sh b ON b.doc_id = c.id_b
 WHERE {_JACCARD} >= 0.2
+"""
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split({NORM_TEXT}, ' ')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(sha256(t), 1, 15))::BIGINT % {MERSENNE31} AS h
+  FROM tok
+), votes AS (
+  SELECT doc_id, {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+ORACLES["simhash_fingerprint"] = _simhash_sql()
+
+ORACLES["dreem_pipeline_e2e"] = """
+WITH feed AS (
+  SELECT sha256('ORD' || CAST(o_orderkey AS VARCHAR)) AS hash,
+         o_orderkey AS rec_id, o_custkey AS cust,
+         o_orderdate AS "start", o_orderdate AS "end"
+  FROM orders
+), state AS (
+  SELECT hash FROM feed WHERE rec_id % 7 = 0
+), fresh AS (
+  SELECT f.* FROM feed f WHERE NOT EXISTS (SELECT 1 FROM state s WHERE s.hash = f.hash)
+), enriched AS (
+  SELECT f.hash, f.rec_id, f.cust, f."start", f."end",
+         c.c_name AS device_serial, n.n_name AS device_id
+  FROM fresh f
+  LEFT JOIN customer c ON f.cust = c.c_custkey
+  LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+), assignments AS (
+  SELECT o_custkey AS cust, o_orderdate AS start_wear,
+         o_orderdate + INTERVAL 90 DAY AS end_wear,
+         'P' || CAST(o_orderkey AS VARCHAR) AS patient_id
+  FROM orders
+), joined AS (
+  SELECT e.*, a.patient_id,
+         row_number() OVER (
+           PARTITION BY e.hash
+           ORDER BY a.start_wear ASC NULLS LAST, a.patient_id ASC NULLS LAST
+         ) AS rn
+  FROM enriched e
+  LEFT JOIN assignments a ON e.cust = a.cust
+    AND date_trunc('day', a.start_wear) <= date_trunc('day', e."start")
+    AND date_trunc('day', e."start") <= date_trunc('day', a.end_wear)
+    AND date_trunc('day', a.start_wear) <= date_trunc('day', e."end")
+    AND date_trunc('day', e."end") <= date_trunc('day', a.end_wear)
+), resolved AS (
+  SELECT * FROM joined WHERE rn = 1 AND patient_id IS NOT NULL
+), grouped AS (
+  SELECT *,
+         date_trunc('day', "start" - INTERVAL 43200 SECONDS) AS bucket_start,
+         date_trunc('day', "start" - INTERVAL 43200 SECONDS) + INTERVAL 1 DAY AS bucket_end
+  FROM resolved
+)
+SELECT replace(device_id, '-', '') || '-' || replace(patient_id, '-', '') || '-' ||
+       strftime(bucket_start, '%Y%m%d') || '-' || strftime(bucket_end, '%Y%m%d') AS dmp_id,
+       COUNT(*) AS n_records,
+       MIN("start") AS first_start,
+       MAX("end") AS last_end
+FROM grouped
+GROUP BY dmp_id
 """
 
 _COS = (

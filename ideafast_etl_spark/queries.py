@@ -144,6 +144,151 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("tpch_q6_forecast_revenue")
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: tight filter + single aggregate — the pushdown showcase
+    (predicates reach the parquet scan; verified via explain PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(price * disc).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register("tpch_q3_shipping_priority")
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: join + agg + deterministic top-10 (order by revenue desc with
+    full tie-break, then limit — §2.8 upgrade over the reference's unordered
+    limits)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register("revenue_rollup")
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over region → nation (subtotals + grand total) —
+    free in Spark, absent in the reference (§2.7 'rebuild gets these free')."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast(_DEC)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.sum(price).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register("order_status_cube")
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with decimal-exact money totals."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("total"),
+    )
+
+
+@register("pivot_priority_by_status")
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (engine-portable form)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
+    )
+
+
+@register("set_ops_except_intersect")
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (§2.9): customers with orders in 1996 but not 1997
+    (EXCEPT), tagged against those with orders in both (INTERSECT)."""
+    orders = _t(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey").distinct()
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey").distinct()
+    churned = y96.exceptAll(y97).withColumn("cohort", F.lit("churned"))
+    retained = y96.intersect(y97).withColumn("cohort", F.lit("retained"))
+    return churned.unionByName(retained)
+
+
+@register("distinct_counts_by_flag")
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT DISTINCT (expand-based plan in Spark)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register("sessionization")
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative sum over an event-time window
+    (30-minute inactivity gap) — the batch form of session windows (§2.11)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    flagged = lagged.withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference pipeline operators (SURVEY.md §2) over the synthetic feed
 # ---------------------------------------------------------------------------
@@ -351,3 +496,96 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.8, exact)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(emb, threshold=0.8)
+
+
+@register("simhash_fingerprint")
+def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (row-based codegen plan)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(docs)
+
+
+@register("dreem_pipeline_e2e")
+def dreem_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE dataflow as one declarative plan (SURVEY.md
+    §1.3): ingest-shape + hash (X1) → anti-join dedup vs seen state (J1) →
+    two broadcast lookup enrichments (J2/J3) → interval-containment patient
+    resolution with first-match tie-break (J4) → day-window grouping + dmp_id
+    key (G1) → per-group upload stats (G4). Orders play the recording feed;
+    customer/nation are the lookup dims; per-customer 90-day windows are the
+    wear assignments."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    feed = orders.select(
+        F.sha2(F.concat(F.lit("ORD"), F.col("o_orderkey")), 256).alias("hash"),
+        F.col("o_orderkey").alias("rec_id"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("start"),
+        F.col("o_orderdate").alias("end"),
+    )
+    state = feed.filter(F.col("rec_id") % 7 == 0).select("hash")
+    fresh = dedup_against_state(feed, state)
+
+    enriched = (
+        fresh.join(F.broadcast(cust), F.col("cust") == F.col("c_custkey"), "left")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .select(
+            "hash", "rec_id", "cust", "start", "end",
+            F.col("c_name").alias("device_serial"),
+            F.col("n_name").alias("device_id"),
+        )
+    )
+
+    assignments = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("start_wear"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("end_wear"),
+        F.concat(F.lit("P"), F.col("o_orderkey")).alias("patient_id"),
+    )
+    resolved = interval_containment_join(
+        enriched,
+        assignments,
+        record_key="hash",
+        device_col="cust",
+        payload_cols=("patient_id",),
+        order_cols=("start_wear", "patient_id"),
+    )
+
+    grouped = assign_group_id(
+        resolved.filter(F.col("patient_id").isNotNull()),
+        cut_off="12:00:00",
+        ts_col="start",
+    )
+    return grouped.groupBy("dmp_id").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min("start").alias("first_start"),
+        F.max("end").alias("last_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate / non-SQL-expressible operators → rows-only checks
+# ---------------------------------------------------------------------------
+
+
+@register("approx_distinct_users")
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch approximate distinct (engine-specific sketch → rows-only
+    check; the exact twin is distinct_counts_by_flag)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("percentile_approx(value, 0.5)").alias("approx_median_value"),
+    )
+
+
+@register("embedding_topk_lsh")
+def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (the 100 TB scale path for similarity
+    search; recall < 1 by construction → rows-only check; exact twin is
+    embedding_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, queries_df, dim=64, k=5)
