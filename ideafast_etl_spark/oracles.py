@@ -307,6 +307,26 @@ FROM documents
 """
 
 
+def _quality_sql() -> str:
+    wc = r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
+    sw_hits = f"len(regexp_extract_all(lower(text), '{_STOP_RE}'))"
+    sw = f"(CASE WHEN ({wc}) = 0 THEN 0.0 ELSE ({sw_hits})::DOUBLE / ({wc})::DOUBLE END)"
+    pr = f"(CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '{_PUNCT_RE}'))::DOUBLE / length(text)::DOUBLE END)"
+    score = (
+        f"(CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 0.4 ELSE 0.0 END)"
+        f" + (CASE WHEN {sw} > 0.05 THEN 0.4 ELSE {sw} * 8 END)"
+        f" + (CASE WHEN {pr} < 0.1 THEN 0.2 ELSE greatest(0.0, 0.2 - ({pr} - 0.1)) END)"
+    )
+    return f"""
+SELECT doc_id, lang, round({score}, 4) AS quality
+FROM documents
+WHERE round({score}, 4) >= 0.6
+"""
+
+
+ORACLES["quality_filter"] = _quality_sql()
+
+
 def _lang_id_sql() -> str:
     scores = _lang_scores()
     cols = ", ".join(f"{expr} AS s_{code}" for code, expr in scores.items())

@@ -448,6 +448,21 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("quality_filter")
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-corpus quality gate: composite length/stopword/punctuation score,
+    keep docs scoring ≥ 0.6 (the filter every pretraining pipeline runs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            T.quality_score(F.col("text")).alias("quality"),
+        )
+        .filter(F.col("quality") >= 0.6)
+    )
+
+
 @register("doc_fingerprint")
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: 64-bit sha256-derived fingerprint over
