@@ -30,31 +30,56 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 @functools.lru_cache(maxsize=256)
-def _nanos_ts_cols(path: str) -> tuple[str, ...]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't read those
-    natively; we read them as long and convert (truncating to micros, matching
-    DuckDB/Arrow semantics)."""
+def _parquet_meta(path: str) -> tuple[tuple[str, ...], int, int]:
+    """(nanos-timestamp columns, total rows, row groups) for a parquet path.
+
+    Nanos columns need the long-read shim (Spark can't scan TIMESTAMP(NANOS));
+    row-group count bounds scan parallelism — parquet only splits at row-group
+    boundaries, so a big single-row-group file serialises its scan."""
     import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
     import pyarrow.types as pt
 
-    schema = ds.dataset(path, format="parquet").schema
-    return tuple(
+    dataset = ds.dataset(path, format="parquet")
+    ns = tuple(
         f.name
-        for f in schema
+        for f in dataset.schema
         if pt.is_timestamp(f.type) and f.type.unit == "ns"
     )
+    rows = 0
+    groups = 0
+    for frag in dataset.get_fragments():
+        md = pq.ParquetFile(frag.path).metadata
+        rows += md.num_rows
+        groups += md.num_row_groups
+    return ns, rows, groups
 
 
 def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
-    """Read one synthetic table as a DataFrame."""
+    """Read one synthetic table as a DataFrame.
+
+    Fact-sized tables stored as a handful of row groups get an explicit
+    repartition to cluster parallelism: the scan itself can't split further,
+    but everything downstream (partial aggregation, hash joins, per-row hash
+    work) then runs on all cores instead of one. Catalyst still pushes filters
+    below the exchange, and an explicit-N repartition is exempt from AQE
+    coalescing. At real scale the file layout provides the parallelism and
+    this is a no-op (row groups ≥ cores)."""
     d = sf_dir or DEFAULT_SF_DIR
     path = f"{d}/{name}.parquet"
-    ns_cols = _nanos_ts_cols(path)
+    # Pin UTC regardless of the caller's session: LTZ timestamps (e.g. the
+    # nanos→micros conversion below) and date_trunc would otherwise shift
+    # with the host timezone, diverging from the (tz-naive) SQL oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ns_cols, rows, groups = _parquet_meta(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    parallelism = spark.sparkContext.defaultParallelism
+    if rows >= 50_000 and groups < max(2, parallelism // 4):
+        df = df.repartition(parallelism)
     return df
 
 
