@@ -275,6 +275,30 @@ FROM ev
 GROUP BY dmp_id
 """
 
+ORACLES["json_extract_props"] = """
+SELECT event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+ORACLES["top_bigrams"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS} AS t FROM documents
+), grams AS (
+  SELECT unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, COUNT(*) AS freq
+FROM grams
+GROUP BY bigram
+ORDER BY freq DESC, bigram ASC
+LIMIT 20
+"""
+
 ORACLES["lifecycle_worklist"] = """
 WITH state AS (
   SELECT event_id, event_type,

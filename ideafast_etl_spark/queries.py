@@ -384,6 +384,49 @@ def day_window_grouping_midnight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.groupBy("dmp_id").agg(F.count(F.lit(1)).alias("n_records"))
 
 
+@register("json_extract_props")
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8/A2 — JSON dot-path extraction as a relational op: pull ``k`` out of
+    the free-form props payload (the reference's ``meta``/JSON navigation) and
+    aggregate it per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register("top_bigrams")
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (text-analysis extension): posexplode +
+    window lead over tokens, count, deterministic top-20."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(T.norm_text(F.col("text")), " ")).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bigram"),
+        F.lead("tok", 1).over(w).alias("__nxt"),
+    ).filter(F.col("__nxt").isNotNull())
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
 @register("lifecycle_worklist")
 def lifecycle_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1-F7 — NULL-rung lifecycle predicates. Events double as a state table:

@@ -17,6 +17,36 @@ def read_csv_dim(
     return spark.read.csv(path, schema=schema, header=header)
 
 
+def distributed_fetch(
+    refs: DataFrame,
+    fetch,
+    url_col: str = "data_url",
+    id_col: str = "manufacturer_ref",
+) -> DataFrame:
+    """S2 — distributed binary fetch: resolve each row's signed URL to content
+    bytes executor-side (the reference streams each file driver-side, one at a
+    time — drm.py:48-90; here every partition fetches concurrently and the
+    bytes land as a binary column, never touching the driver).
+
+    ``fetch(url) -> bytes | None`` is injected (None = file not yet available
+    upstream → row dropped, retried next run per F9). Arrow-batched
+    ``mapInPandas``; one session per partition in a real HTTP impl."""
+    import pandas as pd
+
+    out_schema = f"{id_col} string, content binary"
+
+    def _batches(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = fetch(r[url_col]) if r[url_col] is not None else None
+                if content is not None:
+                    rows.append({id_col: r[id_col], "content": content})
+            yield pd.DataFrame(rows, columns=[id_col, "content"])
+
+    return refs.select(id_col, url_col).mapInPandas(_batches, schema=out_schema)
+
+
 def read_binary_files(
     spark: SparkSession, path: str, glob: str | None = None
 ) -> DataFrame:
