@@ -128,6 +128,26 @@ class StateStore:
         merged = merged.drop(*[f"__new_{c}" for c in set_cols])
         self._write_snapshot(merged)
 
+    def _quarantined_delete(self, keys: DataFrame) -> int:
+        """K7 — delete by key. The reference name-mangles this and warns
+        'Never use this method within the pipeline' (db.py:127-133); we keep
+        it equally quarantined: UserWarning + explicit anti-join rewrite.
+        Returns number of rows removed."""
+        import warnings
+
+        warnings.warn(
+            "Never use this method within the pipeline — deletes break the "
+            "append-only lifecycle; quarantined exactly like the reference.",
+            UserWarning,
+            stacklevel=2,
+        )
+        state = self.read()
+        kept = state.join(keys.select(self.key), on=self.key, how="left_anti")
+        removed = state.count() - kept.count()
+        if removed:
+            self._write_snapshot(kept)
+        return removed
+
     def mark_uploaded(self, dmp_ids: DataFrame) -> None:
         """K6 — flip ``is_uploaded`` for every row of the given groups
         (db.py:189-196); idempotent (at-least-once delivery, §2.11)."""
