@@ -100,6 +100,50 @@ WITH per_cust AS (
 SELECT n_name, c_custkey, c_name, revenue, rank FROM ranked WHERE rank <= 3
 """
 
+ORACLES["parts_by_brand"] = """
+SELECT p_brand, p_type, COUNT(*) AS n_parts,
+  CAST(AVG(CAST(p_size AS DOUBLE)) AS DOUBLE) AS avg_size,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_retail
+FROM part
+GROUP BY p_brand, p_type
+HAVING COUNT(*) >= 2
+"""
+
+ORACLES["supplier_balance_by_nation"] = """
+SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+  CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+ORACLES["part_revenue_join"] = """
+SELECT p_brand,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+  COUNT(DISTINCT s_suppkey) AS n_suppliers
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand
+"""
+
+ORACLES["moving_avg_daily_revenue"] = """
+WITH daily AS (
+  SELECT o_orderdate AS day, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS day_total_dec
+  FROM orders GROUP BY o_orderdate
+)
+SELECT day,
+  CAST(day_total_dec AS DOUBLE) AS day_total,
+  CAST(SUM(day_total_dec) OVER w AS DOUBLE)
+    / COUNT(*) OVER w AS ma7,
+  CAST(row_number() OVER (ORDER BY day) AS INT) AS day_rank
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
 ORACLES["order_priority_counts"] = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders

@@ -131,6 +131,84 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("parts_by_brand")
+def parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension aggregation with HAVING-style post-filter."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.avg(F.col("p_size").cast("double")).alias("avg_size"),
+            F.sum(F.col("p_retailprice").cast(_DEC)).cast("double").alias("total_retail"),
+        )
+        .filter(F.col("n_parts") >= 2)
+    )
+
+
+@register("supplier_balance_by_nation")
+def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier ⋈ nation ⋈ region rollup of account balances with a
+    negative-balance share."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast(_DEC)).cast("double").alias("total_bal"),
+            F.sum((F.col("s_acctbal") < 0).cast("long")).alias("n_negative"),
+        )
+    )
+
+
+@register("part_revenue_join")
+def part_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ medium-dim broadcast join: revenue and quantity per part brand
+    (lineitem⋈part), supplier side included via a second broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(price * (one - disc)).cast("double").alias("revenue"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("total_qty"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@register("moving_avg_daily_revenue")
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame aggregation: 7-day moving average over daily order totals
+    (rank/lag family coverage beyond sessionization)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("day_total_dec")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    # frame aggregation stays DECIMAL (exact under any summation order /
+    # segment-tree evaluation) and converts to double only at the end
+    return daily.select(
+        "day",
+        F.col("day_total_dec").cast("double").alias("day_total"),
+        (
+            F.sum("day_total_dec").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma7"),
+        F.row_number().over(Window.orderBy("day")).alias("day_rank"),
+    )
+
+
 @register("order_priority_counts")
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 shape: EXISTS semi-join — orders with at least one late lineitem."""
