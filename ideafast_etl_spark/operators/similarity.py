@@ -159,6 +159,70 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantise the corpus into
+    ``n_cells`` k-means cells, then for each query probe only the ``n_probe``
+    nearest cells and exactly rerank the candidates.
+
+    The 100 TB shape: the corpus is scanned once to assign cells (and would be
+    *stored* partitioned by cell); a query touches n_probe/n_cells of the data
+    — an equi-join on cell id, shuffle-free when the corpus is bucketed by
+    cell. Centroids are tiny and broadcast. Deterministic for a fixed seed,
+    but recall < 1 by construction → rows-only correctness check (the exact
+    twin is :func:`brute_force_topk`)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("features", array_to_vector("vec"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(corpus)
+    assigned = model.transform(corpus).select("neighbor_id", "vec", "cell")
+
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    cent = df.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["cell", "centroid"]
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+    )
+    # rank cells per query by centroid distance; keep n_probe nearest
+    qc = q.crossJoin(F.broadcast(cent)).withColumn(
+        "cdist", cosine(F.col("query_vec"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cdist"), F.asc("cell"))
+    probes = (
+        qc.withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "query_vec", "cell")
+    )
+    cands = probes.join(assigned, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cands.withColumn(
+        "cosine_sim", F.round(cosine(F.col("query_vec"), F.col("vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

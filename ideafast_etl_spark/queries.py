@@ -717,6 +717,16 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_topk_ivf")
+def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (coarse k-means cells + n_probe rerank) — the
+    second scale path for similarity search; rows-only check (recall < 1),
+    exact twin is embedding_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, queries_df, k=5)
+
+
 @register("embedding_topk_lsh")
 def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (the 100 TB scale path for similarity
