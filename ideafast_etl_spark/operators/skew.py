@@ -1,0 +1,68 @@
+"""Skew mitigation (SURVEY.md §2.13 100-TB posture: "salting for skewed
+dmp_ids"; §4 O12).
+
+AQE's skew-join splitting handles most cases at runtime; these operators are
+for the cases AQE can't fix: a *single* hot aggregation key (AQE can't split
+one hash-aggregate group) and broadcast-ineligible joins against a skewed
+build side.
+
+Pattern: salt → partial aggregate on (key, salt) → final aggregate on key.
+Two shuffles, but each partition carries ≤ 1/n_salts of the hot key — the
+straggler disappears. Algebra only holds for decomposable aggregates
+(count/sum/min/max — the ones the pipeline uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "_salt") -> DataFrame:
+    """Deterministic salt derived from the whole row's uniform hash — no
+    rand() so retries/resumes stay reproducible."""
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def salted_count(
+    df: DataFrame, key_cols: list[str], n_salts: int = 16
+) -> DataFrame:
+    """Two-phase count per key: (key, salt) partial → key final.
+    Result identical to ``groupBy(key).count()``; immune to one-hot-key
+    stragglers."""
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.count(F.lit(1)).alias("_partial")
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("_partial").alias("count"))
+
+
+def salted_sum(
+    df: DataFrame, key_cols: list[str], value_col: str, n_salts: int = 16
+) -> DataFrame:
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.sum(value_col).alias("_partial")
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("_partial").alias(f"sum_{value_col}"))
+
+
+def salted_skew_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skewed equi-join without broadcast: salt the fact side, replicate the
+    dim side across all salts, join on (key, salt). Each of the hot key's
+    rows lands in a different partition. Use only when the dim is too big to
+    broadcast but much smaller than the facts (replication factor n_salts)."""
+    salted_facts = facts.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts))
+    )
+    exploded_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted_facts.join(exploded_dim, on=[key, "_salt"]).drop("_salt")
