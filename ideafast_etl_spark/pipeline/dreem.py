@@ -89,7 +89,9 @@ class DreemPipeline:
         ).join(F.broadcast(uid_map), "dreem_uid").select("hash", "device_serial")
         n = resolved.count()
         if n:
-            self.store.merge_non_overwrite(resolved, ("device_serial",))
+            self.store.merge_non_overwrite(
+                resolved, ("device_serial",), partition_value=self.config.device_type
+            )
         return n
 
     def resolve_device_id(self, serial_map: DataFrame) -> int:
@@ -101,7 +103,9 @@ class DreemPipeline:
         ).select("hash", "device_id")
         n = resolved.count()
         if n:
-            self.store.merge_non_overwrite(resolved, ("device_id",))
+            self.store.merge_non_overwrite(
+                resolved, ("device_id",), partition_value=self.config.device_type
+            )
         return n
 
     # -- stage 4: interval join -----------------------------------------------
@@ -121,7 +125,9 @@ class DreemPipeline:
         )
         n = resolved.count()
         if n:
-            self.store.merge_non_overwrite(resolved, ("patient_id",))
+            self.store.merge_non_overwrite(
+                resolved, ("patient_id",), partition_value=self.config.device_type
+            )
         return n
 
     # -- stage 5: grouping ----------------------------------------------------
@@ -137,7 +143,9 @@ class DreemPipeline:
         ).select("hash", "dmp_id")
         n = grouped.count()
         if n:
-            self.store.merge_non_overwrite(grouped, ("dmp_id",))
+            self.store.merge_non_overwrite(
+                grouped, ("dmp_id",), partition_value=self.config.device_type
+            )
         return n
 
     # -- stage 6: upload ------------------------------------------------------

@@ -78,11 +78,7 @@ class StateStore:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(out)
         # atomic pointer swap: readers see old or new, never partial
-        tmp = self._pointer_file() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, self._pointer_file())
-        self._gc(keep=(version,))
+        self._swap_pointer(version)
 
     def _gc(self, keep: tuple[str, ...]) -> None:
         current = self.current_version()
@@ -90,6 +86,46 @@ class StateStore:
         for d in os.listdir(self.path):
             if d.startswith("v_") and d not in keep_dirs:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def _swap_pointer(self, version: str) -> None:
+        tmp = self._pointer_file() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer_file())
+        self._gc(keep=(version,))
+
+    def _write_partition_selective(
+        self, merged_partition: DataFrame, partition_value: str
+    ) -> None:
+        """Snapshot write that rewrites ONLY one partition's data and
+        hardlinks every other partition's files from the current snapshot —
+        O(affected partition) instead of O(table) per merge. This is the
+        snapshot-store analog of Delta MERGE's file-level rewrite: at 100 TB
+        a stage that touches one device_type must not rewrite the other ten.
+        """
+        assert len(self.partition_by) == 1
+        pcol = self.partition_by[0]
+        old_version = self.current_version()
+        old_dir = self._snapshot_dir(old_version)
+        version = f"{time.time_ns()}"
+        out = self._snapshot_dir(version)
+        (
+            merged_partition.write.mode("overwrite")
+            .partitionBy(pcol)
+            .parquet(out)
+        )
+        skip = f"{pcol}={partition_value}"
+        for entry in os.listdir(old_dir):
+            src = os.path.join(old_dir, entry)
+            if not os.path.isdir(src) or entry == skip or not entry.startswith(f"{pcol}="):
+                continue
+            dst = os.path.join(out, entry)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                if fn.startswith(("_", ".")):
+                    continue
+                os.link(os.path.join(src, fn), os.path.join(dst, fn))
+        self._swap_pointer(version)
 
     # -- MERGE-shaped transitions --------------------------------------------
 
@@ -112,21 +148,40 @@ class StateStore:
         )
         self._write_snapshot(state.unionByName(fresh))
 
-    def merge_non_overwrite(self, updates: DataFrame, set_cols: tuple[str, ...]) -> None:
+    def merge_non_overwrite(
+        self,
+        updates: DataFrame,
+        set_cols: tuple[str, ...],
+        partition_value: str | None = None,
+    ) -> None:
         """K3-K6 — ``MERGE ... WHEN MATCHED AND target.col IS NULL THEN
         UPDATE``: fill ``set_cols`` from ``updates`` (keyed by ``self.key``)
         only where the current value is NULL. Non-matching rows and already-
-        resolved values pass through untouched (db.py:97-125 semantics)."""
+        resolved values pass through untouched (db.py:97-125 semantics).
+
+        With ``partition_value`` (a value of the single partition column —
+        e.g. the stage's device_type), only that partition is merged and
+        rewritten; all other partitions are hardlinked into the new snapshot.
+        """
+        selective = partition_value is not None and len(self.partition_by) == 1
         state = self.read()
+        target = (
+            state.filter(F.col(self.partition_by[0]) == partition_value)
+            if selective
+            else state
+        )
         upd = updates.select(
             F.col(self.key),
             *[F.col(c).alias(f"__new_{c}") for c in set_cols],
         )
-        merged = state.join(F.broadcast(upd), on=self.key, how="left")
+        merged = target.join(F.broadcast(upd), on=self.key, how="left")
         for c in set_cols:
             merged = merged.withColumn(c, F.coalesce(F.col(c), F.col(f"__new_{c}")))
         merged = merged.drop(*[f"__new_{c}" for c in set_cols])
-        self._write_snapshot(merged)
+        if selective:
+            self._write_partition_selective(merged, partition_value)  # type: ignore[arg-type]
+        else:
+            self._write_snapshot(merged)
 
     def _quarantined_delete(self, keys: DataFrame) -> int:
         """K7 — delete by key. The reference name-mangles this and warns
