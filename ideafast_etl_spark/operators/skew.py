@@ -14,7 +14,7 @@ straggler disappears. Algebra only holds for decomposable aggregates
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
