@@ -343,6 +343,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate clustering: connected components over the verified
+    MinHash-LSH pair graph — each involved document labeled with the minimum
+    id in its component (the survivor a dedup pass would keep).
+
+    The label is algorithm-independent (min id of the component), so any
+    correct implementation agrees — here iterative min-label propagation
+    (each round: label ← min(label, neighbours' labels)), which converges in
+    O(component diameter) rounds; production-scale corpora use the same loop
+    (large-star/small-star) since components are tiny in practice.
+    Returns (doc_id, cluster_id) for documents that appear in ≥1 pair."""
+    pairs = minhash_near_dup_pairs(df, text_col, id_col, threshold).select(
+        "id_a", "id_b"
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("cluster_id", F.col(id_col))
+        .persist()
+    )
+    try:
+        for _ in range(50):  # diameter bound; tiny in practice
+            neighbor_min = (
+                edges.join(labels, edges.id_b == labels[id_col])
+                .groupBy(edges.id_a.alias(id_col))
+                .agg(F.min("cluster_id").alias("n_min"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, id_col, "left")
+                .select(
+                    F.col(id_col),
+                    F.least(F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))).alias("cluster_id"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), id_col)
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+        labels.unpersist()
+
+
 # --- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 32

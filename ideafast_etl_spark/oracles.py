@@ -534,6 +534,23 @@ FROM grouped
 GROUP BY dmp_id
 """
 
+ORACLES["near_dup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  {ORACLES["minhash_near_dup"]}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+FROM reach
+GROUP BY a
+"""
+
 _COS = (
     "round(list_dot_product(qv, v)"
     " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)"

@@ -618,6 +618,15 @@ def minhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dup_pairs(docs, threshold=0.2)
 
 
+@register("near_dup_clusters")
+def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: each involved doc
+    labeled with its component's min id (the dedup survivor). The label is
+    algorithm-independent, so the oracle verifies it with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(docs, threshold=0.2)
+
+
 @register("embedding_topk")
 def embedding_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbours for the first 5 vectors (§2.13
