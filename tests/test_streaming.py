@@ -62,6 +62,39 @@ def test_streaming_ingest_drains_and_dedups(spark, tmp_path, feed_dir):
     assert state.select("hash").distinct().count() == 50
 
 
+def test_streaming_dedup_drops_in_stream_duplicates(spark, tmp_path):
+    from datetime import datetime
+
+    from ideafast_etl_spark.streaming import streaming_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        ("h1", datetime(2024, 1, 1, 10)),
+        ("h1", datetime(2024, 1, 1, 11)),  # duplicate hash
+        ("h2", datetime(2024, 1, 1, 12)),
+    ]
+    spark.createDataFrame(rows, "hash string, start timestamp").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema("hash string, start timestamp").parquet(
+        str(src) + "/*/"
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("sdedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["hash"] for r in spark.sql("select * from sdedup_out").collect()}
+    assert got == {"h1", "h2"}
+    assert spark.sql("select count(*) c from sdedup_out").first()["c"] == 2
+
+
 def test_streaming_rerun_with_checkpoint_skips_consumed(spark, tmp_path, feed_dir):
     store = StateStore(spark, str(tmp_path / "state"))
     ckpt = str(tmp_path / "ckpt")
