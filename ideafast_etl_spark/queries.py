@@ -267,6 +267,53 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("tpch_q10_returned_items")
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: revenue lost to returns per customer, deterministic top-20."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register("tpch_q14_promo_share")
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional aggregation ratio (promo revenue share) with
+    decimal-exact numerator/denominator and a final double division."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    rev = price * (one - disc)
+    zero = F.lit(0).cast("decimal(25,4)")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    return joined.agg(
+        (
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(zero)).cast("double")
+            / F.sum(rev).cast("double")
+            * 100.0
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 @register("revenue_rollup")
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over region → nation (subtotals + grand total) —
