@@ -317,30 +317,61 @@ def ngram_jaccard_pairs(
     shingle_words: int = 3,
     block_col: str | None = "lang",
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup: all-pairs within a blocking key (default
-    ``lang`` — a cheap, semantically safe blocker) with true Jaccard ≥
-    threshold. The brute-force baseline the LSH path approximates; at scale,
-    use :func:`minhash_near_dup_pairs` instead (this one is O(n²) per block)."""
-    sh = with_shingles(_spread(df, id_col), text_col, shingle_words).select(
-        F.col(id_col),
-        *([F.col(block_col)] if block_col else []),
-        F.col("shingles"),
-    ).filter(F.size("shingles") > 0)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if block_col:
-        cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
-    return (
-        a.join(b, cond)
-        .withColumn("jaccard_sim", F.round(jaccard(F.col("a.shingles"), F.col("b.shingles")), 6))
-        .filter(F.col("jaccard_sim") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "jaccard_sim",
+    """Exact n-gram Jaccard near-dup within a blocking key (default ``lang``).
+
+    Identical semantics to the all-pairs cross join, but computed as an
+    inverted-index self-join on the shingle ROWS: only pairs that SHARE at
+    least one shingle are ever materialised (a pair with Jaccard ≥ any
+    positive threshold must share a shingle), and the intersection size falls
+    out of the join's group count — |A∪B| = |A|+|B|−|A∩B|. Every stage is a
+    codegen equi-join/hash-aggregate; no arrays. Hot shingles bound the fan-
+    out, not n² — at corpus scale, drop stopword-only shingles or fall back
+    to :func:`minhash_near_dup_pairs`."""
+    base = _spread(df, id_col)
+    sh = (
+        shingle_rows(base, text_col, id_col, shingle_words)
+        .join(
+            base.select(F.col(id_col), *([F.col(block_col)] if block_col else [])),
+            id_col,
         )
-    )
+        if block_col
+        else shingle_rows(base, text_col, id_col, shingle_words)
+    ).persist()
+    try:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        a_cols = [F.col(id_col).alias("id_a"), F.col("shingle")] + (
+            [F.col(block_col)] if block_col else []
+        )
+        b_cols = [F.col(id_col).alias("id_b"), F.col("shingle")] + (
+            [F.col(block_col)] if block_col else []
+        )
+        a = sh.select(*a_cols)
+        b = sh.select(*b_cols)
+        join_keys = ["shingle"] + ([block_col] if block_col else [])
+        inter = (
+            a.join(b, join_keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        verified = (
+            inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+            .withColumn(
+                "jaccard_sim",
+                F.round(
+                    F.col("n_inter").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard_sim") >= threshold)
+            .select("id_a", "id_b", "jaccard_sim")
+        )
+        out = verified.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+    return out
 
 
 def near_dup_clusters(
