@@ -24,7 +24,7 @@ def sp(spark):
 
 
 @given(ts=TS, cutoff=CUTOFF)
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=10, deadline=None)
 def test_day_bucket_invariants(sp, ts, cutoff):
     """Window always contains the record; width is 0 (midnight) or 1 day;
     bounds are midnight-aligned."""
@@ -48,7 +48,7 @@ WORDS = st.lists(st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=0,
 
 
 @given(words_a=WORDS, words_b=WORDS)
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=10, deadline=None)
 def test_jaccard_bounds_and_identity(sp, words_a, words_b):
     """0 ≤ J ≤ 1; J(x,x)=1 for shingleable docs; symmetric."""
     text_a, text_b = " ".join(words_a), " ".join(words_b)
@@ -67,7 +67,7 @@ def test_jaccard_bounds_and_identity(sp, words_a, words_b):
 
 
 @given(words=WORDS)
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=10, deadline=None)
 def test_shingle_rows_equals_array_shingles(sp, words):
     """The codegen row-stream shingling and the array-typed shingling agree."""
     text = " ".join(words)
