@@ -73,10 +73,16 @@ class StateStore:
     def _write_snapshot(self, df: DataFrame) -> None:
         version = f"{time.time_ns()}"
         out = self._snapshot_dir(version)
-        writer = df.write.mode("overwrite")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(out)
+        if df.isEmpty():
+            # a partitionBy write of an empty frame emits NO files (no schema
+            # footer) and the snapshot becomes unreadable; write one empty
+            # schema-bearing part file instead
+            df.repartition(1).write.mode("overwrite").parquet(out)
+        else:
+            writer = df.write.mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(out)
         # atomic pointer swap: readers see old or new, never partial
         self._swap_pointer(version)
 
