@@ -45,14 +45,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        # warm the input cache path (file listing etc.) is part of the cost;
-        # measure a single cold run per query like the driver would see.
+        # measure a single cold run per query like the driver would see
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as e:  # keep the JSON line intact if one query breaks
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {e}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {
