@@ -51,3 +51,50 @@ def upload_groups(
     return groups.groupBy(group_col).applyInPandas(
         _upload, schema=f"{group_col} string, success boolean"
     )
+
+
+# archive_uploader(dmp_id, zip_bytes) -> success
+ArchiveUploader = Callable[[str, bytes], bool]
+
+
+def stub_archive_uploader(dmp_id: str, zip_bytes: bytes) -> bool:
+    return len(zip_bytes) > 0
+
+
+def upload_group_archives(
+    groups: DataFrame,
+    uploader: ArchiveUploader = stub_archive_uploader,
+    group_col: str = "dmp_id",
+    name_col: str = "manufacturer_ref",
+    content_col: str = "content",
+) -> DataFrame:
+    """K8+K9 fused, fully distributed: each upload group's fetched file
+    contents (S2 output) are zipped IN MEMORY on the executor that owns the
+    group and handed to the uploader as one artifact — the reference's
+    zip-folder-then-multipart flow (dmp.py:59-177) without any local-disk
+    staging or driver involvement. Returns (dmp_id, n_files, zip_bytes_len,
+    success) per group."""
+    import io
+    import zipfile
+
+    def _upload(pdf: pd.DataFrame) -> pd.DataFrame:
+        dmp_id = pdf[group_col].iloc[0]
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for _, r in pdf.sort_values(name_col).iterrows():
+                zf.writestr(f"{r[name_col]}.h5", bytes(r[content_col]))
+        payload = buf.getvalue()
+        ok = uploader(dmp_id, payload)
+        return pd.DataFrame(
+            {
+                group_col: [dmp_id],
+                "n_files": [len(pdf)],
+                "zip_bytes_len": [len(payload)],
+                "success": [ok],
+            }
+        )
+
+    return groups.groupBy(group_col).applyInPandas(
+        _upload,
+        schema=f"{group_col} string, n_files long, zip_bytes_len long, success boolean",
+    )
