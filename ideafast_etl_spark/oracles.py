@@ -100,6 +100,13 @@ WITH per_cust AS (
 SELECT n_name, c_custkey, c_name, revenue, rank FROM ranked WHERE rank <= 3
 """
 
+ORACLES["customers_without_orders"] = """
+SELECT c_mktsegment, COUNT(*) AS n_customers, MIN(c_custkey) AS min_custkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
 ORACLES["parts_by_brand"] = """
 SELECT p_brand, p_type, COUNT(*) AS n_parts,
   CAST(AVG(CAST(p_size AS DOUBLE)) AS DOUBLE) AS avg_size,

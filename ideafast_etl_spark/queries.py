@@ -131,6 +131,21 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("customers_without_orders")
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS / anti-join cohort: customers with no orders at all,
+    counted per market segment (J1's anti-join shape on the relational side)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders.select("o_custkey").distinct(),
+                  F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.min("c_custkey").alias("min_custkey"))
+    )
+
+
 @register("parts_by_brand")
 def parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part-dimension aggregation with HAVING-style post-filter."""
