@@ -3,7 +3,9 @@ from . import (  # noqa: F401
     filters,
     grouping,
     joins,
+    metrics,
     multimodal,
     projections,
     similarity,
+    skew,
 )
