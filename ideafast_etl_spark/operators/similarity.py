@@ -37,6 +37,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def unit_normalized(df: DataFrame, id_alias: str, vec_col: str, out_vec: str) -> DataFrame:
+    """(id, unit-vector) with the norm materialised ONCE per vector — cosine
+    between unit vectors is then a single dot product per pair instead of
+    three aggregates (dot + two norms). The norm must be a real column, not
+    an inline expression: embedding it in the transform lambda would
+    re-evaluate the full norm per element."""
+    return (
+        df.select(F.col(id_alias), F.col(vec_col).alias("__v"))
+        .withColumn("__norm", l2_norm(F.col("__v")))
+        .withColumn(
+            out_vec,
+            F.transform(F.col("__v"), lambda x: x.cast("double") / F.col("__norm")),
+        )
+        .drop("__v", "__norm")
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -47,23 +64,27 @@ def brute_force_topk(
     """Exact top-k cosine neighbours for each query vector.
 
     Plan: broadcast the (small) query set → one pass over the corpus computing
-    similarities JVM-side → per-query top-k via window. The corpus never
-    shuffles more than the matched candidate rows; at 1000 executors this is a
-    single map stage plus a k-row-per-query aggregation.
+    similarities JVM-side → per-query top-k via window. Vectors are unit-
+    normalised once up front, so the per-pair work is one dot product. The
+    corpus never shuffles more than the matched candidate rows; at 1000
+    executors this is a single map stage plus a k-row-per-query aggregation.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    q = unit_normalized(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        "query_id", vec_col, "query_vec",
     )
     # spread the corpus scan: a single small parquet file = one partition,
     # which would serialise the similarity math on one core
-    c = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    c = unit_normalized(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        "neighbor_id", vec_col, "vec",
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine_sim", F.round(cosine(F.col("query_vec"), F.col("vec")), 6)
+            "cosine_sim", F.round(dot(F.col("query_vec"), F.col("vec")), 6)
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -231,13 +252,18 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup: unordered pairs with cosine ≥ threshold.
     Brute-force within-corpus variant (exact); the LSH bucketing above is the
-    candidate-generation path at scale."""
+    candidate-generation path at scale. Unit-normalised once per vector →
+    one dot product per pair."""
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    a = spread.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = spread.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = unit_normalized(
+        spread.select(F.col(id_col).alias("id_a"), F.col(vec_col)), "id_a", vec_col, "va"
+    )
+    b = unit_normalized(
+        spread.select(F.col(id_col).alias("id_b"), F.col(vec_col)), "id_b", vec_col, "vb"
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine_sim", F.round(dot(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

