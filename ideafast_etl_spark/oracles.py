@@ -322,6 +322,18 @@ WITH r AS (
 SELECT rec_id, cust, "start", "end", assignment_id FROM j WHERE rn = 1
 """
 
+ORACLES["asof_latest_order"] = """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 1
+) o ON TRUE
+"""
+
 _DMP_KEY = (
     "replace(device_id, '-', '') || '-' || replace(patient_id, '-', '') || '-' || "
     "strftime(bucket_start, '%Y%m%d') || '-' || strftime(bucket_end, '%Y%m%d')"

@@ -492,6 +492,28 @@ def interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("asof_latest_order")
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks natively — union-tag + forward-fill):
+    attach each event's customer's most recent order at-or-before the event,
+    deterministic among same-day orders via max orderkey."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    return asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=("o_orderkey", "o_totalprice"),
+        tie_break="o_orderkey",
+    )
+
+
 @register("day_window_grouping")
 def day_window_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — offset tumbling day-window bucketing + upload-group key with the
