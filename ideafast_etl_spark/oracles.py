@@ -334,6 +334,19 @@ LEFT JOIN LATERAL (
 ) o ON TRUE
 """
 
+ORACLES["range_join_windows"] = """
+WITH points AS (
+  SELECT o_orderkey AS rec_id, o_orderdate AS ts FROM orders
+), windows AS (
+  SELECT o_orderkey AS window_id, o_orderdate AS w_start,
+         o_orderdate + INTERVAL 14 DAY AS w_end
+  FROM orders WHERE o_orderkey % 997 = 0
+)
+SELECT p.rec_id, p.ts, w.window_id, w.w_start, w.w_end
+FROM points p JOIN windows w
+  ON w.w_start <= p.ts AND p.ts <= w.w_end
+"""
+
 _DMP_KEY = (
     "replace(device_id, '-', '') || '-' || replace(patient_id, '-', '') || '-' || "
     "strftime(bucket_start, '%Y%m%d') || '-' || strftime(bucket_end, '%Y%m%d')"

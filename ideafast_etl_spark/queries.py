@@ -514,6 +514,27 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("range_join_windows")
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): orders falling inside sampled 14-day
+    observation windows, via time-bucketized equi-join + exact residual
+    (the scale path past BroadcastNestedLoopJoin)."""
+    from .operators.rangejoin import range_join_point_in_interval
+
+    orders = _t(spark, sf_dir, "orders")
+    points = orders.select(
+        F.col("o_orderkey").alias("rec_id"), F.col("o_orderdate").alias("ts")
+    )
+    windows = orders.filter(F.col("o_orderkey") % 997 == 0).select(
+        F.col("o_orderkey").alias("window_id"),
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 14 DAYS")).alias("w_end"),
+    )
+    return range_join_point_in_interval(
+        points, windows, point_ts="ts", start_col="w_start", end_col="w_end"
+    ).select("rec_id", "ts", "window_id", "w_start", "w_end")
+
+
 @register("day_window_grouping")
 def day_window_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — offset tumbling day-window bucketing + upload-group key with the
