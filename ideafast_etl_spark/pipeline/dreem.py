@@ -166,6 +166,44 @@ class DreemPipeline:
             self.store.mark_uploaded(ok.select("dmp_id"))
         return n_ok, n_fail
 
+    # -- streaming variant ----------------------------------------------------
+
+    def run_from_stream(
+        self,
+        source_dir: str,
+        api_schema,
+        uid_map: DataFrame,
+        serial_map: DataFrame,
+        assignments: DataFrame,
+        checkpoint_dir: str | None = None,
+    ) -> dict[str, int | tuple[int, int]]:
+        """Streaming-ingest variant of a scheduled run: drain all available
+        feed files through the checkpointed Structured-Streaming path
+        (availableNow + foreachBatch MERGE), then run the resolution stages
+        over the refreshed state — the reference's poll-then-process cycle
+        with exactly-once file consumption."""
+        from ..streaming.incremental import run_streaming_ingest
+
+        before = self.store.read().count() if self.store.exists() else 0
+        q = run_streaming_ingest(
+            self.spark,
+            source_dir,
+            api_schema,
+            self.store,
+            device_type=self.config.device_type,
+            checkpoint_dir=checkpoint_dir,
+        )
+        q.awaitTermination()
+        ingested = self.store.read().count() - before
+        return {
+            "ingested": ingested,
+            "serials": self.resolve_serial(uid_map),
+            "devices": self.resolve_device_id(serial_map),
+            "patients": self.resolve_patient(assignments),
+            "grouped": self.group_records(),
+            "uploaded": self.upload(),
+        }
+
     # -- full run -------------------------------------------------------------
 
     def run(

@@ -159,6 +159,7 @@ class StateStore:
         updates: DataFrame,
         set_cols: tuple[str, ...],
         partition_value: str | None = None,
+        broadcast_updates: bool = True,
     ) -> None:
         """K3-K6 — ``MERGE ... WHEN MATCHED AND target.col IS NULL THEN
         UPDATE``: fill ``set_cols`` from ``updates`` (keyed by ``self.key``)
@@ -168,6 +169,10 @@ class StateStore:
         With ``partition_value`` (a value of the single partition column —
         e.g. the stage's device_type), only that partition is merged and
         rewritten; all other partitions are hardlinked into the new snapshot.
+
+        ``broadcast_updates`` fits the usual worklist-sized batches; pass
+        False for bulk backfills larger than executor memory — the join then
+        shuffles both sides on the uniform hash key.
         """
         selective = partition_value is not None and len(self.partition_by) == 1
         state = self.read()
@@ -180,7 +185,9 @@ class StateStore:
             F.col(self.key),
             *[F.col(c).alias(f"__new_{c}") for c in set_cols],
         )
-        merged = target.join(F.broadcast(upd), on=self.key, how="left")
+        if broadcast_updates:
+            upd = F.broadcast(upd)
+        merged = target.join(upd, on=self.key, how="left")
         for c in set_cols:
             merged = merged.withColumn(c, F.coalesce(F.col(c), F.col(f"__new_{c}")))
         merged = merged.drop(*[f"__new_{c}" for c in set_cols])
