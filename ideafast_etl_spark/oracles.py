@@ -592,6 +592,17 @@ FROM grouped
 GROUP BY dmp_id
 """
 
+ORACLES["incremental_near_dup"] = f"""
+WITH pairs AS (
+  {ORACLES["minhash_near_dup"]}
+)
+SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS incoming_id,
+       CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS state_id,
+       jaccard_sim
+FROM pairs
+WHERE (id_a % 5 = 0 AND id_b % 5 != 0) OR (id_b % 5 = 0 AND id_a % 5 != 0)
+"""
+
 ORACLES["near_dup_clusters"] = f"""
 WITH RECURSIVE pairs AS (
   {ORACLES["minhash_near_dup"]}

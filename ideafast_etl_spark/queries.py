@@ -723,6 +723,27 @@ def minhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dup_pairs(docs, threshold=0.2)
 
 
+@register("incremental_near_dup")
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup step: which INCOMING documents (doc_id % 5 == 0,
+    the 'new batch') are near-duplicates of the already-seen corpus (the
+    rest)? J1's anti-join generalised from exact hashes to MinHash similarity.
+    Output: (incoming_id, matched_state_id, jaccard_sim).
+
+    Implemented over the full pair graph here (small corpus); at scale the
+    candidate join runs incoming-bands ⋈ state-bands only, which is the same
+    plan minus the state self-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(docs, threshold=0.2)
+    a_in = (F.col("id_a") % 5 == 0) & (F.col("id_b") % 5 != 0)
+    b_in = (F.col("id_b") % 5 == 0) & (F.col("id_a") % 5 != 0)
+    return pairs.filter(a_in | b_in).select(
+        F.when(a_in, F.col("id_a")).otherwise(F.col("id_b")).alias("incoming_id"),
+        F.when(a_in, F.col("id_b")).otherwise(F.col("id_a")).alias("state_id"),
+        "jaccard_sim",
+    )
+
+
 @register("near_dup_clusters")
 def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph: each involved doc
