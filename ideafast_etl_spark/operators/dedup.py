@@ -468,6 +468,92 @@ def simhash_fingerprints(
     return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    n_bands: int = 4,
+    max_df_ratio: float = 0.25,
+) -> DataFrame:
+    """SimHash near-dup: pairs whose fingerprints differ in ≤ ``max_hamming``
+    bits. Banded multi-probe candidate generation (pigeonhole: a pair within
+    hamming ≤ n_bands−1 must agree exactly on ≥1 of the n_bands bit-slices),
+    then exact hamming verify via bit_count(xor). Complete for
+    ``max_hamming < n_bands``; the same equi-join shape as MinHash banding.
+
+    Tokens present in more than ``max_df_ratio`` of documents are excluded
+    from the fingerprint: unweighted SimHash over raw tokens collapses when
+    common function words dominate every document's bit votes (observed:
+    ~16% of all pairs within hamming 3). The document-frequency cut is the
+    deterministic, corpus-derived stand-in for IDF weighting."""
+    assert max_hamming < n_bands, "pigeonhole completeness needs max_hamming < n_bands"
+    band_bits = bits // n_bands
+    toks = _spread(df, id_col).select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
+    ).distinct()
+    n_docs = df.select(id_col).distinct().count()
+    rare = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= int(max_df_ratio * n_docs))
+        .select("t")
+    )
+    kept = toks.join(F.broadcast(rare), "t")
+    h = kept.select(F.col(id_col), _shingle_hash(F.col("t")).alias("h"))
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    acc = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        acc = term if acc is None else acc + term
+    fp = votes.select(F.col(id_col), acc.cast("bigint").alias("simhash"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = fp.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("bk")).select(
+        id_col, "simhash", "bk.band", "bk.band_key"
+    )
+    cands = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint: per-token 31-bit sha256-derived hash; each bit
     contributes +1/-1 weighted by presence; sign of the sum sets the output

@@ -542,6 +542,48 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
 
 ORACLES["simhash_fingerprint"] = _simhash_sql()
 
+def _simhash_df_filtered_sql(bits: int = 32, max_df_ratio: float = 0.25) -> str:
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split({NORM_TEXT}, ' ')) AS t
+  FROM documents
+), rare AS (
+  SELECT t FROM tok GROUP BY t
+  HAVING COUNT(*) <= CAST({max_df_ratio} * (SELECT COUNT(DISTINCT doc_id) FROM documents) AS BIGINT)
+), h AS (
+  SELECT doc_id, ('0x' || substr(sha256(tok.t), 1, 15))::BIGINT % {MERSENNE31} AS h
+  FROM tok JOIN rare ON tok.t = rare.t
+), votes AS (
+  SELECT doc_id, {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+ORACLES["simhash_near_dup"] = f"""
+WITH sims AS (
+  {_simhash_df_filtered_sql()}
+), banded AS (
+  SELECT doc_id, simhash, b.range AS band,
+         (simhash >> (b.range * 8)) & 255 AS band_key
+  FROM sims, range(4) b
+), cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.simhash AS sa, r.simhash AS sb
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cands
+WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
 ORACLES["dreem_pipeline_e2e"] = """
 WITH feed AS (
   SELECT sha256('ORD' || CAST(o_orderkey AS VARCHAR)) AS hash,

@@ -776,6 +776,14 @@ def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(docs)
 
 
+@register("simhash_near_dup")
+def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-distance near-dup pairs (≤3 differing bits of 32),
+    banded multi-probe candidates + bit_count(xor) verify."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
 @register("dreem_pipeline_e2e")
 def dreem_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's WHOLE dataflow as one declarative plan (SURVEY.md
