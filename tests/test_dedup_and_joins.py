@@ -67,6 +67,24 @@ def test_minhash_near_dup_finds_identical_pair(spark):
     assert [(p["id_a"], p["id_b"], p["jaccard_sim"]) for p in pairs] == [(1, 2, 1.0)]
 
 
+def test_simhash_near_dup_pairs_finds_near_identical(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda"),  # tiny perturbation → low hamming
+            (3, "totally different words entirely unrelated content here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.simhash_near_dup_pairs(
+        docs, max_hamming=6, n_bands=8, max_df_ratio=0.9
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
 def test_simhash_similar_docs_close_hamming(spark):
     docs = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"),
