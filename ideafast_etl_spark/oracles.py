@@ -365,6 +365,16 @@ FROM ev
 GROUP BY dmp_id
 """
 
+ORACLES["tumbling_window_hourly"] = """
+SELECT event_type,
+  date_trunc('hour', ts) AS window_start,
+  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
 ORACLES["day_window_grouping_midnight"] = f"""
 WITH ev AS (
   SELECT event_id, ts, event_type AS device_id, CAST(user_id AS VARCHAR) AS patient_id,

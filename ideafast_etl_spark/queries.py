@@ -554,6 +554,28 @@ def day_window_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("tumbling_window_hourly")
+def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in F.window tumbling aggregation (1 hour) over the event stream —
+    the batch face of the streaming windowed aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(F.col("event_type"), win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 @register("day_window_grouping_midnight")
 def day_window_grouping_midnight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 midnight mode: window start = end = the record's own day."""
