@@ -60,6 +60,19 @@ def test_selective_merge_non_overwrite_guard_still_holds(spark, tmp_path):
     assert got == {"h1": "KEEP", "h2": "FILL"}
 
 
+def test_state_reads_prune_partitions(spark, tmp_path):
+    """Worklist predicates on device_type must prune partition directories at
+    the scan (PartitionFilters), not post-filter — at 100 TB that is the
+    difference between reading one device's data and the whole table."""
+    store = StateStore(spark, str(tmp_path / "s"))
+    rows = [(f"h{i}", "DRM" if i % 2 == 0 else "BTF") for i in range(10)]
+    store.init(spark.createDataFrame(rows, "hash string, device_type string"))
+    scan = store.read().filter(F.col("device_type") == "DRM")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "device_type" in plan.split("PartitionFilters")[1][:120]
+    assert scan.count() == 5
+
+
 def test_selective_merge_falls_back_without_partition_value(spark, tmp_path):
     store = StateStore(spark, str(tmp_path / "s"), partition_by=())
     store.init(spark.createDataFrame([("h1", None)], "hash string, x string"))
