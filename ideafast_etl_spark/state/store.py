@@ -39,11 +39,16 @@ class StateStore:
         path: str,
         key: str = "hash",
         partition_by: tuple[str, ...] = ("device_type",),
+        keep_versions: int = 1,
     ) -> None:
+        """``keep_versions`` > 1 retains older snapshots for time travel
+        (``read(version=...)`` / ``versions()``) — the snapshot-store analog
+        of Delta's VERSION AS OF, bounded so storage stays O(keep_versions)."""
         self.spark = spark
         self.path = path
         self.key = key
         self.partition_by = partition_by
+        self.keep_versions = max(1, keep_versions)
         os.makedirs(path, exist_ok=True)
 
     # -- snapshot mechanics ---------------------------------------------------
@@ -64,10 +69,21 @@ class StateStore:
     def exists(self) -> bool:
         return self.current_version() is not None
 
-    def read(self) -> DataFrame:
-        version = self.current_version()
+    def versions(self) -> list[str]:
+        """Retained snapshot versions, oldest first (monotone timestamps)."""
+        return sorted(
+            d[2:] for d in os.listdir(self.path) if d.startswith("v_")
+        )
+
+    def read(self, version: str | None = None) -> DataFrame:
+        """Read the current snapshot, or a retained historical one."""
+        version = version or self.current_version()
         if version is None:
             raise FileNotFoundError(f"state store at {self.path} not initialised")
+        if not os.path.isdir(self._snapshot_dir(version)):
+            raise FileNotFoundError(
+                f"version {version} not retained (keep_versions={self.keep_versions})"
+            )
         return self.spark.read.parquet(self._snapshot_dir(version))
 
     def _write_snapshot(self, df: DataFrame) -> None:
@@ -89,8 +105,13 @@ class StateStore:
     def _gc(self, keep: tuple[str, ...]) -> None:
         current = self.current_version()
         keep_dirs = {f"v_{v}" for v in keep} | ({f"v_{current}"} if current else set())
-        for d in os.listdir(self.path):
-            if d.startswith("v_") and d not in keep_dirs:
+        # retain up to keep_versions most-recent snapshots beyond the pinned set
+        all_versions = sorted(
+            (d for d in os.listdir(self.path) if d.startswith("v_")), reverse=True
+        )
+        keep_dirs |= set(all_versions[: self.keep_versions])
+        for d in all_versions:
+            if d not in keep_dirs:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     def _swap_pointer(self, version: str) -> None:
