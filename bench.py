@@ -43,9 +43,10 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        # measure a single cold run per query like the driver would see
+        # cold run: plan compile + execute, like the driver sees it
         t0 = time.time()
         try:
             n = fn(spark, sf_dir).count()
@@ -54,15 +55,27 @@ def main() -> None:
             print(f"# {name}: FAILED {e}", file=sys.stderr)
             continue
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # warm run: fresh plan in the warmed session — separates per-query
+        # plan-compile overhead (dominant at tiny SF) from compute, which is
+        # the number that extrapolates to long-lived cluster sessions
+        t1 = time.time()
+        fn(spark, sf_dir).count()
+        warm[name] = round(time.time() - t1, 3)
+        print(
+            f"# {name}: cold {timings[name]}s / warm {warm[name]}s ({n} rows)",
+            file=sys.stderr,
+        )
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {
+                # headline metric stays the COLD total for cross-round trend
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warm_queries": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "sf": sf,
             }
         )

@@ -98,8 +98,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
     if args.stage in ("group", "all"):
         report["grouped"] = pipe.group_records()
     if args.stage in ("upload", "all"):
-        ok, fail = pipe.upload()
-        report["uploaded_ok"], report["uploaded_fail"] = ok, fail
+        ok, fail, conflicts = pipe.upload()
+        report["uploaded_ok"] = ok
+        report["uploaded_fail"] = fail
+        report["upload_conflicts"] = conflicts
     print(json.dumps(report))
     return report
 

@@ -111,8 +111,9 @@ def lang_id(col: Column | str) -> Column:
         total = total + s
     best = F.lit("und")
     best_score = F.lit(-1)
-    # iterate in reverse so earlier codes win ties via strict > on later ones
-    for code, s in reversed(scores):
+    # forward (code-sorted) order with strict >: the alphabetically-FIRST
+    # code wins ties, matching the docstring and the oracle's CASE order
+    for code, s in scores:
         is_better = s > best_score
         best = F.when(is_better, F.lit(code)).otherwise(best)
         best_score = F.when(is_better, s).otherwise(best_score)

@@ -316,6 +316,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     shingle_words: int = 3,
     block_col: str | None = "lang",
+    hot_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup within a blocking key (default ``lang``).
 
@@ -324,9 +325,16 @@ def ngram_jaccard_pairs(
     least one shingle are ever materialised (a pair with Jaccard ≥ any
     positive threshold must share a shingle), and the intersection size falls
     out of the join's group count — |A∪B| = |A|+|B|−|A∩B|. Every stage is a
-    codegen equi-join/hash-aggregate; no arrays. Hot shingles bound the fan-
-    out, not n² — at corpus scale, drop stopword-only shingles or fall back
-    to :func:`minhash_near_dup_pairs`."""
+    codegen equi-join/hash-aggregate; no arrays.
+
+    Hot shingles bound the self-join fan-out (a shingle in k docs yields
+    k² candidate rows). ``hot_doc_freq`` caps that at corpus scale: shingles
+    appearing in more than that many documents are dropped BEFORE the join
+    (and before set sizes, so Jaccard is computed over the trimmed shingle
+    sets). The cap is an approximation — a pair whose only shared shingles
+    are hot is missed — so it is OFF by default and warns loudly when it
+    actually trims; for exact results on hot-shingle corpora use
+    :func:`minhash_near_dup_pairs` instead."""
     base = _spread(df, id_col)
     sh = (
         shingle_rows(base, text_col, id_col, shingle_words)
@@ -338,6 +346,32 @@ def ngram_jaccard_pairs(
         else shingle_rows(base, text_col, id_col, shingle_words)
     ).persist()
     try:
+        if hot_doc_freq is not None:
+            import warnings
+
+            shingle_keys = ["shingle"] + ([block_col] if block_col else [])
+            hot = (
+                sh.groupBy(*shingle_keys)
+                .agg(F.count(F.lit(1)).alias("sdf"))
+                .filter(F.col("sdf") > hot_doc_freq)
+                .select(*shingle_keys)
+                .persist()
+            )
+            n_hot = hot.count()
+            if n_hot:
+                warnings.warn(
+                    f"ngram_jaccard_pairs: hot-shingle cap trimmed {n_hot} "
+                    f"shingles with doc-freq > {hot_doc_freq}; pairs sharing "
+                    "ONLY trimmed shingles are missed and Jaccard is computed "
+                    "over the trimmed sets — fall back to "
+                    "minhash_near_dup_pairs for exactness.",
+                    UserWarning,
+                    stacklevel=2,
+                )
+                trimmed = sh.join(hot, shingle_keys, "left_anti").persist()
+                sh.unpersist()
+                sh = trimmed
+            hot.unpersist()
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
         a_cols = [F.col(id_col).alias("id_a"), F.col("shingle")] + (
             [F.col(block_col)] if block_col else []
@@ -403,6 +437,7 @@ def near_dup_clusters(
         .persist()
     )
     try:
+        changed = -1
         for _ in range(50):  # diameter bound; tiny in practice
             neighbor_min = (
                 edges.join(labels, edges.id_b == labels[id_col])
@@ -428,6 +463,15 @@ def near_dup_clusters(
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # the output contract is the EXACT component-min label; returning
+            # silently would hand back wrong cluster ids for any component
+            # with diameter > the iteration bound
+            raise RuntimeError(
+                "near_dup_clusters: min-label propagation did not converge "
+                "within 50 rounds — a pair-graph component has diameter > 50; "
+                "raise the bound or switch to large-star/small-star."
+            )
         return labels.localCheckpoint(eager=True)
     finally:
         edges.unpersist()
@@ -493,11 +537,15 @@ def simhash_near_dup_pairs(
     toks = _spread(df, id_col).select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
     ).distinct()
-    n_docs = df.select(id_col).distinct().count()
+    # corpus size as a broadcast 1-row scalar INSIDE the job (no separate
+    # distinct().count() action per call); floor() mirrors the previous
+    # int(ratio * n) truncation
+    total = df.agg(F.count_distinct(F.col(id_col)).alias("nd"))
     rare = (
         toks.groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= int(max_df_ratio * n_docs))
+        .join(F.broadcast(total))
+        .filter(F.col("df") <= F.floor(F.lit(max_df_ratio) * F.col("nd")))
         .select("t")
     )
     kept = toks.join(F.broadcast(rare), "t")

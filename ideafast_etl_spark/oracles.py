@@ -205,6 +205,52 @@ JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
 """
 
+ORACLES["tpch_q4_order_priority"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+ORACLES["tpch_q12_priority_by_flag"] = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+ORACLES["tpch_q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+ORACLES["tpch_q22_dormant_customers"] = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
 ORACLES["revenue_rollup"] = """
 SELECT r_name, n_name,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
@@ -696,10 +742,25 @@ WITH q AS (
 SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
-ORACLES["embedding_near_dup"] = f"""
-WITH e AS (SELECT vec_id, {_UNIT} AS v FROM embeddings)
+# Same planted-duplicate augmentation as queries._augmented_embeddings, then
+# brute-force exact pairs — the grid-blocked Spark plan must reproduce this
+# bit-for-bit (recall 1.0 by construction).
+ORACLES["embedding_near_dup"] = """
+WITH aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         [emb0[i] * (1 + 0.001 * (((i - 1) % 7) - 3))
+          FOR i IN generate_series(1, len(emb0))]
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb0
+        FROM embeddings WHERE vec_id % 10 = 0)
+), e AS (
+  SELECT vec_id,
+         list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS v
+  FROM aug
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round(list_dot_product(a.v, b.v), 6) AS cosine_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v), 6) >= 0.4
+WHERE round(list_dot_product(a.v, b.v), 6) >= 0.95
 """

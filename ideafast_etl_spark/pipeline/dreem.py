@@ -16,14 +16,23 @@ data, §2.11). Per-run ``limits`` replicate the reference's backpressure knobs
 (L1, dags/dreem.py:254-287); the default is unlimited, which is the correct
 Spark posture (the limits exist in the reference because each record costs an
 HTTP round-trip; here lookups are joins).
+
+Run-report metrics (G5, dags/dreem.py:70-73,107-115) piggyback on the work
+that runs anyway: the state store observes its own write actions
+(``df.observe`` → no count-only jobs over state), and the upload stage
+observes its result frame on the materialising ``localCheckpoint``. The only
+extra action per resolve stage is a short-circuit ``isEmpty`` (``take(1)``)
+that lets an idle run skip the merge write entirely — on a 100 TB state
+table, an idle poll must not rewrite a partition.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import filters
 from ..operators.grouping import assign_group_id
@@ -50,7 +59,9 @@ class PipelineConfig:
 
 
 def _limit(df: DataFrame, n: int | None) -> DataFrame:
-    return df.limit(n) if n else df
+    # `is not None`, not truthiness: limit=0 means "process nothing",
+    # not "unlimited"
+    return df.limit(n) if n is not None else df
 
 
 class DreemPipeline:
@@ -69,16 +80,26 @@ class DreemPipeline:
     # -- stage 1 ---------------------------------------------------------------
 
     def ingest(self, raw_api_rows: DataFrame) -> int:
-        """Shape vendor rows, drop already-seen hashes, insert the rest."""
+        """Shape vendor rows, drop already-seen hashes, insert the rest.
+        The insert count is observed on the store's own write — no
+        before/after table counts."""
         shaped = init_lifecycle(
             shape_api_rows(raw_api_rows, self.config.device_type)
         )
         shaped = _limit(shaped, self.config.limits.get("ingest"))
-        before = self.store.read().count() if self.store.exists() else 0
-        self.store.append_new(shaped)
-        return self.store.read().count() - before
+        return self.store.append_new(shaped)
 
     # -- stages 2-3: lookup resolutions ---------------------------------------
+
+    def _merge_resolved(self, resolved: DataFrame, set_cols: tuple[str, ...]) -> int:
+        """Shared merge step: short-circuit empty worklists (cheap take(1);
+        an idle run must not rewrite a state partition), else MERGE and
+        return the matched-row count the store observed on its write."""
+        if resolved.isEmpty():
+            return 0
+        return self.store.merge_non_overwrite(
+            resolved, set_cols, partition_value=self.config.device_type
+        )
 
     def resolve_serial(self, uid_map: DataFrame) -> int:
         """uid_map(dreem_uid, device_serial); fills device_serial where NULL."""
@@ -87,12 +108,7 @@ class DreemPipeline:
         resolved = work.select(
             "hash", F.col("meta.dreem_uid").alias("dreem_uid")
         ).join(F.broadcast(uid_map), "dreem_uid").select("hash", "device_serial")
-        n = resolved.count()
-        if n:
-            self.store.merge_non_overwrite(
-                resolved, ("device_serial",), partition_value=self.config.device_type
-            )
-        return n
+        return self._merge_resolved(resolved, ("device_serial",))
 
     def resolve_device_id(self, serial_map: DataFrame) -> int:
         """serial_map(device_serial, device_id); fills device_id where NULL."""
@@ -101,12 +117,7 @@ class DreemPipeline:
         resolved = work.select("hash", "device_serial").join(
             F.broadcast(serial_map), "device_serial"
         ).select("hash", "device_id")
-        n = resolved.count()
-        if n:
-            self.store.merge_non_overwrite(
-                resolved, ("device_id",), partition_value=self.config.device_type
-            )
-        return n
+        return self._merge_resolved(resolved, ("device_id",))
 
     # -- stage 4: interval join -----------------------------------------------
 
@@ -123,12 +134,7 @@ class DreemPipeline:
         resolved = joined.filter(F.col("patient_id").isNotNull()).select(
             "hash", "patient_id"
         )
-        n = resolved.count()
-        if n:
-            self.store.merge_non_overwrite(
-                resolved, ("patient_id",), partition_value=self.config.device_type
-            )
-        return n
+        return self._merge_resolved(resolved, ("patient_id",))
 
     # -- stage 5: grouping ----------------------------------------------------
 
@@ -141,30 +147,64 @@ class DreemPipeline:
             cut_off=self.config.cut_off_time,
             ts_col="start",
         ).select("hash", "dmp_id")
-        n = grouped.count()
-        if n:
-            self.store.merge_non_overwrite(
-                grouped, ("dmp_id",), partition_value=self.config.device_type
-            )
-        return n
+        return self._merge_resolved(grouped, ("dmp_id",))
 
     # -- stage 6: upload ------------------------------------------------------
 
-    def upload(self) -> tuple[int, int]:
-        """Upload pending groups; flag successes. At-least-once: failures stay
-        is_uploaded=false and re-select next run (dags/dreem.py:209-217)."""
-        pending = filters.pending_upload(self.store.read(), self.config.device_type)
+    def upload(self) -> tuple[int, int, int]:
+        """Upload pending groups; flag successes. Returns
+        ``(n_ok, n_fail, n_conflict)``.
+
+        At-least-once: failures stay is_uploaded=false and re-select next run
+        (dags/dreem.py:209-217). Partial-group conflict guard
+        (dags/dreem.py:185-204): a group that already has an uploaded member
+        must never be re-uploaded — its pending rows are skipped and reported
+        as conflicts (the reference raises NotImplementedError; skip-and-flag
+        keeps the rest of the run alive, and the rows remain visible as
+        pending-with-conflict for operators to resolve).
+
+        Plan shape: the ``any_uploaded`` window shares the dmp_id hash
+        partitioning with the per-group applyInPandas, so the guard adds no
+        extra shuffle; the side-effecting upload is materialised exactly once
+        via an eager localCheckpoint (a real uploader must not re-POST per
+        downstream action), and ok/fail/conflict counts ride the checkpoint
+        as observed metrics."""
+        state = self.store.read()
+        dt = self.config.device_type
+        scoped = state.filter(
+            (F.col("device_type") == dt) & F.col("dmp_id").isNotNull()
+        )
+        w = Window.partitionBy("dmp_id")
+        # full rows flow through: the uploader payload is the group's member
+        # records (K8); the window only appends the conflict marker
+        work = scoped.withColumn(
+            "any_up", F.max(F.col("is_uploaded").cast("int")).over(w)
+        ).filter(~F.col("is_uploaded"))
         limit = self.config.limits.get("upload")
-        if limit:
-            ids = pending.select("dmp_id").distinct().limit(limit)
-            pending = pending.join(ids, "dmp_id", "left_semi")
-        results = upload_groups(pending, self.uploader)
-        ok = results.filter(F.col("success"))
-        n_ok = ok.count()
-        n_fail = results.count() - n_ok
+        if limit is not None:
+            ids = work.select("dmp_id").distinct().limit(limit)
+            work = work.join(ids, "dmp_id", "left_semi")
+        obs = Observation()
+        results = upload_groups(work, self.uploader, conflict_col="any_up").observe(
+            obs,
+            F.coalesce(F.sum(F.col("success").cast("long")), F.lit(0)).alias("n_ok"),
+            F.coalesce(F.sum(F.col("conflict").cast("long")), F.lit(0)).alias(
+                "n_conflict"
+            ),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        # exactly one execution of the side-effecting upload stage
+        results = results.localCheckpoint(eager=True)
+        m = obs.get
+        n_ok = int(m["n_ok"])
+        n_conflict = int(m["n_conflict"])
+        n_fail = int(m["n_groups"]) - n_ok - n_conflict
         if n_ok:
-            self.store.mark_uploaded(ok.select("dmp_id"))
-        return n_ok, n_fail
+            self.store.mark_uploaded(
+                results.filter(F.col("success")).select("dmp_id"),
+                partition_value=dt,
+            )
+        return n_ok, n_fail, n_conflict
 
     # -- streaming variant ----------------------------------------------------
 
@@ -176,7 +216,7 @@ class DreemPipeline:
         serial_map: DataFrame,
         assignments: DataFrame,
         checkpoint_dir: str | None = None,
-    ) -> dict[str, int | tuple[int, int]]:
+    ) -> dict[str, int | tuple[int, int, int]]:
         """Streaming-ingest variant of a scheduled run: drain all available
         feed files through the checkpointed Structured-Streaming path
         (availableNow + foreachBatch MERGE), then run the resolution stages
@@ -184,7 +224,7 @@ class DreemPipeline:
         with exactly-once file consumption."""
         from ..streaming.incremental import run_streaming_ingest
 
-        before = self.store.read().count() if self.store.exists() else 0
+        batch_counts: list[int] = []
         q = run_streaming_ingest(
             self.spark,
             source_dir,
@@ -192,17 +232,82 @@ class DreemPipeline:
             self.store,
             device_type=self.config.device_type,
             checkpoint_dir=checkpoint_dir,
+            inserted_counts=batch_counts,
         )
         q.awaitTermination()
-        ingested = self.store.read().count() - before
         return {
-            "ingested": ingested,
+            "ingested": sum(batch_counts),
             "serials": self.resolve_serial(uid_map),
             "devices": self.resolve_device_id(serial_map),
             "patients": self.resolve_patient(assignments),
             "grouped": self.group_records(),
             "uploaded": self.upload(),
         }
+
+    def run_stream_full_dag(
+        self,
+        source_dir: str,
+        api_schema,
+        uid_map: DataFrame,
+        serial_map: DataFrame,
+        assignments: DataFrame,
+        checkpoint_dir: str | None = None,
+    ) -> list[dict]:
+        """The WHOLE DAG — ingest → resolutions → grouping → upload — under
+        Structured Streaming: every micro-batch runs all six stages inside
+        ``foreachBatch`` (the reference's poll cycle is end-to-end per poll,
+        dags/dreem.py:209-217 / :299-307).
+
+        Delivery semantics across restarts: file consumption is exactly-once
+        (checkpoint), inserts are idempotent (hash anti-join), and upload is
+        at-least-once with exactly-once *flagging* — a crash between a
+        group's upload and its ``mark_uploaded`` fails the micro-batch, so
+        the restart REPLAYS it: the ingest replays as a no-op and the still-
+        unflagged group re-uploads (the reference's retry contract); a group
+        whose flag committed is excluded by the F6 predicate and never
+        re-uploads. Returns one stage-report dict per micro-batch; if the
+        restart found no new files (no batch fired), a trailing
+        resolution+upload pass still runs — the reference retries pending
+        work every poll cycle even when the feed is quiet."""
+
+        def _stages() -> dict:
+            return {
+                "serials": self.resolve_serial(uid_map),
+                "devices": self.resolve_device_id(serial_map),
+                "patients": self.resolve_patient(assignments),
+                "grouped": self.group_records(),
+                "uploaded": self.upload(),
+            }
+
+        reports: list[dict] = []
+
+        def _batch(batch_df: DataFrame, batch_id: int) -> None:
+            shaped = init_lifecycle(
+                shape_api_rows(batch_df, self.config.device_type)
+            )
+            n = self.store.append_new(
+                _limit(shaped, self.config.limits.get("ingest"))
+            )
+            reports.append({"batch_id": batch_id, "ingested": n, **_stages()})
+
+        stream = (
+            self.spark.readStream.format("parquet")
+            .schema(api_schema)
+            .load(source_dir)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(_batch)
+            .trigger(availableNow=True)
+            .outputMode("update")
+        )
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
+        q.awaitTermination()
+        if not reports and self.store.exists():
+            # quiet poll: no new files, but pending work still retries
+            reports.append({"batch_id": None, "ingested": 0, **_stages()})
+        return reports
 
     # -- full run -------------------------------------------------------------
 
@@ -212,7 +317,7 @@ class DreemPipeline:
         uid_map: DataFrame,
         serial_map: DataFrame,
         assignments: DataFrame,
-    ) -> dict[str, int | tuple[int, int]]:
+    ) -> dict[str, int | tuple[int, int, int]]:
         """One scheduled run of the whole DAG, in reference task order."""
         return {
             "ingested": self.ingest(raw_api_rows),

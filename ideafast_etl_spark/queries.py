@@ -82,8 +82,11 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("revenue_by_nation")
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5-shape star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with
-    broadcast dims (J2/J3 generalisation). Dim joins broadcast; the single
+    """Q5-shape star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    (J2/J3 generalisation). Broadcast policy: only genuinely BOUNDED dims
+    (nation=25, region=5 rows at every SF) are forced; customer is SF-scaled
+    (150k×SF rows — several GB at the 100 TB target), so AQE +
+    autoBroadcastJoinThreshold picks its strategy per actual size. The single
     big-big join (lineitem⋈orders) shuffles on the uniform orderkey."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -95,7 +98,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(_DEC)
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(
@@ -120,7 +123,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         orders.groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -182,8 +185,9 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("part_revenue_join")
 def part_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact ⋈ medium-dim broadcast join: revenue and quantity per part brand
-    (lineitem⋈part), supplier side included via a second broadcast."""
+    """Fact ⋈ medium-dim joins: revenue and quantity per part brand
+    (lineitem⋈part⋈supplier). part/supplier are SF-scaled → no forced
+    broadcast; AQE decides (broadcast at small SF, shuffle join at 100 TB)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     supp = _t(spark, sf_dir, "supplier")
@@ -191,8 +195,8 @@ def part_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast(_DEC)
     one = F.lit(1).cast(_DEC)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_brand")
         .agg(
             F.sum(price * (one - disc)).cast("double").alias("revenue"),
@@ -270,7 +274,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(_DEC)
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
             (F.col("c_mktsegment") == "BUILDING")
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -295,7 +299,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
@@ -315,7 +319,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(_DEC)
     rev = price * (one - disc)
     zero = F.lit(0).cast("decimal(25,4)")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).filter(
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey")).filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
@@ -326,6 +330,118 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 100.0
         ).alias("promo_share_pct"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("tpch_q4_order_priority")
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: correlated EXISTS → left-semi join. Priority counts for a
+    one-quarter order window where some line item was returned (the testdata
+    lacks l_commitdate/l_receiptdate, so l_returnflag='R' stands in for the
+    late-delivery predicate — same semi-join plan). The semi-join shuffles
+    on the uniform orderkey; the date filter pushes to the orders scan."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        window.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register("tpch_q12_priority_by_flag")
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: big-big join + CASE-conditional counts (high- vs
+    low-priority line share per class; l_returnflag stands in for the absent
+    l_shipmode). One shuffle on orderkey, map-side partial CASE sums."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register("tpch_q18_large_orders")
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: IN over a grouped-HAVING subquery (large-volume orders).
+    The HAVING aggregate runs once over lineitem (single shuffle on
+    orderkey); its qualifying keys semi-join orders, and AQE picks the dim
+    strategy for the customer join (SF-scaled → no forced broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast(_DEC)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(250).cast(_DEC))
+    )
+    return (
+        orders.join(
+            big.select("l_orderkey", "sum_qty"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register("tpch_q22_dormant_customers")
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar AVG subquery + NOT EXISTS anti-join. Above-average-
+    balance customers with no urgent orders, counted per nation (the
+    testdata lacks c_phone, so c_nationkey stands in for cntrycode; 'no
+    urgent orders' replaces 'no orders' — every sf0.01 customer has some).
+    The 1-row average broadcasts; the anti-join shuffles on custkey.
+    Float discipline: the average is computed as exact DECIMAL sum / count,
+    divided in double — bit-identical across engines."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast(_DEC)
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(bal).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+        )
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
     )
 
 
@@ -341,7 +457,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast(_DEC)
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .rollup("r_name", "n_name")
@@ -450,14 +566,15 @@ def hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("lookup_enrich")
 def lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2/J3 — chained broadcast lookup joins (uid→serial→device_id analog):
+    """J2/J3 — chained lookup joins (uid→serial→device_id analog; nation
+    forced-broadcast as a bounded dim, customer left to AQE):
     events.user_id → customer → nation. Unmatched rows keep NULLs (retried
     next run in the reference's lifecycle)."""
     ev = _t(spark, sf_dir, "events")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        ev.join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"), "left")
+        ev.join(cust, F.col("user_id") == F.col("c_custkey"), "left")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"), "left")
         .select("event_id", "user_id", "event_type", "c_name", "n_name")
     )
@@ -784,11 +901,35 @@ def embedding_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
+def _augmented_embeddings(emb: DataFrame) -> DataFrame:
+    """Corpus ∪ deterministically-perturbed copies of every 10th vector
+    (component i scaled by 1 + 0.001·((i mod 7) − 3) → cosine ≈ 0.99999 to
+    its source): the test tables carry no natural pairs above cosine 0.6, so
+    the near-DUPLICATE regime (threshold 0.95) needs planted duplicates. The
+    same augmentation is SQL-expressible for the DuckDB oracle."""
+    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            * (F.lit(1.0) + F.lit(0.001) * ((i % 7) - F.lit(3)).cast("double")),
+        ).alias("embedding"),
+    )
+    return emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(pert)
+
+
 @register("embedding_near_dup")
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, exact)."""
+    """Embedding-cosine near-duplicate pairs at threshold 0.95 over the
+    planted-duplicate corpus, via deterministic-complete grid blocking
+    (recall 1.0, equi-join plan — no BroadcastNestedLoopJoin; the brute-force
+    twin survives as `similarity.embedding_near_dup_pairs` for tests)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.4)
+    return similarity.grid_near_dup_pairs(
+        _augmented_embeddings(emb), threshold=0.95
+    )
 
 
 @register("simhash_fingerprint")
@@ -830,7 +971,7 @@ def dreem_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = dedup_against_state(feed, state)
 
     enriched = (
-        fresh.join(F.broadcast(cust), F.col("cust") == F.col("c_custkey"), "left")
+        fresh.join(cust, F.col("cust") == F.col("c_custkey"), "left")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"), "left")
         .select(
             "hash", "rec_id", "cust", "start", "end",

@@ -38,19 +38,36 @@ def upload_groups(
     groups: DataFrame,
     uploader: Uploader = stub_uploader,
     group_col: str = "dmp_id",
+    conflict_col: str | None = None,
 ) -> DataFrame:
-    """Upload each group's rows; returns (dmp_id, success) — one row per
-    group. Partitioned by group so one upload sees all member rows
-    (``applyInPandas`` per group, Arrow-batched)."""
+    """Upload each group's rows; returns one row per group — ``(dmp_id,
+    success)``, plus a ``conflict`` flag when ``conflict_col`` is given.
+    Partitioned by group so one upload sees all member rows
+    (``applyInPandas`` per group, Arrow-batched).
+
+    ``conflict_col`` names a boolean/int marker (e.g. the ``any_uploaded``
+    window flag): a group carrying it is NOT uploaded — the guard runs on
+    the executor that owns the whole group, so the skip is group-atomic
+    (dags/dreem.py:185-204 partial-upload conflict)."""
 
     def _upload(pdf: pd.DataFrame) -> pd.DataFrame:
         dmp_id = pdf[group_col].iloc[0]
+        if conflict_col is not None:
+            if bool(pdf[conflict_col].max()):
+                return pd.DataFrame(
+                    {group_col: [dmp_id], "success": [False], "conflict": [True]}
+                )
+            ok = uploader(dmp_id, pdf.drop(columns=[conflict_col]))
+            return pd.DataFrame(
+                {group_col: [dmp_id], "success": [ok], "conflict": [False]}
+            )
         ok = uploader(dmp_id, pdf)
         return pd.DataFrame({group_col: [dmp_id], "success": [ok]})
 
-    return groups.groupBy(group_col).applyInPandas(
-        _upload, schema=f"{group_col} string, success boolean"
-    )
+    schema = f"{group_col} string, success boolean"
+    if conflict_col is not None:
+        schema += ", conflict boolean"
+    return groups.groupBy(group_col).applyInPandas(_upload, schema=schema)
 
 
 # archive_uploader(dmp_id, zip_bytes) -> success

@@ -15,7 +15,21 @@ without touching callers.
 Scale posture: snapshots are partitioned by ``device_type`` (the reference's
 every worklist predicate filters on it → partition pruning); updates join on
 the uniformly-distributed ``hash`` key (no skew); nothing is ever collected
-to the driver.
+to the driver. Writes are O(delta), not O(table): ``append_new`` adds only
+the new rows' part-files (every existing file is hardlinked into the next
+snapshot), and ``merge_non_overwrite`` / ``mark_uploaded`` with a
+``partition_value`` rewrite only the affected partition — mirroring the
+reference's per-document Mongo updates (db.py:88-125), where a 15-row ingest
+never touches the rest of the collection.
+
+Concurrency contract: SINGLE WRITER. Transitions are read-modify-write with
+no lock; two concurrent writers would silently lose one side's updates
+(exactly like two unsynchronised Mongo clients doing read-then-replace).
+Readers get snapshot isolation via the pointer, with a GC grace window:
+``_gc`` always retains the most recent ``keep_versions`` snapshots *plus*
+the immediately-previous one, so a DataFrame obtained from ``read()`` just
+before a commit keeps its files through that commit (one-version grace; for
+long-lived readers raise ``keep_versions``).
 """
 
 from __future__ import annotations
@@ -24,7 +38,7 @@ import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 _POINTER = "_CURRENT"
@@ -115,65 +129,111 @@ class StateStore:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     def _swap_pointer(self, version: str) -> None:
+        prev = self.current_version()
         tmp = self._pointer_file() + ".tmp"
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, self._pointer_file())
-        self._gc(keep=(version,))
+        # grace window: the just-superseded snapshot survives this commit so
+        # in-flight readers of the old pointer don't lose files mid-scan
+        self._gc(keep=(version, prev) if prev else (version,))
 
-    def _write_partition_selective(
-        self, merged_partition: DataFrame, partition_value: str
-    ) -> None:
-        """Snapshot write that rewrites ONLY one partition's data and
-        hardlinks every other partition's files from the current snapshot —
-        O(affected partition) instead of O(table) per merge. This is the
-        snapshot-store analog of Delta MERGE's file-level rewrite: at 100 TB
-        a stage that touches one device_type must not rewrite the other ten.
-        """
+    def _link_other_partitions(self, out: str, partition_value: str) -> None:
+        """Hardlink every partition EXCEPT ``partition_value`` from the
+        current snapshot into ``out`` — the selective-rewrite half of an
+        O(affected partition) merge. At 100 TB a stage that touches one
+        device_type must not rewrite the other ten."""
         assert len(self.partition_by) == 1
         pcol = self.partition_by[0]
-        old_version = self.current_version()
-        old_dir = self._snapshot_dir(old_version)
-        version = f"{time.time_ns()}"
-        out = self._snapshot_dir(version)
-        (
-            merged_partition.write.mode("overwrite")
-            .partitionBy(pcol)
-            .parquet(out)
-        )
+        old_dir = self._snapshot_dir(self.current_version())
         skip = f"{pcol}={partition_value}"
         for entry in os.listdir(old_dir):
             src = os.path.join(old_dir, entry)
             if not os.path.isdir(src) or entry == skip or not entry.startswith(f"{pcol}="):
                 continue
-            dst = os.path.join(out, entry)
-            os.makedirs(dst, exist_ok=True)
-            for fn in os.listdir(src):
+            self._link_tree(src, os.path.join(out, entry))
+
+    def _write_uncommitted(self, df: DataFrame) -> tuple[str, str]:
+        """Write ``df`` as the next snapshot's data files WITHOUT swapping
+        the pointer. Callers inspect their Observation after this action and
+        either ``_swap_pointer`` (commit) or ``_discard`` (no-op run — the
+        state is unchanged, so no new version is published)."""
+        version = f"{time.time_ns()}"
+        out = self._snapshot_dir(version)
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(out)
+        os.makedirs(out, exist_ok=True)  # all-empty partitioned write emits nothing
+        return version, out
+
+    def _discard(self, out: str) -> None:
+        shutil.rmtree(out, ignore_errors=True)
+
+    def _link_tree(self, src_dir: str, out_dir: str) -> None:
+        """Hardlink every data file under ``src_dir`` into ``out_dir``,
+        preserving the partition-directory layout. Spark part-file names
+        embed a job UUID, so links from an old snapshot never collide with
+        files a fresh write just produced; if one ever did, fall back to a
+        version-prefixed name rather than fail the commit."""
+        for root, _dirs, files in os.walk(src_dir):
+            rel = os.path.relpath(root, src_dir)
+            dst_dir = out_dir if rel == "." else os.path.join(out_dir, rel)
+            made = False
+            for fn in files:
                 if fn.startswith(("_", ".")):
                     continue
-                os.link(os.path.join(src, fn), os.path.join(dst, fn))
+                if not made:
+                    os.makedirs(dst_dir, exist_ok=True)
+                    made = True
+                dst = os.path.join(dst_dir, fn)
+                if os.path.exists(dst):
+                    dst = os.path.join(dst_dir, f"linked-{fn}")
+                os.link(os.path.join(root, fn), dst)
+
+    def _append_files(self, fresh: DataFrame) -> int:
+        """O(delta) insert: write ONLY the new rows as part-files into the
+        next snapshot and hardlink every current file alongside them —
+        snapshot = old files + delta files, the manifest being the directory
+        tree itself. At 100 TB an ingest of a few thousand rows costs a few
+        part-files, never a table rewrite (reference contract: per-document
+        inserts, db.py:88-96). Returns rows inserted (observed on the write
+        itself — no separate count job); an empty delta publishes nothing."""
+        old_dir = self._snapshot_dir(self.current_version())
+        obs = Observation()
+        version, out = self._write_uncommitted(
+            fresh.observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        n = int(obs.get["n"])
+        if n == 0:
+            self._discard(out)
+            return 0
+        self._link_tree(old_dir, out)
         self._swap_pointer(version)
+        return n
 
     # -- MERGE-shaped transitions --------------------------------------------
 
     def init(self, df: DataFrame) -> None:
         self._write_snapshot(df)
 
-    def append_new(self, incoming: DataFrame) -> None:
+    def append_new(self, incoming: DataFrame) -> int:
         """K1/K2 + J1 — insert rows whose key is not yet in state
         (``MERGE ... WHEN NOT MATCHED THEN INSERT``). Anti-join keeps the
         dedup distributed (no driver-side hash set, unlike db.py:228-231).
         Also drops duplicate keys *within* the batch — a single micro-batch
-        may drain overlapping source files."""
+        may drain overlapping source files. The write is file-level append:
+        existing snapshot files are hardlinked, only the delta is written.
+        Returns the number of rows inserted."""
         incoming = incoming.dropDuplicates([self.key])
         if not self.exists():
             self.init(incoming)
-            return
+            return self.read().count()  # once-per-store bootstrap only
         state = self.read()
         fresh = incoming.join(
             state.select(self.key), on=self.key, how="left_anti"
         )
-        self._write_snapshot(state.unionByName(fresh))
+        return self._append_files(fresh)
 
     def merge_non_overwrite(
         self,
@@ -181,7 +241,7 @@ class StateStore:
         set_cols: tuple[str, ...],
         partition_value: str | None = None,
         broadcast_updates: bool = True,
-    ) -> None:
+    ) -> int:
         """K3-K6 — ``MERGE ... WHEN MATCHED AND target.col IS NULL THEN
         UPDATE``: fill ``set_cols`` from ``updates`` (keyed by ``self.key``)
         only where the current value is NULL. Non-matching rows and already-
@@ -194,6 +254,10 @@ class StateStore:
         ``broadcast_updates`` fits the usual worklist-sized batches; pass
         False for bulk backfills larger than executor memory — the join then
         shuffles both sides on the uniform hash key.
+
+        Returns the number of target rows matched by an update (observed on
+        the write action itself — no separate count job). A merge that
+        matches nothing publishes no new version.
         """
         selective = partition_value is not None and len(self.partition_by) == 1
         state = self.read()
@@ -208,14 +272,29 @@ class StateStore:
         )
         if broadcast_updates:
             upd = F.broadcast(upd)
-        merged = target.join(upd, on=self.key, how="left")
+        marker = f"__new_{set_cols[0]}"
+        obs = Observation()
+        # observe at the ROOT of the written plan: metrics survive AQE
+        # empty-relation pruning (an observe on an empty broadcast side
+        # would be optimised away and never fire)
+        merged = target.join(upd, on=self.key, how="left").observe(
+            obs,
+            F.coalesce(
+                F.sum(F.col(marker).isNotNull().cast("long")), F.lit(0)
+            ).alias("n_matched"),
+        )
         for c in set_cols:
             merged = merged.withColumn(c, F.coalesce(F.col(c), F.col(f"__new_{c}")))
         merged = merged.drop(*[f"__new_{c}" for c in set_cols])
+        version, out = self._write_uncommitted(merged)
+        n = int(obs.get["n_matched"])
+        if n == 0:
+            self._discard(out)
+            return 0
         if selective:
-            self._write_partition_selective(merged, partition_value)  # type: ignore[arg-type]
-        else:
-            self._write_snapshot(merged)
+            self._link_other_partitions(out, partition_value)  # type: ignore[arg-type]
+        self._swap_pointer(version)
+        return n
 
     def _quarantined_delete(self, keys: DataFrame) -> int:
         """K7 — delete by key. The reference name-mangles this and warns
@@ -237,13 +316,40 @@ class StateStore:
             self._write_snapshot(kept)
         return removed
 
-    def mark_uploaded(self, dmp_ids: DataFrame) -> None:
+    def mark_uploaded(
+        self, dmp_ids: DataFrame, partition_value: str | None = None
+    ) -> int:
         """K6 — flip ``is_uploaded`` for every row of the given groups
-        (db.py:189-196); idempotent (at-least-once delivery, §2.11)."""
+        (db.py:189-196); idempotent (at-least-once delivery, §2.11).
+
+        With ``partition_value`` (the stage's device_type), only that
+        partition is rewritten; every other partition's files are hardlinked
+        — the same O(affected partition) path as ``merge_non_overwrite``.
+        Returns the number of rows newly flagged; flagging nothing new
+        publishes no new version."""
+        selective = partition_value is not None and len(self.partition_by) == 1
         state = self.read()
+        target = (
+            state.filter(F.col(self.partition_by[0]) == partition_value)
+            if selective
+            else state
+        )
         flagged = dmp_ids.select(F.col("dmp_id"), F.lit(True).alias("__up"))
+        obs = Observation()
         merged = (
-            state.join(F.broadcast(flagged), on="dmp_id", how="left")
+            target.join(F.broadcast(flagged), on="dmp_id", how="left")
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        (
+                            F.col("__up").isNotNull()
+                            & ~F.coalesce(F.col("is_uploaded"), F.lit(False))
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("n_flipped"),
+            )
             .withColumn(
                 "is_uploaded",
                 F.when(F.col("__up").isNotNull(), F.lit(True)).otherwise(
@@ -252,4 +358,12 @@ class StateStore:
             )
             .drop("__up")
         )
-        self._write_snapshot(merged)
+        version, out = self._write_uncommitted(merged)
+        n = int(obs.get["n_flipped"])
+        if n == 0:
+            self._discard(out)
+            return 0
+        if selective:
+            self._link_other_partitions(out, partition_value)  # type: ignore[arg-type]
+        self._swap_pointer(version)
+        return n

@@ -32,13 +32,18 @@ def run_streaming_ingest(
     device_type: str = "DRM",
     checkpoint_dir: str | None = None,
     fmt: str = "parquet",
+    inserted_counts: list[int] | None = None,
 ) -> StreamingQuery:
     """Drain all available files from ``source_dir`` into the state store,
-    one idempotent micro-batch at a time."""
+    one idempotent micro-batch at a time. Pass ``inserted_counts`` to
+    collect per-batch insert counts (foreachBatch runs driver-side, so a
+    plain list suffices) — no post-hoc table counts needed."""
 
     def _ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         shaped = init_lifecycle(shape_api_rows(batch_df, device_type))
-        store.append_new(shaped)
+        n = store.append_new(shaped)
+        if inserted_counts is not None:
+            inserted_counts.append(n)
 
     stream = (
         spark.readStream.format(fmt)

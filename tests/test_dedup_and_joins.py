@@ -99,3 +99,28 @@ def test_simhash_similar_docs_close_hamming(spark):
         return bin(a ^ b).count("1")
 
     assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_ngram_hot_shingle_cap_warns_and_trims(spark):
+    import pytest
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),  # exact dup of 1
+        (3, "common phrase here three"),
+        (4, "common phrase here four"),
+        (5, "common phrase here five"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # uncapped: docs 3/4/5 pair up via the shared "common phrase here" shingle
+    base = dedup.ngram_jaccard_pairs(df, threshold=0.3, block_col=None)
+    assert {(r["id_a"], r["id_b"]) for r in base.collect()} == {
+        (1, 2), (3, 4), (3, 5), (4, 5),
+    }
+    # capped at doc-freq 2: the hot shingle (df=3) is trimmed with a warning;
+    # pairs that shared ONLY it disappear, the real dup pair survives
+    with pytest.warns(UserWarning, match="hot-shingle cap trimmed"):
+        capped = dedup.ngram_jaccard_pairs(
+            df, threshold=0.3, block_col=None, hot_doc_freq=2
+        )
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(1, 2)}

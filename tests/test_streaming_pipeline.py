@@ -63,3 +63,82 @@ def test_streaming_pipeline_run_and_incremental_redrain(spark, tmp_path):
     )
     assert report2["ingested"] == 10
     assert store.read().count() == 35
+
+
+def test_full_dag_streaming_upload_restart_resume(spark, tmp_path):
+    """VERDICT r1 #6: kill between a group's upload and its flag → the
+    restart re-uploads that group (at-least-once) and flags it; once flagged
+    it is NEVER uploaded again on later restarts."""
+    import pathlib
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    uid_map = spark.createDataFrame(
+        [(f"uid-{i}", f"SER-{i:03d}") for i in range(7)], ["dreem_uid", "device_serial"]
+    )
+    serial_map = spark.createDataFrame(
+        [(f"SER-{i:03d}", f"NR{i}-DEVICE") for i in range(7)],
+        ["device_serial", "device_id"],
+    )
+    assignments = spark.createDataFrame(
+        [(f"NR{i}-DEVICE", f"P{i}-PATIENT", datetime(2021, 12, 1), None) for i in range(7)],
+        "device_id string, patient_id string, start_wear timestamp, end_wear timestamp",
+    )
+    feed = tmp_path / "feed"
+    api = PaginatedRestSource(mock_dreem_api(12), API_SCHEMA).load(spark)
+    api.coalesce(1).write.parquet(str(feed / "b1"))
+
+    calls_dir = tmp_path / "calls"
+    calls_dir.mkdir()
+    cd = str(calls_dir)
+
+    def recording_uploader(dmp_id, payload) -> bool:
+        with open(pathlib.Path(cd, dmp_id), "a") as f:
+            f.write("call\n")
+        return True
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    pipe = DreemPipeline(spark, store, uploader=recording_uploader)
+
+    # run 1: crash between upload and flag (mark_uploaded dies)
+    real_mark = store.mark_uploaded
+
+    def dying_mark(*a, **kw):
+        raise RuntimeError("simulated crash between upload and flag")
+
+    store.mark_uploaded = dying_mark
+    with pytest.raises((StreamingQueryException, RuntimeError)):
+        pipe.run_stream_full_dag(
+            str(feed) + "/*/", API_SCHEMA, uid_map, serial_map, assignments,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    store.mark_uploaded = real_mark
+
+    calls_after_crash = {p.name: len(p.read_text().splitlines())
+                         for p in calls_dir.iterdir()}
+    assert calls_after_crash and all(n == 1 for n in calls_after_crash.values())
+    # nothing flagged: the crash hit before the flag write
+    assert store.read().filter(F.col("is_uploaded")).count() == 0
+
+    # run 2 (restart): failed batch replays — ingest is a no-op (anti-join),
+    # the unflagged groups re-upload (at-least-once), flags commit
+    reports = pipe.run_stream_full_dag(
+        str(feed) + "/*/", API_SCHEMA, uid_map, serial_map, assignments,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert sum(r["ingested"] for r in reports) == 0
+    calls_after_retry = {p.name: len(p.read_text().splitlines())
+                         for p in calls_dir.iterdir()}
+    assert all(n == 2 for n in calls_after_retry.values())
+    pending = store.read().filter(F.col("dmp_id").isNotNull() & ~F.col("is_uploaded"))
+    assert pending.count() == 0
+
+    # run 3 (another restart, quiet feed): flagged groups never re-upload
+    pipe.run_stream_full_dag(
+        str(feed) + "/*/", API_SCHEMA, uid_map, serial_map, assignments,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    calls_final = {p.name: len(p.read_text().splitlines())
+                   for p in calls_dir.iterdir()}
+    assert calls_final == calls_after_retry

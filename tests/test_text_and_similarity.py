@@ -73,3 +73,51 @@ def test_lsh_topk_subset_of_brute_force_quality(spark):
     out = similarity.lsh_topk(df, q, dim=3, k=3).collect()
     assert out[0]["neighbor_id"] == 101
     assert out[0]["cosine_sim"] == 1.0
+
+
+def test_lang_id_tie_breaks_to_first_code(spark):
+    # "la" is a marker for BOTH es and fr (score 1 each): ties must go to the
+    # alphabetically-first code, matching the oracle's CASE order (ADVICE r1)
+    df = spark.createDataFrame([("la",), ("le la est",)], ["t"])
+    got = [r["l"] for r in df.select(T.lang_id("t").alias("l")).collect()]
+    assert got[0] == "es"   # es vs fr tie → es
+    assert got[1] == "fr"   # fr outright winner stays fr
+
+
+def test_grid_near_dup_matches_brute_force(spark):
+    # deterministic-complete blocking: grid-blocked result must EQUAL the
+    # brute-force exact pairs (recall 1.0), including a borderline pair
+    import random
+
+    rng = random.Random(7)
+    vecs = []
+    for i in range(40):
+        vecs.append((i, [rng.uniform(-1, 1) for _ in range(16)]))
+    # planted near-dups: tiny perturbations of vectors 0 and 17
+    for src, nid in ((0, 100), (17, 101)):
+        base = vecs[src][1]
+        vecs.append((nid, [x * (1 + 0.001 * ((k % 5) - 2)) for k, x in enumerate(base)]))
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    grid = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in similarity.grid_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in similarity.embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert grid == brute
+    assert (0, 100) in grid and (17, 101) in grid
+
+
+def test_grid_near_dup_plan_is_equi_join(spark):
+    vecs = [(i, [float(i), 1.0, 0.5]) for i in range(10)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    plan = (
+        similarity.grid_near_dup_pairs(df, threshold=0.95)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -26,8 +26,10 @@ def test_old_versions_gc_beyond_retention(spark, tmp_path):
     store.init(spark.createDataFrame([("h1", None)], "hash string, x string"))
     versions = [store.current_version()]
     for i in range(3):
+        # key must MATCH a state row: a merge that matches nothing is a
+        # no-op and deliberately publishes no new version
         store.merge_non_overwrite(
-            spark.createDataFrame([(f"h{i+9}", "v")], "hash string, x string"), ("x",)
+            spark.createDataFrame([("h1", f"v{i}")], "hash string, x string"), ("x",)
         )
         versions.append(store.current_version())
     assert len(store.versions()) == 2
