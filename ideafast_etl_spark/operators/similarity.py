@@ -244,6 +244,82 @@ def ivf_topk(
     )
 
 
+def _grid_cells(
+    df: DataFrame, id_col: str, vec_col: str, r: float, block_dims: int
+) -> DataFrame:
+    """(pid, uv, c0..c{d-1}): unit vector + per-dim grid cell indices."""
+    u = unit_normalized(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        .select(F.col(id_col).alias("pid"), F.col(vec_col)),
+        "pid", vec_col, "uv",
+    )
+    for i in range(block_dims):
+        u = u.withColumn(f"c{i}", F.floor(F.col("uv")[i] / F.lit(r)).cast("long"))
+    return u
+
+
+def _probe_keys(block_dims: int) -> Column:
+    """Array of the 3^d neighbour-cell keys (the exploding side)."""
+    import itertools
+
+    offsets = list(itertools.product((-1, 0, 1), repeat=block_dims))
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[
+                    (F.col(f"c{i}") + F.lit(off[i])).cast("string")
+                    for i in range(block_dims)
+                ],
+            )
+            for off in offsets
+        ]
+    )
+
+
+def _home_key(block_dims: int) -> Column:
+    return F.concat_ws(
+        ":", *[F.col(f"c{i}").cast("string") for i in range(block_dims)]
+    )
+
+
+def grid_near_dup_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_dims: int = 3,
+) -> DataFrame:
+    """Two-corpus variant of :func:`grid_near_dup_pairs` — every (left,
+    right) pair with cosine ≥ threshold, deterministic-complete (the left
+    side probes its 3^d neighbourhood, the right side keeps its home cell;
+    any qualifying pair's cells differ ≤1 per blocked dim). The incremental
+    dedup shape: new batch × seen corpus without rescoring seen × seen."""
+    import math
+
+    r = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
+    lu = _grid_cells(left, id_col, vec_col, r, block_dims)
+    ru = _grid_cells(right, id_col, vec_col, r, block_dims)
+    a = lu.select(
+        F.col("pid").alias("id_a"),
+        F.col("uv").alias("va"),
+        F.explode(_probe_keys(block_dims)).alias("ck"),
+    )
+    b = ru.select(
+        F.col("pid").alias("id_b"),
+        F.col("uv").alias("vb"),
+        _home_key(block_dims).alias("ck"),
+    )
+    return (
+        a.join(b, "ck")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("cosine_sim", F.round(dot(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def grid_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -274,40 +350,19 @@ def grid_near_dup_pairs(
     pairs, which an adversarial corpus can inflate; salting the cell key is
     the standard mitigation (operators/skew.py).
     """
-    import itertools
     import math
 
     r = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
-    u = unit_normalized(
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-        .select(F.col(id_col).alias("pid"), F.col(vec_col)),
-        "pid", vec_col, "uv",
-    )
-    for i in range(block_dims):
-        u = u.withColumn(f"c{i}", F.floor(F.col("uv")[i] / F.lit(r)).cast("long"))
-    offsets = list(itertools.product((-1, 0, 1), repeat=block_dims))
-    probe_keys = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                *[
-                    (F.col(f"c{i}") + F.lit(off[i])).cast("string")
-                    for i in range(block_dims)
-                ],
-            )
-            for off in offsets
-        ]
-    )
-    home_key = F.concat_ws(
-        ":", *[F.col(f"c{i}").cast("string") for i in range(block_dims)]
-    )
+    u = _grid_cells(df, id_col, vec_col, r, block_dims)
     a = u.select(
         F.col("pid").alias("id_a"),
         F.col("uv").alias("va"),
-        F.explode(probe_keys).alias("ck"),
+        F.explode(_probe_keys(block_dims)).alias("ck"),
     )
     b = u.select(
-        F.col("pid").alias("id_b"), F.col("uv").alias("vb"), home_key.alias("ck")
+        F.col("pid").alias("id_b"),
+        F.col("uv").alias("vb"),
+        _home_key(block_dims).alias("ck"),
     )
     # each unordered pair matches exactly once: x's probe set contains y's
     # home cell exactly once, and the mirrored orientation fails id_a < id_b

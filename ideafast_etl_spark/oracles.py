@@ -742,6 +742,51 @@ WITH q AS (
 SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
+ORACLES["incremental_embedding_near_dup"] = """
+WITH pert AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         [emb0[i] * (1 + 0.001 * (((i - 1) % 7) - 3))
+          FOR i IN generate_series(1, len(emb0))] AS emb
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb0
+        FROM embeddings WHERE vec_id % 10 = 0)
+), new_side AS (
+  SELECT vec_id, list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS v
+  FROM pert
+), seen AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS v
+  FROM embeddings
+)
+SELECT n.vec_id AS id_a, s.vec_id AS id_b,
+  round(list_dot_product(n.v, s.v), 6) AS cosine_sim
+FROM new_side n JOIN seen s ON n.vec_id != s.vec_id
+WHERE round(list_dot_product(n.v, s.v), 6) >= 0.95
+"""
+
+ORACLES["multimodal_metadata"] = """
+WITH binm AS (
+  SELECT doc_id,
+    unhex(CASE WHEN doc_id % 4 = 0 THEN 'ffd8ff'
+               WHEN doc_id % 4 = 1 THEN '89504e47'
+               WHEN doc_id % 4 = 2 THEN '494433'
+               ELSE '' END) || encode(text) AS content
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0 THEN 'image/jpeg'
+       WHEN doc_id % 4 = 1 THEN 'image/png'
+       WHEN doc_id % 4 = 2 THEN 'audio/mp3'
+       ELSE 'application/octet-stream' END AS media_type,
+  octet_length(content) AS n_bytes,
+  sha256(lower(hex(content))) AS checksum_hex
+FROM binm
+"""
+
+ORACLES["salted_event_counts"] = """
+SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+"""
+
 # Same planted-duplicate augmentation as queries._augmented_embeddings, then
 # brute-force exact pairs — the grid-blocked Spark plan must reproduce this
 # bit-for-bit (recall 1.0 by construction).

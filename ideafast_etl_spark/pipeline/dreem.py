@@ -71,11 +71,16 @@ class DreemPipeline:
         store: StateStore,
         config: PipelineConfig | None = None,
         uploader: Uploader = stub_uploader,
+        retry=None,
     ) -> None:
+        """``retry`` (a ``sources.transport.RetryPolicy``) applies the
+        reference's (4 s, 302 s)+bounded-retry transport contract around
+        each group upload, executor-side (dmp.py:126-136)."""
         self.spark = spark
         self.store = store
         self.config = config or PipelineConfig()
         self.uploader = uploader
+        self.retry = retry
 
     # -- stage 1 ---------------------------------------------------------------
 
@@ -185,7 +190,9 @@ class DreemPipeline:
             ids = work.select("dmp_id").distinct().limit(limit)
             work = work.join(ids, "dmp_id", "left_semi")
         obs = Observation()
-        results = upload_groups(work, self.uploader, conflict_col="any_up").observe(
+        results = upload_groups(
+            work, self.uploader, conflict_col="any_up", retry=self.retry
+        ).observe(
             obs,
             F.coalesce(F.sum(F.col("success").cast("long")), F.lit(0)).alias("n_ok"),
             F.coalesce(F.sum(F.col("conflict").cast("long")), F.lit(0)).alias(

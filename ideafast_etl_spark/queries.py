@@ -932,6 +932,63 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("incremental_embedding_near_dup")
+def incremental_embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding dedup: a NEW batch (the planted perturbed
+    copies) checked against the SEEN corpus (the originals) — new×seen grid
+    join only, never rescoring seen×seen (the micro-batch shape of
+    embedding dedup at 100 TB; parity with `incremental_near_dup`)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    aug = _augmented_embeddings(emb)
+    new = aug.filter(F.col("vec_id") >= 1_000_000)
+    seen = aug.filter(F.col("vec_id") < 1_000_000)
+    return similarity.grid_near_dup_join(new, seen, threshold=0.95)
+
+
+@register("multimodal_metadata")
+def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path (§2.13): documents' text bytes wrapped as
+    opaque binary content with deterministic per-row magic-byte prefixes
+    (JPEG/PNG/MP3/none), then JVM-side sniffing + byte count + checksum —
+    zero Python in the plan. The checksum is sha256 over the lowercase hex
+    encoding (DuckDB's sha256 only takes VARCHAR, not BLOB; the raw-binary
+    sha2 in `with_media_metadata` is the production path)."""
+    from .operators.multimodal import sniff_media_type
+
+    docs = _t(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("ffd8ff"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("89504e47"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("494433"))
+        .otherwise(F.lit(""))
+    )
+    content = F.concat(
+        F.to_binary(magic, F.lit("hex")), F.encode(F.col("text"), "UTF-8")
+    )
+    binm = docs.select(F.col("doc_id"), content.alias("content"))
+    return binm.select(
+        "doc_id",
+        sniff_media_type("content").alias("media_type"),
+        F.length(F.col("content")).cast("long").alias("n_bytes"),
+        F.sha2(F.lower(F.hex(F.col("content"))), 256).alias("checksum_hex"),
+    )
+
+
+@register("salted_event_counts")
+def salted_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-immune aggregation (§2.13 tooling): two-phase salted count per
+    event_type — (key, salt) partial → key final — algebraically identical
+    to a plain GROUP BY (the oracle), but no single reducer ever owns a hot
+    key's full row set. event_type is exactly the low-cardinality/hot-key
+    shape where one key would otherwise serialise a 100 TB aggregation."""
+    from .operators.skew import salted_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_count(ev.select("event_type", "user_id"), ["event_type"]).select(
+        "event_type", F.col("count").alias("n_events")
+    )
+
+
 @register("simhash_fingerprint")
 def simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (row-based codegen plan)."""

@@ -39,6 +39,7 @@ def upload_groups(
     uploader: Uploader = stub_uploader,
     group_col: str = "dmp_id",
     conflict_col: str | None = None,
+    retry: "RetryPolicy | None" = None,
 ) -> DataFrame:
     """Upload each group's rows; returns one row per group — ``(dmp_id,
     success)``, plus a ``conflict`` flag when ``conflict_col`` is given.
@@ -48,7 +49,16 @@ def upload_groups(
     ``conflict_col`` names a boolean/int marker (e.g. the ``any_uploaded``
     window flag): a group carrying it is NOT uploaded — the guard runs on
     the executor that owns the whole group, so the skip is group-atomic
-    (dags/dreem.py:185-204 partial-upload conflict)."""
+    (dags/dreem.py:185-204 partial-upload conflict).
+
+    ``retry`` wraps the uploader in the reference's transport contract
+    (dmp.py:126-136): bounded executor-side retries with backoff, and
+    exhaustion ABSORBED into ``success=False`` (dmp.py:120-160 — transport
+    failures feed the at-least-once loop, they never crash the job)."""
+    if retry is not None:
+        from ..sources.transport import retrying
+
+        uploader = retrying(uploader, retry, absorb=lambda _e: False)
 
     def _upload(pdf: pd.DataFrame) -> pd.DataFrame:
         dmp_id = pdf[group_col].iloc[0]

@@ -18,6 +18,8 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from .transport import RetryPolicy, retrying
+
 # fetch_page(cursor) -> (rows, next_cursor); cursor None = first page
 FetchPage = Callable[[str | None], tuple[list[dict], str | None]]
 
@@ -28,8 +30,15 @@ class PaginatedRestSource:
         fetch_page: FetchPage,
         schema: StructType,
         max_pages: int | None = None,
+        retry: RetryPolicy | None = None,
     ) -> None:
-        self.fetch_page = fetch_page
+        """``retry`` applies the reference's transport contract
+        (dmp.py:126-136 timeout tuple + bounded retries) around each page
+        fetch; a page that still fails after exhaustion RAISES — a broken
+        scan must fail the run, not silently truncate the feed."""
+        self.fetch_page = (
+            retrying(fetch_page, retry) if retry is not None else fetch_page
+        )
         self.schema = schema
         self.max_pages = max_pages
 
