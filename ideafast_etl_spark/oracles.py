@@ -214,6 +214,54 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04
 GROUP BY o_orderpriority
 """
 
+ORACLES["tpch_q5_local_supplier_volume"] = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+ORACLES["tpch_q7_nation_volume"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_11')
+   OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_7')
+GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(year FROM l_shipdate) AS INT)
+"""
+
+ORACLES["tpch_q8_market_share"] = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+  CAST(SUM(CASE WHEN n_s.n_name = 'NATION_7'
+        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS mkt_share,
+  COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN nation n_s ON s_nationkey = n_s.n_nationkey
+WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+GROUP BY CAST(EXTRACT(year FROM o_orderdate) AS INT)
+"""
+
 ORACLES["tpch_q12_priority_by_flag"] = """
 SELECT l_returnflag,
   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
@@ -740,6 +788,19 @@ WITH q AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+ORACLES["window_function_suite"] = """
+SELECT user_id, event_id,
+  lag(event_type) OVER w AS prev_type,
+  lead(event_type) OVER w AS next_type,
+  CAST(row_number() OVER w AS INT) AS rn,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
+  cume_dist() OVER w AS cume,
+  percent_rank() OVER w AS pct_rank
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 ORACLES["incremental_embedding_near_dup"] = """

@@ -356,6 +356,121 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("tpch_q5_local_supplier_volume")
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 6-way star join with the extra CUSTOMER-NATION = SUPPLIER-
+    NATION equality (the join that makes Q5 Q5). Bounded dims broadcast;
+    customer/supplier strategies are AQE's call; the lineitem⋈orders
+    big-big join shuffles on orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+    )
+
+
+@register("tpch_q7_nation_volume")
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: two aliased joins of the same bounded dim (supplier nation
+    vs customer nation), a symmetric two-nation predicate, and a year
+    roll-up. The nation dims broadcast twice; everything else is the Q5
+    pipeline."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    a, b = "NATION_7", "NATION_11"
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+    )
+
+
+@register("tpch_q8_market_share")
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: share-of-total ratio per group — one nation's slice of a
+    region's part-type revenue per order year. Conditional decimal sums,
+    double division last (exact cross-engine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n_s = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    rev = price * (one - disc)
+    zero = F.lit(0).cast("decimal(25,4)")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nkey"))
+        .filter((F.col("r_name") == "EUROPE") & (F.col("p_type") == "PROMO"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 @register("tpch_q12_priority_by_flag")
 def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 shape: big-big join + CASE-conditional counts (high- vs
@@ -929,6 +1044,27 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.grid_near_dup_pairs(
         _augmented_embeddings(emb), threshold=0.95
+    )
+
+
+@register("window_function_suite")
+def window_function_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window coverage in one pass: lag/lead, row_number, ntile,
+    cume_dist, percent_rank over (user, ts) — one shuffle on user_id, one
+    sort per partition serves ALL the functions (single Window operator).
+    Deterministic: the ordering key (ts, event_id) is unique, so the
+    rank-family outputs are integer-derived and exact cross-engine."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
     )
 
 

@@ -296,6 +296,84 @@ class StateStore:
         self._swap_pointer(version)
         return n
 
+    def file_counts(self) -> dict[str, int]:
+        """Data-file count per partition directory of the current snapshot
+        ('' = unpartitioned root) — the compaction trigger signal."""
+        root = self._snapshot_dir(self.current_version())
+        out: dict[str, int] = {}
+        for cur, _dirs, files in os.walk(root):
+            n = sum(1 for f in files if not f.startswith(("_", ".")))
+            if n:
+                rel = os.path.relpath(cur, root)
+                out["" if rel == "." else rel] = n
+        return out
+
+    def compact(
+        self,
+        partition_value: str | None = None,
+        min_files: int = 2,
+        target_partitions: int = 1,
+    ) -> int:
+        """Maintenance: rewrite fragmented partitions into
+        ``target_partitions`` files each. File-level appends trade write
+        amplification for file-count growth (one+ part-file per ingest);
+        unchecked, a year of 15-row polls is thousands of tiny files whose
+        open/footer overhead dominates every scan — the classic LSM/Delta
+        small-file problem, solved the same way (Delta OPTIMIZE / Iceberg
+        rewrite): an offline rewrite that changes the file layout and
+        nothing else.
+
+        With ``partition_value``, only that partition compacts and all
+        others hardlink (same O(affected partition) shape as the merges);
+        otherwise every partition with more than ``min_files`` files is
+        rewritten. Readers are unaffected (snapshot pointer swap). Returns
+        the number of partitions compacted."""
+        counts = self.file_counts()
+        if partition_value is not None and len(self.partition_by) == 1:
+            pdir = f"{self.partition_by[0]}={partition_value}"
+            if counts.get(pdir, 0) < min_files:
+                return 0
+            part = self.read().filter(
+                F.col(self.partition_by[0]) == partition_value
+            )
+            version, out = self._write_uncommitted(
+                part.repartition(target_partitions)
+            )
+            self._link_other_partitions(out, partition_value)
+            self._swap_pointer(version)
+            return 1
+        fragmented = {d for d, n in counts.items() if n > min_files}
+        if not fragmented:
+            return 0
+        if len(self.partition_by) == 1:
+            pcol = self.partition_by[0]
+            frag_vals = [
+                d.split("=", 1)[1] for d in fragmented if d.startswith(f"{pcol}=")
+            ]
+            if not frag_vals:
+                return 0
+            part = self.read().filter(F.col(pcol).isin(frag_vals))
+            version, out = self._write_uncommitted(
+                part.repartition(target_partitions)
+            )
+            # non-fragmented partitions ride along as hardlinks
+            old_dir = self._snapshot_dir(self.current_version())
+            for entry in os.listdir(old_dir):
+                src = os.path.join(old_dir, entry)
+                if (
+                    os.path.isdir(src)
+                    and entry.startswith(f"{pcol}=")
+                    and entry not in fragmented
+                ):
+                    self._link_tree(src, os.path.join(out, entry))
+            self._swap_pointer(version)
+            return len(frag_vals)
+        version, out = self._write_uncommitted(
+            self.read().repartition(target_partitions)
+        )
+        self._swap_pointer(version)
+        return 1
+
     def _quarantined_delete(self, keys: DataFrame) -> int:
         """K7 — delete by key. The reference name-mangles this and warns
         'Never use this method within the pipeline' (db.py:127-133); we keep

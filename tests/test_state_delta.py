@@ -113,3 +113,54 @@ def test_mark_uploaded_selective_links_other_partition(spark, tmp_path):
     # flagging the same groups again is a no-op → no new version
     assert store.mark_uploaded(done, partition_value="DRM") == 0
     assert store.current_version() == v1
+
+
+def test_compaction_collapses_small_files_and_links_rest(spark, tmp_path):
+    store = _init_store(spark, tmp_path / "s")
+    # three incremental appends fragment the DRM partition
+    for lo in (100, 110, 120):
+        store.append_new(
+            spark.createDataFrame(
+                [(f"x{i}", "DRM") for i in range(lo, lo + 5)],
+                "hash string, device_type string",
+            )
+        )
+    counts = store.file_counts()
+    assert counts["device_type=DRM"] >= 4  # init file(s) + 3 delta files
+    before = store.read()
+    rows_before = {r["hash"] for r in before.collect()}
+    btf_files = {
+        rel: ino
+        for rel, ino in _data_files(store._snapshot_dir(store.current_version())).items()
+        if rel.startswith("device_type=BTF")
+    }
+
+    assert store.compact(partition_value="DRM") == 1
+    after = store.file_counts()
+    assert after["device_type=DRM"] == 1
+    assert {r["hash"] for r in store.read().collect()} == rows_before
+    # untouched partition hardlinked, not rewritten
+    files_now = _data_files(store._snapshot_dir(store.current_version()))
+    for rel, ino in btf_files.items():
+        assert files_now.get(rel) == ino
+
+    # already-compact partition: no-op, no version churn
+    v = store.current_version()
+    assert store.compact(partition_value="DRM") == 0
+    assert store.current_version() == v
+
+
+def test_compaction_all_partitions_rewrites_only_fragmented(spark, tmp_path):
+    store = _init_store(spark, tmp_path / "s")
+    for lo in (100, 110):
+        store.append_new(
+            spark.createDataFrame(
+                [(f"x{i}", "DRM") for i in range(lo, lo + 5)],
+                "hash string, device_type string",
+            )
+        )
+    rows_before = {r["hash"] for r in store.read().collect()}
+    n = store.compact(min_files=2)
+    assert n >= 1
+    assert store.file_counts()["device_type=DRM"] == 1
+    assert {r["hash"] for r in store.read().collect()} == rows_before
