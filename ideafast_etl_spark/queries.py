@@ -560,6 +560,176 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("tpch_q13_customer_distribution")
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: left outer join + double aggregation (orders-per-customer
+    histogram). COUNT(o_orderkey) over the outer join counts NULLs as 0 —
+    the left join is what makes Q13 Q13 (customers with no orders appear in
+    the c_count=0 bucket). One shuffle on custkey for the join+first agg,
+    one tiny shuffle on c_count for the histogram. (No o_comment column in
+    testdata, so the NOT LIKE filter is omitted.)"""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders.select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register("tpch_q15_top_supplier")
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: scalar-subquery MAX over an aggregated view (the top
+    supplier by quarterly revenue). Revenue is aggregated once (shuffle on
+    suppkey); the 1-row MAX broadcasts back over the same aggregate — no
+    second scan of lineitem. Equality is tested in exact DECIMAL (cross-
+    engine float == would be fragile); the cast to double happens last."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(price * (one - disc)).alias("total_rev_dec"))
+    )
+    max_rev = rev.agg(F.max("total_rev_dec").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev_dec") == F.col("max_rev"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register("tpch_q17_small_quantity_revenue")
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated per-part average (lines below 20% of their
+    part's mean quantity). The correlated subquery becomes a window over
+    l_partkey — one shuffle+sort serves both the per-part sum and count;
+    no second lineitem scan or self-join. The 0.2×avg predicate is
+    rewritten multiplicatively (5·qty·cnt < sum) so it stays exact on
+    integral-valued double quantities — no cross-engine division drift."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    brand = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    j = li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    j = j.withColumn("sum_qty", F.sum("l_quantity").over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(w)
+    )
+    return j.filter(
+        F.lit(5.0) * F.col("l_quantity") * F.col("cnt") < F.col("sum_qty")
+    ).agg(
+        (
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register("tpch_q19_disjunctive_join")
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: equi-join with a disjunctive residual predicate (three
+    brand/size/quantity bands OR-ed together). Catalyst extracts the common
+    p_partkey = l_partkey conjunct so this stays a hash join with a
+    residual filter — NOT a nested-loop over the cross product (the plan
+    audit asserts this). Bands use Brand#12/23/24 (testdata brands run
+    1–25; no p_container column, so the container IN-lists are omitted)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & size.between(1, 15)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & size.between(1, 25)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & size.between(1, 35)
+            & qty.between(20, 30)
+        )
+    )
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    return li.join(
+        part, (F.col("l_partkey") == F.col("p_partkey")) & band
+    ).agg(
+        F.sum(price * (one - disc)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register("tpch_q21_waiting_suppliers")
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: EXISTS + NOT EXISTS correlated self-joins on the fact
+    table — the hardest TPC-H join topology. A supplier 'kept the order
+    waiting' when its line is the ONLY returned ('R') line on a finished
+    multi-supplier order (testdata lacks l_receiptdate/l_commitdate, so
+    l_returnflag='R' stands in for the late-delivery predicate; the
+    semi/anti self-join structure — the point of Q21 — is unchanged).
+    Both EXISTS become one left-semi and one left-anti hash join on
+    orderkey with a suppkey<>suppkey residual; no nested loop. Ties at the
+    LIMIT boundary break on unique s_name, keeping the cut deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"),
+        F.col("l_suppkey").alias("sk2"),
+        F.col("l_returnflag").alias("rf2"),
+    )
+    return (
+        l1.join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            others,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            others.filter(F.col("rf2") == "R").select("ok2", "sk2"),
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_anti",
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(50)
+    )
+
+
 @register("revenue_rollup")
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over region → nation (subtotals + grand total) —
