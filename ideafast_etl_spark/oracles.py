@@ -888,6 +888,26 @@ FROM new_side n JOIN seen s ON n.vec_id != s.vec_id
 WHERE round(list_dot_product(n.v, s.v), 6) >= 0.95
 """
 
+ORACLES["image_decode_features"] = """
+SELECT doc_id,
+  CAST(1 + doc_id % 16 AS INT) AS width,
+  CAST(1 + doc_id % 9 AS INT) AS height,
+  ROUND((0.114*(doc_id % 256) + 0.587*(doc_id % 256) + 0.299*(doc_id % 256)) / 255.0, 6) AS mean_luma
+FROM documents
+WHERE doc_id < 500
+"""
+
+ORACLES["audio_decode_features"] = """
+SELECT doc_id,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(1 AS INT) AS n_channels,
+  ROUND((400 + (doc_id % 100) * 8) / 8000.0, 6) AS duration_s,
+  ROUND(ROUND((doc_id % 100) / 200.0 * 32767) / 32768.0, 6) AS rms,
+  ROUND(ROUND((doc_id % 100) / 200.0 * 32767) / 32768.0, 6) AS peak
+FROM documents
+WHERE doc_id < 300
+"""
+
 ORACLES["multimodal_metadata"] = """
 WITH binm AS (
   SELECT doc_id,

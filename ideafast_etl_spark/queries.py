@@ -1280,6 +1280,92 @@ def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("image_decode_features")
+def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-decode differential check (§2.13): a deterministic gray
+    BMP is synthesized per document (width/height/gray level are doc_id
+    arithmetic), then run through the actual pure-numpy BMP decoder
+    (`multimodal.decode_image_features`, fake=False). The oracle recomputes
+    the expected width/height/mean-luma arithmetically — a mishandled
+    header field, row-padding byte, or channel weight would drift the
+    output. Rounding to 6dp absorbs float-mean accumulation noise."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                w, h, v = int(1 + i % 16), int(1 + i % 9), int(i % 256)
+                px = np.full((h, w, 3), v, dtype=np.uint8)
+                rows.append({"doc_id": int(i), "content": mm.encode_bmp(px)})
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    bmps = docs.mapInPandas(_make, schema="doc_id long, content binary")
+    feats = mm.decode_image_features(bmps, id_col="doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
+
+
+@register("audio_decode_features")
+def audio_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-decode differential check (§2.13): a constant-amplitude
+    PCM WAV is synthesized per document (frame count and amplitude are
+    doc_id arithmetic), decoded by the stdlib-wave decoder
+    (`multimodal.audio_features`). A constant signal makes every feature
+    arithmetically predictable — RMS = peak = the int16-quantized
+    amplitude round(a·32767)/32768 — so the oracle recomputes them in SQL.
+    The amplitude grid (v/200) never lands on an int16 rounding boundary,
+    keeping half-even (numpy) vs half-away (SQL) rounding irrelevant."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                n = int(400 + (i % 100) * 8)
+                a = float((i % 100) / 200.0)
+                x = np.full((n, 1), a, dtype=np.float64)
+                rows.append({"doc_id": int(i), "content": mm.encode_wav(x, 8_000)})
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    wavs = docs.mapInPandas(_make, schema="doc_id long, content binary")
+    feats = mm.audio_features(wavs, id_col="doc_id")
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        F.round(F.col("duration_s"), 6).alias("duration_s"),
+        F.round(F.col("rms"), 6).alias("rms"),
+        F.round(F.col("peak"), 6).alias("peak"),
+    )
+
+
 @register("salted_event_counts")
 def salted_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-immune aggregation (§2.13 tooling): two-phase salted count per

@@ -74,6 +74,87 @@ def test_resample_audio_passthrough(spark, assets):
     assert len(out) == 5
 
 
+def _checker_bmp(w=8, h=6):
+    import numpy as np
+
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[::2, ::2] = 255  # white squares on even (row, col)
+    px[1::2, 1::2] = 255
+    return px
+
+
+def test_bmp_decode_roundtrip_and_real_features(spark):
+    import numpy as np
+
+    px = _checker_bmp()
+    content = mm.encode_bmp(px)
+    w, h, decoded = mm.decode_bmp(content)
+    assert (w, h) == (8, 6)
+    assert np.array_equal(decoded, px)
+
+    df = spark.createDataFrame([(1, content)], "asset_id long, content binary")
+    feat = mm.decode_image_features(df, fake=False).first()  # REAL path
+    assert (feat["width"], feat["height"]) == (8, 6)
+    # exactly half the checkerboard pixels are white → mean luma 0.5
+    assert feat["mean_luma"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_bmp_resize_nearest_neighbour(spark):
+    import numpy as np
+
+    content = mm.encode_bmp(_checker_bmp(8, 6))
+    df = spark.createDataFrame([(1, content)], "asset_id long, content binary")
+    out = mm.resize_images(df, target_w=4, target_h=3).first()
+    assert (out["width"], out["height"]) == (4, 3)
+    w, h, px = mm.decode_bmp(bytes(out["content"]))
+    assert (w, h) == (4, 3)
+    # nearest-neighbour on a 2x downscale picks the even indices → all white
+    assert np.all(px == 255)
+
+
+def _sine_wav(rate=8_000, hz=440.0, seconds=0.25):
+    import numpy as np
+
+    t = np.arange(int(rate * seconds)) / rate
+    mono = 0.5 * np.sin(2 * np.pi * hz * t)
+    return mm.encode_wav(mono[:, None], rate)
+
+
+def test_wav_audio_features_real_decode(spark):
+    content = _sine_wav()
+    df = spark.createDataFrame([(1, content)], "asset_id long, content binary")
+    row = mm.audio_features(df).first()
+    assert row["sample_rate"] == 8_000
+    assert row["n_channels"] == 1
+    assert row["duration_s"] == pytest.approx(0.25, abs=1e-3)
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2)
+    assert row["rms"] == pytest.approx(0.3535, abs=2e-3)
+    assert row["peak"] == pytest.approx(0.5, abs=2e-3)
+
+
+def test_wav_resample_real_linear_interp(spark):
+    content = _sine_wav(rate=8_000, seconds=0.25)
+    df = spark.createDataFrame([(1, content)], "asset_id long, content binary")
+    out = mm.resample_audio(df, target_hz=16_000, fake=False).first()
+    assert out["sample_rate"] == 16_000
+    rate, nch, x = mm.decode_wav(bytes(out["audio"]))
+    assert rate == 16_000 and nch == 1
+    # 2x upsample doubles the frame count and preserves energy
+    assert x.shape[0] == pytest.approx(4_000, abs=2)
+    import numpy as np
+
+    assert float(np.sqrt((x**2).mean())) == pytest.approx(0.3535, abs=5e-3)
+
+
+def test_non_wav_audio_still_hits_codec_stub(spark):
+    df = spark.createDataFrame([(1, MP3)], "asset_id long, content binary")
+    with pytest.raises(Exception) as exc_info:
+        mm.audio_features(df).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
 def test_binary_file_source_roundtrip(spark, tmp_path):
     d = tmp_path / "blobs"
     d.mkdir()
