@@ -1,0 +1,142 @@
+"""Training-data management operators (SURVEY.md §2.13 extensions): the
+corpus-to-training-run plumbing an LLM pipeline needs between "deduped
+documents" and "tokenized shards" — deterministic sampling, reproducible
+shard assignment/shuffle order, and sequence packing into context windows.
+
+Everything is keyed on sha256-derived buckets (the repo-wide stable-hash
+recipe, see operators/dedup.py:122): deterministic across engines, runs and
+cluster sizes — a re-run of the same corpus produces byte-identical splits,
+which is what makes training jobs reproducible and resumable.
+
+Scale posture: sampling and sharding are pure column expressions (no
+shuffle for the filter; one shuffle on shard id for manifests). Packing is
+an inherently sequential fold *within* an ordered group, so the group is
+the parallelism unit: real pipelines pack per (stratum, shard) — thousands
+of independent groups — which applyInPandas distributes with a single
+shuffle; no state crosses group boundaries by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def stable_bucket(col: Column | str, modulus: int, salt: str = "") -> Column:
+    """Deterministic bucket in [0, modulus): first 60 bits of
+    sha256(value ‖ salt) mod modulus. Uniform, engine-portable (DuckDB
+    twin: ``('0x' || substr(sha256(v || salt), 1, 15))::BIGINT % m``) and
+    stable across Spark versions — unlike ``F.hash`` (Murmur3, seed- and
+    version-dependent), safe to persist in manifests."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.sha2(F.concat(c.cast("string"), F.lit(salt)), 256)
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % modulus
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its key's hash
+    bucket (out of 10 000) falls below the stratum's rate. Unlike
+    ``DataFrame.sampleBy`` (seeded RNG over partition order) this is a pure
+    column predicate — no shuffle, reproducible across engines/cluster
+    layouts, and the SAME rows are kept when the corpus is re-read with
+    different partitioning. Rates are per-stratum fractions (0.25 keeps
+    bucket < 2500)."""
+    bucket = stable_bucket(key_col, 10_000, salt)
+    rate_expr = F.lit(int(default_rate * 10_000))
+    for stratum, rate in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * 10_000))
+        ).otherwise(rate_expr)
+    return df.filter(bucket < rate_expr)
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Reproducible shard assignment + within-shard shuffle order: shard =
+    hash bucket of the key, ``shuffle_pos`` = rank of a second, independent
+    hash within the shard. Writing ordered by (shard_id, shuffle_pos)
+    yields the canonical deterministic training shuffle — re-running on any
+    cluster reproduces the same order. One shuffle (the window on
+    shard_id); at the real scale this is ``repartition(shard_id)`` +
+    ``sortWithinPartitions`` feeding a partitioned write."""
+    from pyspark.sql import Window
+
+    shard = stable_bucket(key_col, n_shards, seed + "|shard")
+    order_key = stable_bucket(key_col, (1 << 60) - 1, seed + "|order")
+    w = Window.partitionBy("shard_id").orderBy("order_key", key_col)
+    return (
+        df.withColumn("shard_id", shard)
+        .withColumn("order_key", order_key)
+        .withColumn("shuffle_pos", F.row_number().over(w).cast("long") - 1)
+        .drop("order_key")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    cap: int,
+    group_cols: Iterable[str],
+    order_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Next-fit sequence packing: within each group (ordered by
+    ``order_col``) documents are folded left-to-right into bins of at most
+    ``cap`` tokens — when a document no longer fits, a new bin opens; a
+    document larger than ``cap`` occupies a bin alone. Emits (id, group
+    cols, tokens, bin_id, bin_pos).
+
+    Packing is a sequential fold, so the GROUP is the parallelism unit
+    (pack per (stratum, shard) for thousands of independent groups);
+    applyInPandas distributes them with one shuffle. Next-fit is the
+    streaming-friendly packing discipline — O(n), order-respecting (keeps
+    curriculum/shuffle order, unlike first-fit-decreasing), and ≥ 1/2
+    optimal bin utilisation by the classic bound."""
+    group_cols = list(group_cols)
+    out_schema = ", ".join(
+        [f"{id_col} long"]
+        + [f"{g} string" for g in group_cols]
+        + [f"{token_col} long", "bin_id long", "bin_pos long"]
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        bins, poss = [], []
+        bin_id, bin_pos, cur = 0, 0, 0
+        first = True
+        for t in pdf[token_col].astype("int64"):
+            if first:
+                bin_id, bin_pos, cur = 0, 0, int(t)
+                first = False
+            elif cur + t > cap:
+                bin_id, bin_pos, cur = bin_id + 1, 0, int(t)
+            else:
+                bin_pos, cur = bin_pos + 1, cur + int(t)
+            bins.append(bin_id)
+            poss.append(bin_pos)
+        out = pdf[[id_col, *group_cols, token_col]].copy()
+        out["bin_id"] = bins
+        out["bin_pos"] = poss
+        return out
+
+    cols = [id_col, *group_cols, order_col, token_col]
+    return (
+        df.select(*dict.fromkeys(cols))
+        .groupBy(*group_cols)
+        .applyInPandas(_pack, schema=out_schema)
+    )

@@ -888,6 +888,45 @@ FROM new_side n JOIN seen s ON n.vec_id != s.vec_id
 WHERE round(list_dot_product(n.v, s.v), 6) >= 0.95
 """
 
+ORACLES["stratified_sample_docs"] = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 's1'), 1, 15))::BIGINT % 10000 <
+  CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 WHEN 'de' THEN 2500
+            WHEN 'es' THEN 1000 WHEN 'zh' THEN 7500 ELSE 0 END
+"""
+
+ORACLES["train_shard_manifest"] = """
+WITH h AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'epoch0|shard'), 1, 15))::BIGINT % 8 AS shard_id,
+    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'epoch0|order'), 1, 15))::BIGINT % 1152921504606846975 AS ok
+  FROM documents
+)
+SELECT doc_id, lang, shard_id,
+  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY ok, doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM h
+"""
+
+ORACLES["sequence_packing"] = f"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+    CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS tokens,
+    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
+  FROM documents
+), packed AS (
+  SELECT lang, doc_id, tokens, rn,
+    CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_pos, tokens AS cur
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.doc_id, t.tokens, t.rn,
+    CASE WHEN p.cur + t.tokens > 1024 THEN p.bin_id + 1 ELSE p.bin_id END,
+    CASE WHEN p.cur + t.tokens > 1024 THEN CAST(0 AS BIGINT) ELSE p.bin_pos + 1 END,
+    CASE WHEN p.cur + t.tokens > 1024 THEN t.tokens ELSE p.cur + t.tokens END
+  FROM toks t JOIN packed p ON t.lang = p.lang AND t.rn = p.rn + 1
+)
+SELECT doc_id, lang, tokens, bin_id, bin_pos FROM packed
+"""
+
 ORACLES["image_decode_features"] = """
 SELECT doc_id,
   CAST(1 + doc_id % 16 AS INT) AS width,

@@ -1280,6 +1280,57 @@ def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stratified_sample_docs")
+def stratified_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (§2.13 training-data ops): keep
+    each doc iff its sha256 bucket falls under the language's rate — a pure
+    column predicate (no shuffle, no RNG), so the sample is reproducible
+    across engines, runs, and cluster layouts. The oracle recomputes the
+    same bucket arithmetic in DuckDB."""
+    from .operators.packing import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "fr": 0.25, "de": 0.25, "es": 0.1, "zh": 0.75}
+    return stratified_sample(
+        docs, "lang", rates, "doc_id", salt="s1"
+    ).select("doc_id", "lang")
+
+
+@register("train_shard_manifest")
+def train_shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible shard assignment + within-shard shuffle order (§2.13):
+    shard = hash bucket of doc_id, shuffle_pos = rank of an independent
+    second hash inside the shard. Row-level output so the oracle verifies
+    the exact training order, not just shard counts. One shuffle (window
+    on shard_id) — the 100 TB form is repartition + sortWithinPartitions
+    feeding a partitioned write."""
+    from .operators.packing import assign_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_shards(docs, 8, "doc_id", seed="epoch0").select(
+        "doc_id", "lang", "shard_id", "shuffle_pos"
+    )
+
+
+@register("sequence_packing")
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing into 1024-token context windows (§2.13),
+    one ordered fold per language via applyInPandas (the group is the
+    parallelism unit — real pipelines pack per (stratum, shard)). The
+    oracle replays the identical fold as a recursive CTE, so every bin
+    boundary is cross-checked. Token counts are the BPE-ish TOKEN_REGEX
+    (same regex both engines)."""
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "tokens", T.token_count(F.col("text")).cast("long")
+    )
+    return pack_sequences(
+        docs, cap=1024, group_cols=["lang"], order_col="doc_id",
+        token_col="tokens",
+    )
+
+
 @register("image_decode_features")
 def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image-decode differential check (§2.13): a deterministic gray

@@ -1,0 +1,107 @@
+"""Training-data ops: deterministic sampling, shard assignment, next-fit
+sequence packing (operators/packing.py)."""
+
+from pyspark.sql import functions as F
+
+from ideafast_etl_spark.operators import packing
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, tokens long"
+    )
+
+
+def test_stratified_sample_is_deterministic_and_rate_shaped(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zz") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    rates = {"en": 0.5}
+    a = packing.stratified_sample(df, "lang", rates, "doc_id", salt="x")
+    b = packing.stratified_sample(
+        df.repartition(7), "lang", rates, "doc_id", salt="x"
+    )
+    ka = sorted(r["doc_id"] for r in a.collect())
+    kb = sorted(r["doc_id"] for r in b.collect())
+    assert ka == kb  # partitioning-independent
+    assert all(k % 2 == 0 for k in ka)  # zz stratum default rate 0 → dropped
+    assert 400 <= len(ka) <= 600  # ~50% of the 1000 'en' docs
+    # different salt → different (but still deterministic) sample
+    kc = sorted(
+        r["doc_id"]
+        for r in packing.stratified_sample(
+            df, "lang", rates, "doc_id", salt="y"
+        ).collect()
+    )
+    assert kc != ka
+
+
+def test_assign_shards_contiguous_positions_and_stability(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    out = packing.assign_shards(df, 4, "doc_id", seed="e0").collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["shuffle_pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0..n-1
+    # same seed → identical assignment regardless of partitioning
+    again = packing.assign_shards(
+        df.repartition(13), 4, "doc_id", seed="e0"
+    ).collect()
+    assert {(r["doc_id"], r["shard_id"], r["shuffle_pos"]) for r in again} == {
+        (r["doc_id"], r["shard_id"], r["shuffle_pos"]) for r in out
+    }
+
+
+def test_pack_sequences_next_fit_boundaries(spark):
+    # cap 10: [4, 4, 4] → bins [0, 0, 1]; oversize 25 gets its own bin
+    rows = [
+        (1, "en", 4), (2, "en", 4), (3, "en", 4),
+        (4, "en", 25), (5, "en", 2),
+        (10, "fr", 10), (11, "fr", 1),
+    ]
+    out = packing.pack_sequences(
+        _docs(spark, rows), cap=10, group_cols=["lang"],
+        order_col="doc_id", token_col="tokens",
+    ).collect()
+    got = {r["doc_id"]: (r["bin_id"], r["bin_pos"]) for r in out}
+    assert got[1] == (0, 0) and got[2] == (0, 1)
+    assert got[3] == (1, 0)          # 4+4+4 > 10 → new bin
+    assert got[4] == (2, 0)          # oversize doc occupies bin 2 alone
+    assert got[5] == (3, 0)          # cur=25 overflows → next opens bin 3
+    assert got[10] == (0, 0)         # groups pack independently
+    assert got[11] == (1, 0)         # 10+1 > 10 → new bin
+
+
+def test_pack_sequences_respects_order_not_input_layout(spark):
+    rows = [(3, "en", 6), (1, "en", 6), (2, "en", 6)]
+    out = packing.pack_sequences(
+        _docs(spark, rows).repartition(3), cap=12, group_cols=["lang"],
+        order_col="doc_id", token_col="tokens",
+    ).collect()
+    got = {r["doc_id"]: (r["bin_id"], r["bin_pos"]) for r in out}
+    # packed in doc_id order: (1,2) fill bin 0, 3 starts bin 1
+    assert got[1] == (0, 0) and got[2] == (0, 1) and got[3] == (1, 0)
+
+
+def test_stable_bucket_matches_duckdb_twin(spark):
+    import duckdb
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    ours = {
+        r["k"]: r["b"]
+        for r in df.select(
+            "k", packing.stable_bucket("k", 97, "s").alias("b")
+        ).collect()
+    }
+    theirs = dict(
+        duckdb.sql(
+            "SELECT k, ('0x' || substr(sha256(CAST(k AS VARCHAR) || 's'), 1, 15))::BIGINT % 97 "
+            "FROM range(100) t(k)"
+        ).fetchall()
+    )
+    assert ours == theirs
