@@ -888,6 +888,34 @@ FROM new_side n JOIN seen s ON n.vec_id != s.vec_id
 WHERE round(list_dot_product(n.v, s.v), 6) >= 0.95
 """
 
+ORACLES["value_quantiles"] = """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.25), 6) AS p25,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.75), 6) AS p75,
+  ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events
+GROUP BY event_type
+"""
+
+ORACLES["latest_event_per_user"] = """
+SELECT user_id, event_type AS last_type, ts AS last_ts, ROUND(value, 6) AS last_value
+FROM (
+  SELECT user_id, event_type, ts, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+"""
+
+ORACLES["salted_dim_join"] = """
+SELECT c_nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(14,6))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey
+"""
+
 ORACLES["stratified_sample_docs"] = """
 SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 's1'), 1, 15))::BIGINT % 10000 <

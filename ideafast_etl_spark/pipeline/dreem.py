@@ -56,6 +56,15 @@ class PipelineConfig:
             "upload": None,
         }
     )
+    # run-end small-file maintenance: compact this pipeline's partition when
+    # its data-file count reaches the threshold (None = off). File-level
+    # O(delta) appends trade write amplification for file-count growth; a
+    # poller that ingests 15 rows per cycle accretes one part-file per run,
+    # and a year of cycles is thousands of footer-reads per scan. The
+    # trigger keeps per-partition file counts bounded without giving back
+    # the O(delta) writes (compaction touches only the fragmented
+    # partition; all others hardlink).
+    compact_after_files: int | None = 16
 
 
 def _limit(df: DataFrame, n: int | None) -> DataFrame:
@@ -316,6 +325,22 @@ class DreemPipeline:
             reports.append({"batch_id": None, "ingested": 0, **_stages()})
         return reports
 
+    # -- maintenance -----------------------------------------------------------
+
+    def maintain(self) -> int:
+        """Run-end compaction guard: rewrite this pipeline's state partition
+        into one file once incremental appends have fragmented it past
+        ``compact_after_files`` (the reference's Mongo collection has no
+        analog — this is the cost of file-based O(delta) writes, paid back
+        here). No-op (and no version churn) below the threshold or when
+        maintenance is disabled. Returns partitions compacted (0 or 1)."""
+        thr = self.config.compact_after_files
+        if thr is None or len(self.store.partition_by) != 1:
+            return 0
+        return self.store.compact(
+            partition_value=self.config.device_type, min_files=thr
+        )
+
     # -- full run -------------------------------------------------------------
 
     def run(
@@ -325,7 +350,8 @@ class DreemPipeline:
         serial_map: DataFrame,
         assignments: DataFrame,
     ) -> dict[str, int | tuple[int, int, int]]:
-        """One scheduled run of the whole DAG, in reference task order."""
+        """One scheduled run of the whole DAG, in reference task order;
+        run-end small-file maintenance keeps scans fast across many runs."""
         return {
             "ingested": self.ingest(raw_api_rows),
             "serials": self.resolve_serial(uid_map),
@@ -333,4 +359,5 @@ class DreemPipeline:
             "patients": self.resolve_patient(assignments),
             "grouped": self.group_records(),
             "uploaded": self.upload(),
+            "compacted": self.maintain(),
         }

@@ -1280,6 +1280,65 @@ def multimodal_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("value_quantiles")
+def value_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles per event_type (§2.7 depth): Spark's
+    ``percentile`` aggregate against DuckDB's ``quantile_cont`` — both
+    define quantiles as linear interpolation at rank p·(n−1) on the sorted
+    values, so rounded to 6dp they agree exactly. The approximate sibling
+    (`approx_distinct_users` / approx_percentile) is the 100 TB path;
+    this is the exact-oracle anchor for it."""
+    ev = _t(spark, sf_dir, "events")
+    pct = lambda p: F.round(F.expr(f"percentile(value, {p})"), 6)  # noqa: E731
+    return ev.groupBy("event_type").agg(
+        pct(0.25).alias("p25"),
+        pct(0.5).alias("p50"),
+        pct(0.75).alias("p75"),
+        pct(0.95).alias("p95"),
+    )
+
+
+@register("latest_event_per_user")
+def latest_event_per_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax without a window (§2.7/§2.8): ``max_by`` over a (ts,
+    event_id) struct picks each user's latest event in ONE hash aggregate
+    — no per-user sort, no row_number window. At 100 TB this is the shape
+    that wins: a window argmax shuffles AND sorts every partition; max_by
+    is a partial-aggregable fold (map-side combine halves the shuffle).
+    The unique event_id tie-break keeps it deterministic; the oracle is
+    the equivalent row_number()=1 window."""
+    ev = _t(spark, sf_dir, "events")
+    ord_key = F.struct("ts", "event_id")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", ord_key).alias("last_type"),
+        F.max(ord_key).getField("ts").alias("last_ts"),
+        F.round(F.max_by("value", ord_key), 6).alias("last_value"),
+    )
+
+
+@register("salted_dim_join")
+def salted_dim_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (§2.13 tooling): events⋈customer without broadcast
+    — fact rows get a deterministic salt, the dim replicates across all
+    salts, and the join runs on (key, salt) so a hot user's rows spread
+    over n_salts reducers instead of serialising one. Result ≡ the plain
+    equi-join (the oracle). Money sums go through DECIMAL so the grouped
+    totals are order-independent across engines."""
+    from .operators.skew import salted_skew_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("value").cast("decimal(14,6)").alias("v")
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    j = salted_skew_join(ev, dim, "user_id", n_salts=8)
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
+
+
 @register("stratified_sample_docs")
 def stratified_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language sampling (§2.13 training-data ops): keep

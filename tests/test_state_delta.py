@@ -164,3 +164,33 @@ def test_compaction_all_partitions_rewrites_only_fragmented(spark, tmp_path):
     assert n >= 1
     assert store.file_counts()["device_type=DRM"] == 1
     assert {r["hash"] for r in store.read().collect()} == rows_before
+
+
+def test_pipeline_maintain_compacts_past_threshold(spark, tmp_path):
+    from ideafast_etl_spark.pipeline.dreem import DreemPipeline, PipelineConfig
+
+    store = _init_store(spark, tmp_path / "s")
+    for lo in (100, 110, 120, 130):
+        store.append_new(
+            spark.createDataFrame(
+                [(f"x{i}", "DRM") for i in range(lo, lo + 3)],
+                "hash string, device_type string",
+            )
+        )
+    assert store.file_counts()["device_type=DRM"] >= 5
+    pipe = DreemPipeline(
+        spark, store, PipelineConfig(compact_after_files=3)
+    )
+    rows_before = {r["hash"] for r in store.read().collect()}
+    assert pipe.maintain() == 1
+    assert store.file_counts()["device_type=DRM"] == 1
+    assert {r["hash"] for r in store.read().collect()} == rows_before
+    # below threshold now → no-op, no version churn
+    v = store.current_version()
+    assert pipe.maintain() == 0
+    assert store.current_version() == v
+    # maintenance disabled → never compacts
+    pipe_off = DreemPipeline(
+        spark, store, PipelineConfig(compact_after_files=None)
+    )
+    assert pipe_off.maintain() == 0
