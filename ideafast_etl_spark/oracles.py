@@ -362,6 +362,17 @@ ORDER BY numwait DESC, s_name
 LIMIT 50
 """
 
+ORACLES["grouping_sets_flags"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY GROUPING SETS (
+  (l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ()
+)
+"""
+
 ORACLES["revenue_rollup"] = """
 SELECT r_name, n_name,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,

@@ -730,6 +730,32 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("grouping_sets_flags")
+def grouping_sets_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS through the SQL API (§2.7 — beyond the
+    rollup/cube shorthands: an explicit lattice {flag, status, both, grand
+    total} in ONE pass). Spark expands the sets into a single Expand +
+    hash-aggregate plan — 4 logical groupings, one scan, one shuffle.
+    grouping_id() disambiguates the NULL-as-subtotal rows exactly as in
+    the DuckDB twin."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    ).createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               CAST(SUM(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_lines
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS (
+          (l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ()
+        )
+        """
+    )
+
+
 @register("revenue_rollup")
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over region → nation (subtotals + grand total) —

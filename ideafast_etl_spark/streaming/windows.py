@@ -45,3 +45,31 @@ def windowed_group_counts(
             "n_records",
         )
     )
+
+
+def session_window_stats(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Gap-based session windows (`F.session_window`): events of a key whose
+    timestamps fall within ``gap`` of each other merge into one session —
+    Spark's native mergeable-window state, the streaming twin of the batch
+    lag()+cumsum sessionization (queries.py::sessionization). Works on both
+    a batch frame and a stream (the watermark bounds session state; closed
+    sessions emit and release, which is what keeps per-key state finite on
+    an unbounded feed)."""
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), sw.alias("sess"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
