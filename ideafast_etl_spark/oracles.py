@@ -362,6 +362,53 @@ ORDER BY numwait DESC, s_name
 LIMIT 50
 """
 
+ORACLES["scd2_customer_segments"] = """
+WITH upd AS (
+  SELECT c_custkey AS k, 'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS seg
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'SEG_NEW' FROM customer WHERE c_custkey % 50 = 0
+)
+SELECT c_custkey, c_mktsegment,
+       TIMESTAMP '1990-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+FROM customer WHERE c_custkey NOT IN (SELECT k FROM upd)
+UNION ALL
+SELECT c_custkey, c_mktsegment, TIMESTAMP '1990-01-01', TIMESTAMP '1995-06-01'
+FROM customer WHERE c_custkey IN (SELECT k FROM upd)
+UNION ALL
+SELECT k, seg, TIMESTAMP '1995-06-01', CAST(NULL AS TIMESTAMP)
+FROM upd
+"""
+
+ORACLES["unpivot_nation_metrics"] = """
+WITH wide AS (
+  SELECT c_nationkey,
+    CAST(COUNT(*) AS DOUBLE) AS n_cust,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, 'n_cust' AS metric, n_cust AS value FROM wide
+UNION ALL
+SELECT c_nationkey, 'total_bal' AS metric, total_bal AS value FROM wide
+"""
+
+ORACLES["data_quality_report"] = """
+SELECT 'orders' AS table_name, 'row_count' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM orders
+UNION ALL
+SELECT 'orders', 'dup_pk', CAST(COUNT(*) AS BIGINT) FROM (
+  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'orders', 'orphan_custkey', CAST(COUNT(*) AS BIGINT) FROM orders
+  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem', 'orphan_orderkey', CAST(COUNT(*) AS BIGINT) FROM lineitem
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'orders', 'null_orderdate', CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderdate IS NULL
+UNION ALL
+SELECT 'documents', 'empty_text', CAST(COUNT(*) AS BIGINT) FROM documents WHERE length(trim(text)) = 0
+"""
+
 ORACLES["grouping_sets_flags"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,

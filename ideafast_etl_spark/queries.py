@@ -730,6 +730,103 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("scd2_customer_segments")
+def scd2_customer_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge (§2.13): bootstrap customer history, then apply
+    one update batch — every c_custkey%7==0 moves to a synthetic segment,
+    and %50==0 keys arrive shifted (+1M) as brand-new members. Changed keys
+    close their old version at the effective date and open a new one; the
+    oracle enumerates the three row classes (surviving open / closed /
+    new open) set-theoretically. One full-outer join on the key — no
+    windows, no iteration."""
+    from .operators.scd2 import scd2_apply, scd2_init
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = scd2_init(
+        cust, ["c_custkey"], ["c_mktsegment"], eff_date="1990-01-01"
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.concat(F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string")).alias(
+                "c_mktsegment"
+            ),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit("SEG_NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    return scd2_apply(
+        dim, updates, ["c_custkey"], ["c_mktsegment"], eff_date="1995-06-01"
+    )
+
+
+@register("unpivot_nation_metrics")
+def unpivot_nation_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (§2.7 — the inverse of `pivot_priority_by_status`):
+    wide per-nation metrics → long (nation, metric, value) via
+    ``DataFrame.unpivot`` (SQL UNPIVOT / stack()). One aggregate then a
+    zero-shuffle Expand — the oracle is the equivalent UNION ALL."""
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("total_bal"),
+    )
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=["n_cust", "total_bal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register("data_quality_report")
+def data_quality_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation sweep (§2.13 pipeline ops): row counts, key
+    uniqueness, null rates, and referential integrity as one long-format
+    report — the checks a training-data pipeline runs before trusting a
+    drop. Each check is a scan-local aggregate; the FK orphan checks are
+    anti-joins (LeftAnti, shuffle on the key). All integer-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    docs = _t(spark, sf_dir, "documents")
+
+    def one(table: str, metric: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(table).alias("table_name"),
+            F.lit(metric).alias("metric"),
+            F.count(F.lit(1)).cast("long").alias("value"),
+        )
+
+    dup_orderkeys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    orphan_orders = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+    )
+    orphan_lines = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    )
+    empty_docs = docs.filter(F.length(F.trim(F.col("text"))) == 0)
+    return (
+        one("orders", "row_count", orders)
+        .unionByName(one("orders", "dup_pk", dup_orderkeys))
+        .unionByName(one("orders", "orphan_custkey", orphan_orders))
+        .unionByName(one("lineitem", "orphan_orderkey", orphan_lines))
+        .unionByName(
+            one("orders", "null_orderdate", orders.filter(F.col("o_orderdate").isNull()))
+        )
+        .unionByName(one("documents", "empty_text", empty_docs))
+    )
+
+
 @register("grouping_sets_flags")
 def grouping_sets_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS through the SQL API (§2.7 — beyond the
