@@ -296,6 +296,106 @@ class StateStore:
         self._swap_pointer(version)
         return n
 
+    def merge(
+        self,
+        source: DataFrame,
+        when_matched_set: dict[str, str] | None = None,
+        matched_condition: str | None = None,
+        insert_when_not_matched: bool = False,
+        partition_value: str | None = None,
+        broadcast_source: bool = True,
+    ) -> dict[str, int]:
+        """General MERGE INTO (Delta-semantics superset of the specialised
+        transitions): join ``source`` to the state on ``self.key`` and apply
+
+          WHEN MATCHED [AND matched_condition] THEN UPDATE SET …
+          WHEN NOT MATCHED THEN INSERT            (if enabled)
+
+        ``when_matched_set`` maps target column → SQL expression over the
+        aliased sides (``t.col`` = current state, ``src.col`` = source), so
+        conditional fills (``coalesce(t.x, src.x)``), counters
+        (``t.n + src.n``) and overwrites (``src.x``) are all expressible;
+        ``matched_condition`` guards the update the same way. Inserted rows
+        take source values for the columns the source provides, NULL for
+        the rest (target schema is authoritative).
+
+        The write is the same O(affected partition) machinery as the
+        specialised paths: with ``partition_value`` only that partition is
+        rewritten (others hardlink), and a merge that updates and inserts
+        nothing publishes no version. Returns {'updated': n, 'inserted': n}
+        observed on the write action itself.
+
+        ``merge_non_overwrite`` / ``mark_uploaded`` / ``append_new`` remain
+        the fast paths the pipeline uses (append_new is file-level append —
+        cheaper than any join-based merge for pure inserts)."""
+        when_matched_set = when_matched_set or {}
+        selective = partition_value is not None and len(self.partition_by) == 1
+        state = self.read()
+        target = (
+            state.filter(F.col(self.partition_by[0]) == partition_value)
+            if selective
+            else state
+        )
+        target_cols = target.columns
+        src = F.broadcast(source) if broadcast_source else source
+        j = target.alias("t").join(
+            src.alias("src"),
+            F.col(f"t.{self.key}") == F.col(f"src.{self.key}"),
+            "full_outer" if insert_when_not_matched else "left_outer",
+        )
+        has_t = F.col(f"t.{self.key}").isNotNull()
+        has_s = F.col(f"src.{self.key}").isNotNull()
+        upd_guard = (
+            F.expr(matched_condition) if matched_condition else F.lit(True)
+        )
+        do_update = has_t & has_s & upd_guard
+        do_insert = (
+            (~has_t & has_s) if insert_when_not_matched else F.lit(False)
+        )
+        src_cols = set(source.columns)
+        out_cols = []
+        for c in target_cols:
+            current = F.col(f"t.{c}")
+            updated = (
+                F.expr(when_matched_set[c]) if c in when_matched_set else current
+            )
+            inserted = F.col(f"src.{c}") if c in src_cols else F.lit(None)
+            out_cols.append(
+                F.when(do_update, updated)
+                .when(do_insert, inserted)
+                .otherwise(current)
+                .alias(c)
+            )
+        obs = Observation()
+        # metrics must ride the written plan itself (no separate count job),
+        # so the match/insert flags travel through the projection as hidden
+        # columns and the observe sums them at the root
+        merged = (
+            j.select(
+                *out_cols,
+                do_update.cast("long").alias("__upd"),
+                do_insert.cast("long").alias("__ins"),
+                (has_t | do_insert).alias("__keep"),
+            )
+            .filter(F.col("__keep"))
+            .observe(
+                obs,
+                F.coalesce(F.sum("__upd"), F.lit(0)).alias("n_updated"),
+                F.coalesce(F.sum("__ins"), F.lit(0)).alias("n_inserted"),
+            )
+            .drop("__upd", "__ins", "__keep")
+        )
+        version, out = self._write_uncommitted(merged)
+        m = obs.get
+        n_upd, n_ins = int(m["n_updated"]), int(m["n_inserted"])
+        if n_upd == 0 and n_ins == 0:
+            self._discard(out)
+            return {"updated": 0, "inserted": 0}
+        if selective:
+            self._link_other_partitions(out, partition_value)  # type: ignore[arg-type]
+        self._swap_pointer(version)
+        return {"updated": n_upd, "inserted": n_ins}
+
     def file_counts(self) -> dict[str, int]:
         """Data-file count per partition directory of the current snapshot
         ('' = unpartitioned root) — the compaction trigger signal."""
