@@ -71,6 +71,12 @@ def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame
     # nanos→micros conversion below) and date_trunc would otherwise shift
     # with the host timezone, diverging from the (tz-naive) SQL oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Foreign sessions (the oracle driver's) don't have this repo on their
+    # executors' PYTHONPATH; ship the package so Arrow-UDF closures that
+    # reference package modules unpickle on the workers.
+    from .shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     ns_cols, rows, groups = _parquet_meta(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -167,3 +167,13 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
     typed = mm.with_media_metadata(df)
     types = {r["file_name"]: r["media_type"] for r in typed.collect()}
     assert types == {"a.jpg": "image/jpeg", "b.png": "image/png"}
+
+
+def test_package_shipping_is_idempotent(spark):
+    """The oracle driver runs queries under its own session; tables.load
+    ships the package zip to its workers exactly once per context."""
+    from ideafast_etl_spark.shipping import ensure_package_shipped, _FLAG
+
+    ensure_package_shipped(spark)
+    assert getattr(spark.sparkContext, _FLAG) is True
+    ensure_package_shipped(spark)  # second call: no re-zip, no error
