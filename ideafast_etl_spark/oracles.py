@@ -362,6 +362,30 @@ ORDER BY numwait DESC, s_name
 LIMIT 50
 """
 
+ORACLES["doc_chunks"] = """
+SELECT doc_id,
+  CAST(s / 150 AS BIGINT) AS chunk_idx,
+  substr(text, s + 1, 200) AS chunk_text,
+  CAST(length(substr(text, s + 1, 200)) AS BIGINT) AS chunk_len
+FROM documents, LATERAL unnest(generate_series(0, length(text) - 1, 150)) AS g(s)
+WHERE length(text) > 0
+"""
+
+ORACLES["pii_scrub"] = """
+WITH seeded AS (
+  SELECT doc_id,
+    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +12 345 6789' AS text
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\\+[0-9]{2} [0-9]{3} [0-9]{4}')) AS BIGINT) AS n_phones,
+  regexp_replace(
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\+[0-9]{2} [0-9]{3} [0-9]{4}', '<PHONE>', 'g') AS clean_text
+FROM seeded
+"""
+
 ORACLES["scd2_customer_segments"] = """
 WITH upd AS (
   SELECT c_custkey AS k, 'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS seg

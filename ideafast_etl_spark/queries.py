@@ -730,6 +730,72 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("doc_chunks")
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (§2.13 training-data ops): fixed
+    200-char windows at stride 150 (25% overlap) — the retrieval/context
+    preprocessing shape. Pure JVM: sequence() + explode generates chunk
+    starts; substring slices. 1:N explode, no Python, no shuffle; the
+    oracle is DuckDB generate_series + the same substring arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    size, stride = 200, 150
+    nonempty = docs.filter(F.length("text") > 0)
+    return (
+        nonempty.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.length("text") - 1, F.lit(stride)
+                )
+            ).alias("chunk_start"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            (F.col("chunk_start") / stride).cast("long").alias("chunk_idx"),
+            F.substring(
+                F.col("text"), F.col("chunk_start") + 1, size
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )
+
+
+@register("pii_scrub")
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (§2.13): emails and phone-shaped tokens are counted
+    and replaced with typed placeholders — the scrub every training corpus
+    runs. Synthetic PII is appended deterministically per doc (the corpus
+    has none) so the redaction path actually fires; regexes stay in the
+    Java∩RE2 common subset so Spark and DuckDB agree byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\+[0-9]{2} [0-9]{3} [0-9]{4}"
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +12 345 6789"),
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(email_re)).cast("long").alias(
+            "n_emails"
+        ),
+        F.regexp_count(F.col("text"), F.lit(phone_re)).cast("long").alias(
+            "n_phones"
+        ),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("clean_text"),
+    )
+
+
 @register("scd2_customer_segments")
 def scd2_customer_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension merge (§2.13): bootstrap customer history, then apply
