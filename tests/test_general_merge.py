@@ -110,3 +110,27 @@ def test_merge_partition_selective_hardlinks_other_partitions(spark, tmp_path):
         assert files_now.get(rel) == ino  # BTF partition untouched
     # and the BTF row is still readable/intact
     assert store.read().filter(F.col("hash") == "h3").count() == 1
+
+
+def test_incremental_aggregate_maintenance(spark, tmp_path):
+    """Materialized-view pattern on the general MERGE: per-key counts are
+    maintained incrementally (counter bump + insert-new-keys per batch) and
+    stay equal to a full recompute over everything seen so far."""
+    day0 = spark.createDataFrame(
+        [("click", 3), ("view", 5)], "event_type string, n long"
+    )
+    day1 = spark.createDataFrame(
+        [("click", 2), ("purchase", 1)], "event_type string, n long"
+    )
+    store = StateStore(
+        spark, str(tmp_path / "mv"), key="event_type", partition_by=()
+    )
+    store.init(day0)
+    res = store.merge(
+        day1,
+        when_matched_set={"n": "t.n + src.n"},
+        insert_when_not_matched=True,
+    )
+    assert res == {"updated": 1, "inserted": 1}
+    got = {r["event_type"]: r["n"] for r in store.read().collect()}
+    assert got == {"click": 5, "view": 5, "purchase": 1}
