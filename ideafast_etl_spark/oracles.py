@@ -151,6 +151,35 @@ FROM daily
 WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
+ORACLES["rolling_range_revenue"] = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS day_total_dec,
+    CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day_num
+  FROM orders GROUP BY o_orderdate
+)
+SELECT day,
+  CAST(SUM(day_total_dec) OVER w AS DOUBLE) AS rev_7d,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_days_present
+FROM daily
+WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["date_dimension_scalars"] = """
+SELECT DISTINCT o_orderdate AS day,
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+  CAST(EXTRACT(week FROM o_orderdate) AS INT) AS iso_week,
+  CAST(EXTRACT(isodow FROM o_orderdate) AS INT) AS iso_dow,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+  date_trunc('month', o_orderdate) AS month_start,
+  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP) AS plus_2mo,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_eoy
+FROM orders
+"""
+
 ORACLES["order_priority_counts"] = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders

@@ -228,6 +228,62 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("rolling_range_revenue")
+def rolling_range_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs the ROWS frame of moving_avg_daily_revenue):
+    per day, total revenue over the trailing 7 calendar DAYS — gaps in the
+    date sequence shrink the frame, which is exactly what distinguishes
+    RANGE from ROWS. Frame bounds on unix-day longs (interval-range frames
+    expressed portably); sums stay DECIMAL inside the frame."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("day_total_dec")
+    )
+    day_num = (F.unix_timestamp("day") / 86400).cast("long")
+    w = (
+        Window.orderBy("day_num").rangeBetween(-6, 0)
+    )
+    return (
+        daily.withColumn("day_num", day_num)
+        .select(
+            "day",
+            F.sum("day_total_dec").over(w).cast("double").alias("rev_7d"),
+            F.count(F.lit(1)).over(w).alias("n_days_present"),
+        )
+        .drop("day_num")
+    )
+
+
+@register("date_dimension_scalars")
+def date_dimension_scalars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-intelligence scalar surface (§2.10 breadth) over distinct order
+    dates: year/quarter/month/day, ISO week, day-of-week (normalised to
+    ISO 1=Mon..7=Sun — Spark's dayofweek is 1=Sun, DuckDB's isodow is
+    1=Mon; both map onto the ISO convention), month boundaries, and
+    add_months arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    days = orders.select(F.col("o_orderdate").alias("day")).distinct()
+    d = F.col("day")
+    return (
+        days.select(
+            "day",
+            F.year(d).alias("yr"),
+            F.quarter(d).alias("qtr"),
+            F.month(d).alias("mo"),
+            F.dayofmonth(d).alias("dom"),
+            F.weekofyear(d).alias("iso_week"),
+            # Spark: dayofweek 1=Sun..7=Sat → ISO 1=Mon..7=Sun
+            ((F.dayofweek(d) + 5) % 7 + 1).alias("iso_dow"),
+            F.last_day(d).cast("timestamp").alias("month_end"),
+            F.date_trunc("month", d).alias("month_start"),
+            F.add_months(d, 2).cast("timestamp").alias("plus_2mo"),
+            F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date")).alias(
+                "days_to_eoy"
+            ),
+        )
+    )
+
+
 @register("order_priority_counts")
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 shape: EXISTS semi-join — orders with at least one late lineitem."""

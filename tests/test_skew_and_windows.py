@@ -153,3 +153,19 @@ def test_session_window_stream_matches_batch_and_lag_formulation(spark, tmp_path
         (u, n) for (u, _s, _e), n in streamed.items()
     )
     assert per_user == [(1, 1), (1, 2), (2, 1), (2, 2)]
+
+
+def test_approx_percentile_within_rank_error_bound(spark):
+    """The 100 TB quantile path (approx_percentile, GK sketch with accuracy
+    a) must land within 1/a rank error of the exact percentile — checked
+    against the exact distributed percentile on a deterministic corpus."""
+    from pyspark.sql import functions as F
+
+    n, acc = 20_001, 1000
+    df = spark.range(n).select(((F.col("id") * 7919) % n).alias("v"))
+    row = df.select(
+        F.expr("percentile(v, 0.9)").alias("exact"),
+        F.expr(f"approx_percentile(v, 0.9, {acc})").alias("approx"),
+    ).first()
+    # values are the permuted 0..n-1, so value == rank; allowed rank error n/acc
+    assert abs(row["approx"] - row["exact"]) <= n / acc + 1
