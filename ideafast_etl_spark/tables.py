@@ -81,8 +81,15 @@ def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    # The shim is type-driven, not metadata-driven: plain TIMESTAMP(NANOS)
+    # files scan as LONG under nanosAsLong (truncate to micros here, matching
+    # DuckDB), but Spark reads nanos files IT wrote (row-metadata present)
+    # natively as timestamps — those need no conversion.
+    from pyspark.sql.types import LongType
+
     for c in ns_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     parallelism = spark.sparkContext.defaultParallelism
     if rows >= 50_000 and groups < max(2, parallelism // 4):
         df = df.repartition(parallelism)

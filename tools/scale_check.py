@@ -1,0 +1,115 @@
+"""Scale validation harness (SCALE.md): replicate sf0.1 at 10x with shifted
+keys into a realistic multi-file layout, then warm-time the headline
+operators on it. Usage:
+
+    python tools/scale_check.py [factor] [dest_dir]
+
+(defaults: 10x, /tmp/sfx1; generation is skipped if dest exists)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from ideafast_etl_spark import tables  # noqa: E402
+from ideafast_etl_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+QUERIES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
+    "hash_dedup_anti_join",
+    "day_window_grouping",
+    "sessionization",
+    "dreem_pipeline_e2e",
+    "exact_dedup",
+    "minhash_near_dup",
+    "embedding_topk",
+    "text_stats",
+]
+
+
+def generate(spark, dst: str, k: int) -> None:
+    def read(name):
+        return tables.load(spark, name, SRC)
+
+    mx: dict[str, int] = {}
+    for t, c in [
+        ("customer", "c_custkey"), ("orders", "o_orderkey"),
+        ("part", "p_partkey"), ("supplier", "s_suppkey"),
+        ("documents", "doc_id"), ("embeddings", "vec_id"),
+        ("events", "event_id"),
+    ]:
+        mx[c] = read(t).agg(F.max(c)).first()[0] + 1
+    mx["o_custkey"] = mx["c_custkey"]
+    mx["l_orderkey"] = mx["o_orderkey"]
+    mx["l_partkey"] = mx["p_partkey"]
+    mx["l_suppkey"] = mx["s_suppkey"]
+    mx["user_id"] = read("events").agg(F.max("user_id")).first()[0] + 1
+
+    def shifted(name, keycols, extra=None, nfiles=32):
+        df = read(name)
+        out = None
+        for i in range(k):
+            p = df
+            for c in keycols:
+                p = p.withColumn(c, F.col(c) + F.lit(i * mx[c]))
+            if extra:
+                p = extra(p, i)
+            out = p if out is None else out.unionByName(p)
+        out.repartition(nfiles).write.mode("overwrite").parquet(
+            f"{dst}/{name}.parquet"
+        )
+
+    for t in ("region", "nation"):
+        read(t).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    shifted("customer", ["c_custkey"])
+    shifted("supplier", ["s_suppkey"])
+    shifted("part", ["p_partkey"])
+    shifted("orders", ["o_orderkey", "o_custkey"])
+    shifted("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], nfiles=64)
+    # perturb replicated text so near-dup structure is adversarial, not exact
+    shifted(
+        "documents", ["doc_id"],
+        extra=lambda p, i: p.withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(f" copymark {i} "),
+                     F.col("doc_id").cast("string")),
+        ),
+    )
+    shifted("embeddings", ["vec_id"])
+    shifted("events", ["event_id", "user_id"])
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfx1"
+    spark = get_spark("scale-check")
+    if not os.path.isdir(dst):
+        print(f"# generating {k}x dataset at {dst}", flush=True)
+        generate(spark, dst, k)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    qs = entrymod.queries()
+    total = 0.0
+    for name in QUERIES:
+        qs[name](spark, dst).count()  # warm: plan + codegen compiled
+        t = time.time()
+        n = qs[name](spark, dst).count()
+        dt = time.time() - t
+        total += dt
+        print(f"{name}: {dt:.2f}s ({n} rows)", flush=True)
+    print(f"total: {total:.2f}s over {len(QUERIES)} queries at {k}x sf0.1")
+
+
+if __name__ == "__main__":
+    main()
