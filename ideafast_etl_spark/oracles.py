@@ -462,6 +462,29 @@ UNION ALL
 SELECT 'documents', 'empty_text', CAST(COUNT(*) AS BIGINT) FROM documents WHERE length(trim(text)) = 0
 """
 
+ORACLES["top3_customers_per_nation"] = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_nationkey, c_custkey, CAST(rev_dec AS DOUBLE) AS revenue, CAST(rk AS INT) AS rk
+FROM (
+  SELECT c_nationkey, c_custkey, rev_dec,
+    row_number() OVER (PARTITION BY c_nationkey ORDER BY rev_dec DESC, c_custkey) AS rk
+  FROM rev JOIN customer ON o_custkey = c_custkey
+) t
+WHERE rk <= 3
+"""
+
+ORACLES["orders_digest_per_customer"] = """
+SELECT o_custkey,
+  list_aggregate(list_sort(list(CAST(o_orderkey AS VARCHAR))), 'string_agg', ',') AS order_keys,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_custkey < 200
+GROUP BY o_custkey
+"""
+
 ORACLES["grouping_sets_flags"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,

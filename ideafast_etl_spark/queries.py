@@ -975,6 +975,56 @@ def grouping_sets_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("top3_customers_per_nation")
+def top3_customers_per_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (§2.8 beyond global LIMIT): rank customers by revenue
+    within each nation, keep the top 3. One shuffle for the revenue agg,
+    one for the per-nation window; the rank tie-break includes the unique
+    custkey so the cut is deterministic. At 100 TB this is the shape that
+    replaces 'ORDER BY … LIMIT k' when k is per-group — no global sort."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev_dec"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev_dec").desc(), F.col("c_custkey")
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+@register("orders_digest_per_customer")
+def orders_digest_per_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation (§2.7): per customer, the sorted list
+    of order keys digested to a string — collect_list is order-nondeterministic
+    under parallel aggregation, so the portable form is sort_array first
+    (DuckDB: list_sort(list(...))). String digest keeps the differential
+    compare engine-agnostic."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_custkey") < 200)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("o_orderkey").cast("string"))),
+                ",",
+            ).alias("order_keys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 @register("revenue_rollup")
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets over region → nation (subtotals + grand total) —
