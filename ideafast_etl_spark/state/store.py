@@ -90,7 +90,13 @@ class StateStore:
         )
 
     def read(self, version: str | None = None) -> DataFrame:
-        """Read the current snapshot, or a retained historical one."""
+        """Read the current snapshot, or a retained historical one.
+
+        ``mergeSchema`` is on: after an additive schema evolution (an
+        ``append_new`` batch carrying new columns) a snapshot legitimately
+        mixes old-schema (hardlinked) and new-schema part-files; rows from
+        old files read NULL for the new columns. Cost: one footer read per
+        file — bounded by the compaction trigger keeping file counts low."""
         version = version or self.current_version()
         if version is None:
             raise FileNotFoundError(f"state store at {self.path} not initialised")
@@ -98,7 +104,9 @@ class StateStore:
             raise FileNotFoundError(
                 f"version {version} not retained (keep_versions={self.keep_versions})"
             )
-        return self.spark.read.parquet(self._snapshot_dir(version))
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self._snapshot_dir(version)
+        )
 
     def _write_snapshot(self, df: DataFrame) -> None:
         version = f"{time.time_ns()}"
@@ -224,12 +232,22 @@ class StateStore:
         Also drops duplicate keys *within* the batch — a single micro-batch
         may drain overlapping source files. The write is file-level append:
         existing snapshot files are hardlinked, only the delta is written.
-        Returns the number of rows inserted."""
+
+        Additive schema evolution: a batch may carry columns the state has
+        never seen (they join the table schema; existing rows read NULL via
+        mergeSchema) and may omit existing columns (filled NULL, typed from
+        the state schema) — Delta's mergeSchema-on-append contract. Returns
+        the number of rows inserted."""
         incoming = incoming.dropDuplicates([self.key])
         if not self.exists():
             self.init(incoming)
             return self.read().count()  # once-per-store bootstrap only
         state = self.read()
+        for f in state.schema.fields:
+            if f.name not in incoming.columns:
+                incoming = incoming.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
         fresh = incoming.join(
             state.select(self.key), on=self.key, how="left_anti"
         )

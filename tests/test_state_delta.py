@@ -194,3 +194,33 @@ def test_pipeline_maintain_compacts_past_threshold(spark, tmp_path):
         spark, store, PipelineConfig(compact_after_files=None)
     )
     assert pipe_off.maintain() == 0
+
+
+def test_append_new_additive_schema_evolution(spark, tmp_path):
+    """A later batch may add columns (old rows read NULL) or omit columns
+    (filled NULL) — Delta's mergeSchema-on-append contract, here backed by
+    parquet mergeSchema over mixed-schema part-files."""
+    store = _init_store(spark, tmp_path / "s")  # schema: hash, device_type
+    wider = spark.createDataFrame(
+        [("w1", "DRM", 0.9), ("w2", "BTF", 0.7)],
+        "hash string, device_type string, quality double",
+    )
+    assert store.append_new(wider) == 2
+    df = store.read()
+    assert "quality" in df.columns
+    got = {r["hash"]: r["quality"] for r in df.collect()}
+    assert got["w1"] == 0.9 and got["w2"] == 0.7
+    assert got["h0"] is None  # pre-evolution row reads NULL
+
+    # narrower batch (omits 'quality') still appends, typed NULL fill
+    narrow = spark.createDataFrame(
+        [("n1", "DRM")], "hash string, device_type string"
+    )
+    assert store.append_new(narrow) == 1
+    got = {r["hash"]: r["quality"] for r in store.read().collect()}
+    assert got["n1"] is None and got["w1"] == 0.9
+    # merges still work across the evolved schema
+    upd = spark.createDataFrame([("h0", 0.5)], "hash string, quality double")
+    assert store.merge_non_overwrite(upd, ("quality",)) == 1
+    got = {r["hash"]: r["quality"] for r in store.read().collect()}
+    assert got["h0"] == 0.5 and got["w1"] == 0.9
