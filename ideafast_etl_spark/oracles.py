@@ -1154,3 +1154,87 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v), 6) >= 0.95
 """
+
+
+# Corpus hygiene (§2.13): eval-set 4-gram overlap, the same slice arithmetic
+# as queries.decontaminate_ngrams (i runs so every gram has exactly 4 tokens).
+ORACLES["decontaminate_ngrams"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split({NORM_TEXT}, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source,
+    unnest([array_to_string(t[i:i+3], ' ') for i in range(1, len(t) - 2)]) AS g
+  FROM tok
+), eval_g AS (
+  SELECT DISTINCT g FROM grams WHERE source = 'src0'
+), corpus AS (
+  SELECT doc_id, g FROM grams WHERE source <> 'src0'
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id
+), hit AS (
+  SELECT doc_id, COUNT(*) AS n_hits
+  FROM corpus JOIN eval_g USING (g) GROUP BY doc_id
+)
+SELECT h.doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+  CAST(n_grams AS BIGINT) AS n_grams,
+  ROUND(CAST(n_hits AS DOUBLE) / n_grams, 6) AS hit_ratio
+FROM hit h JOIN tot t ON h.doc_id = t.doc_id
+ORDER BY h.doc_id
+"""
+
+# Gopher repetition signals; ties break on the lexicographically smallest
+# token in BOTH engines (row_number ORDER BY c DESC, token ASC).
+ORACLES["repetition_stats"] = f"""
+WITH tok AS (
+  SELECT doc_id, string_split({NORM_TEXT}, ' ') AS t FROM documents
+), words AS (
+  SELECT doc_id, unnest(t) AS w FROM tok
+), base AS (
+  SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT w) AS n_distinct
+  FROM words GROUP BY doc_id
+), wc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+), topw AS (
+  SELECT doc_id, w AS top_word, c AS wcnt FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY c DESC, w ASC) AS rn FROM wc
+  ) WHERE rn = 1
+), bg AS (
+  SELECT doc_id,
+    unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS b
+  FROM tok
+), bc AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+), topb AS (
+  SELECT doc_id, b AS top_bigram, c AS bcnt FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY c DESC, b ASC) AS rn FROM bc
+  ) WHERE rn = 1
+)
+SELECT base.doc_id, CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_distinct AS BIGINT) AS n_distinct,
+  ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_ratio,
+  top_word, ROUND(CAST(wcnt AS DOUBLE) / n_words, 6) AS top_word_frac,
+  top_bigram,
+  CASE WHEN n_words > 1
+       THEN ROUND(CAST(bcnt AS DOUBLE) / (n_words - 1), 6) END AS top_bigram_frac
+FROM base JOIN topw USING (doc_id) LEFT JOIN topb USING (doc_id)
+ORDER BY base.doc_id
+"""
+
+# α=0.5 temperature resampling: rate_l = sqrt(cnt_min/cnt_l) (normaliser
+# cancels — no cross-row float sums), acceptance via the repo-standard
+# sha256 bucket. Same salt ('temp0') and modulus as the Spark side.
+ORACLES["lang_temperature_sample"] = """
+WITH cnt AS (
+  SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang, sqrt(CAST((SELECT MIN(c) FROM cnt) AS DOUBLE) / c) AS r
+  FROM cnt
+)
+SELECT d.doc_id, d.lang, ROUND(r, 6) AS sample_rate
+FROM documents d JOIN rates USING (lang)
+WHERE ('0x' || substr(sha256(d.doc_id::VARCHAR || 'temp0'), 1, 15))::BIGINT
+      % 1000000 < floor(r * 1000000)
+ORDER BY d.doc_id
+"""

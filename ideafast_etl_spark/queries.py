@@ -1895,3 +1895,50 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return similarity.lsh_topk(emb, queries_df, dim=64, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene (§2.13): decontamination, repetition QC, temperature sampling
+# ---------------------------------------------------------------------------
+
+
+@register("decontaminate_ngrams")
+def decontaminate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (§2.13): docs from one source play the
+    held-out eval suite; the rest of the corpus is flagged for word-4-gram
+    overlap with it (the GPT-3/FineWeb discipline, 8–13-grams in real
+    deployments — the synthetic corpus has a tiny vocabulary so n=4 keeps
+    the hit set meaningful). The eval shingle set is broadcast — at 100 TB
+    the corpus side stays a map-side hash join with one count shuffle."""
+    from .operators.corpus import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("source") == "src0")
+    rest = docs.filter(F.col("source") != "src0")
+    return ngram_decontaminate(rest, eval_df, n=4).orderBy("doc_id")
+
+
+@register("repetition_stats")
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (§2.13):
+    distinct-word ratio, top-word fraction, top-bigram fraction, with
+    deterministic lexicographic tie-breaks. All whole-stage-codegen
+    aggregations keyed on doc_id; fractions are int/int double divisions."""
+    from .operators.corpus import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register("lang_temperature_sample")
+def lang_temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling at α=0.5 across languages (§2.13, the
+    mT5/XLM-R recipe): acceptance rate per language is sqrt(cnt_min/cnt_l)
+    — a closed form with no cross-row float sums, so the rate is
+    bit-identical across engines — applied via the deterministic sha256
+    bucket predicate. Bounded agg + broadcast; the corpus never shuffles."""
+    from .operators.corpus import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(docs, "lang", "doc_id", salt="temp0").select(
+        "doc_id", "lang", "sample_rate"
+    )

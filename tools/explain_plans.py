@@ -67,6 +67,13 @@ EXPECTATIONS: dict[str, list[str]] = {
     "sequence_packing": ["FlatMapGroupsInPandas"],
     # explicit grouping-set lattice compiles to ONE Expand + hash agg pass
     "grouping_sets_flags": ["Expand", "partial_sum"],
+    # eval shingle set broadcasts (bounded benchmark vs 100 TB corpus);
+    # overlap join must be map-side hash, never a nested loop
+    "decontaminate_ngrams": ["BroadcastHashJoin", "!BroadcastNestedLoopJoin"],
+    # repetition QC: codegen aggs keyed on doc_id, no Python anywhere
+    "repetition_stats": ["HashAggregate", "!BatchEvalPython", "!ArrowEvalPython"],
+    # bounded per-stratum rate table broadcasts; corpus never shuffles
+    "lang_temperature_sample": ["BroadcastHashJoin", "!BroadcastNestedLoopJoin"],
 }
 
 
