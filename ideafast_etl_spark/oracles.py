@@ -1238,3 +1238,31 @@ WHERE ('0x' || substr(sha256(d.doc_id::VARCHAR || 'temp0'), 1, 15))::BIGINT
       % 1000000 < floor(r * 1000000)
 ORDER BY d.doc_id
 """
+
+
+def _zorder_sql(bits: int = 8) -> str:
+    n = (1 << bits) - 1
+    terms = " | ".join(
+        f"(((zx >> {b}) & 1) << {2 * b}) | (((zy >> {b}) & 1) << {2 * b + 1})"
+        for b in range(bits)
+    )
+    def bucket(col: str, lo: float, hi: float) -> str:
+        return (
+            f"CAST(GREATEST(0, LEAST({n}, FLOOR((CAST({col} AS DOUBLE) - {lo})"
+            f" / ({hi} - {lo}) * {n + 1}))) AS BIGINT)"
+        )
+    return f"""
+WITH b AS (
+  SELECT event_id, user_id, value,
+    {bucket('user_id', 0.0, 150.0)} AS zx,
+    {bucket('value', 0.0, 500.0)} AS zy
+  FROM events
+)
+SELECT event_id, user_id, value, CAST({terms} AS BIGINT) AS z_key
+FROM b ORDER BY event_id
+"""
+
+
+# Morton curve: same bucket arithmetic and bit interleave as
+# queries.zorder_curve_q / operators/layout.py.
+ORACLES["zorder_curve"] = _zorder_sql()

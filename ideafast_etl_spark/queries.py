@@ -1942,3 +1942,24 @@ def lang_temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(docs, "lang", "doc_id", salt="temp0").select(
         "doc_id", "lang", "sample_rate"
     )
+
+
+@register("zorder_curve")
+def zorder_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two event dimensions (§2.13 /
+    data layout): bucketize user_id and value to 8 bits each, interleave —
+    the key `layout.zorder_write` range-partitions on so parquet min/max
+    stats stay narrow in BOTH dimensions (multi-dimensional file skipping,
+    Delta OPTIMIZE ZORDER BY discipline). Pure unrolled shift/mask
+    arithmetic — codegen, no UDF; the oracle replays the same bit math."""
+    from .operators.layout import bucketize, zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    zx = bucketize(F.col("user_id"), 0.0, 150.0, bits=8)
+    zy = bucketize(F.col("value"), 0.0, 500.0, bits=8)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        zorder_key(zx, zy, bits=8).alias("z_key"),
+    ).orderBy("event_id")

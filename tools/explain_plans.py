@@ -74,6 +74,8 @@ EXPECTATIONS: dict[str, list[str]] = {
     "repetition_stats": ["HashAggregate", "!BatchEvalPython", "!ArrowEvalPython"],
     # bounded per-stratum rate table broadcasts; corpus never shuffles
     "lang_temperature_sample": ["BroadcastHashJoin", "!BroadcastNestedLoopJoin"],
+    # Morton key is unrolled shift/mask codegen — no Python, batched scan
+    "zorder_curve": ["!BatchEvalPython", "!ArrowEvalPython", "Batched: true"],
 }
 
 
