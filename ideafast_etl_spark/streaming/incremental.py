@@ -65,10 +65,19 @@ def streaming_dedup(
     hash_col: str = "hash",
     event_time_col: str = "start",
     watermark: str = "2 days",
+    within_watermark: bool = False,
 ) -> DataFrame:
     """Row-level streaming dedup: keep the first occurrence of each content
     hash; state for hashes older than the watermark is dropped (bounded state
-    at 100 TB — the polling/batch path keeps unbounded history instead)."""
-    return stream.withWatermark(event_time_col, watermark).dropDuplicates(
-        [hash_col]
-    )
+    at 100 TB — the polling/batch path keeps unbounded history instead).
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark``: the
+    right semantics when re-fetches of the same content carry *different*
+    event times (the reference's poll cycles stamp each fetch) — duplicates
+    are suppressed as long as they arrive within the watermark delay of the
+    first sighting, instead of requiring an exact event-time match to share
+    dedup state."""
+    s = stream.withWatermark(event_time_col, watermark)
+    if within_watermark:
+        return s.dropDuplicatesWithinWatermark([hash_col])
+    return s.dropDuplicates([hash_col])

@@ -158,3 +158,36 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         "uid",
     )
     assert {(r["uid"], r["imp"], r["clk"]) for r in batch.collect()} == got
+
+
+def test_streaming_dedup_within_watermark_differing_event_times(spark, tmp_path):
+    from datetime import datetime
+
+    from ideafast_etl_spark.streaming import streaming_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        ("h1", datetime(2024, 1, 1, 10)),
+        ("h1", datetime(2024, 1, 1, 16)),  # re-fetch: same content, later stamp
+        ("h2", datetime(2024, 1, 1, 12)),
+    ]
+    spark.createDataFrame(rows, "hash string, start timestamp").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema("hash string, start timestamp").parquet(
+        str(src) + "/*/"
+    )
+    q = (
+        streaming_dedup(stream, watermark="1 day", within_watermark=True)
+        .writeStream.format("memory")
+        .queryName("sdedup_wm_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from sdedup_wm_out").collect()
+    assert {r["hash"] for r in out} == {"h1", "h2"}
+    assert len(out) == 2  # the re-fetch within the watermark was suppressed
