@@ -1266,3 +1266,18 @@ FROM b ORDER BY event_id
 # Morton curve: same bucket arithmetic and bit interleave as
 # queries.zorder_curve_q / operators/layout.py.
 ORACLES["zorder_curve"] = _zorder_sql()
+
+
+# VARIANT extraction twin: DuckDB parses the same JSON path; integer k sums
+# stay BIGINT on both sides.
+ORACLES["variant_props_stats"] = """
+SELECT CAST(user_id // 10 AS BIGINT) AS user_decade,
+  COUNT(*) AS n_events,
+  COUNT(json_extract_string(props, '$.k')) AS n_with_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY user_decade
+ORDER BY user_decade
+"""

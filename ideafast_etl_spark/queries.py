@@ -1963,3 +1963,28 @@ def zorder_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         zorder_key(zx, zy, bits=8).alias("z_key"),
     ).orderBy("event_id")
+
+
+@register("variant_props_stats")
+def variant_props_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4): parse once
+    with try_parse_json (malformed rows become NULL, not failures), then
+    typed variant_get extraction — the open-schema path that replaces
+    per-field get_json_object string re-parsing; at scale the binary-encoded
+    variant parses ~once per row instead of once per extracted field.
+    Aggregates k per user-id decade; oracle is DuckDB's JSON extraction."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.withColumn("k", k)
+        .withColumn("user_decade", (F.col("user_id") / 10).cast("long"))
+        .groupBy("user_decade")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("user_decade")
+    )

@@ -62,3 +62,31 @@ def test_json_dot_path(spark):
     assert df.select(scalar.json_dot_path("j", "a.b.[1].c").alias("v")).first()["v"] == "tok"
     # absent path → NULL (reference raises KeyError; we are null-safe)
     assert df.select(scalar.json_dot_path("j", "a.x.y").alias("v")).first()["v"] is None
+
+
+def test_udtf_tokenize_matches_jvm_explode(spark):
+    """UDTF surface (§2.12): the Python table function must agree with the
+    production JVM posexplode path on the same normalization."""
+    from pyspark.sql import functions as F
+
+    from ideafast_etl_spark.functions.udtfs import register_udtfs
+    from ideafast_etl_spark.operators.dedup import _tokens
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [(1, "Alpha  beta GAMMA"), (2, "one"), (3, None)],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        "SELECT doc_id, t.pos, t.token FROM udtf_docs, "
+        "LATERAL tokenize(text) t ORDER BY doc_id, pos"
+    ).collect()
+    exp = (
+        docs.select(
+            "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "token")
+        )
+        .orderBy("doc_id", "pos")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
