@@ -9,8 +9,12 @@ bytes. Codec coverage is split honestly by what the container can decode:
   ``wave`` + numpy linear-interpolation resample) — no third-party codec
   needed, so image feature extraction and audio resampling genuinely
   decode bytes.
-- STUBBED behind ``_require_codec``: JPEG/PNG decode and video demux,
-  which need Pillow/PyAV that are absent here. The stubs either raise
+- REAL: BSEQ container demux + every-n frame sampling + per-frame BMP
+  decode (``video_frame_features``) — the full video featurizer pipeline
+  shape with the container format minimal enough to need no codec.
+- STUBBED behind ``_require_codec``: JPEG/PNG decode and real-world video
+  demux (MP4 etc.), which need Pillow/PyAV that are absent here. The
+  stubs either raise
   ``NotImplementedError`` (real decode requested) or produce a
   deterministic fake (pipeline testing). Swapping in the library changes
   only the inner function — the distributed shape (Arrow batches, no
@@ -216,6 +220,91 @@ def resize_images(
     return df.select(id_col, content_col).mapInPandas(_batches, schema=out_schema)
 
 
+BSEQ_MAGIC = b"BSEQ"
+
+
+def encode_bseq(frames: list[bytes]) -> bytes:
+    """Pack frames into the documented BSEQ container: magic + u32 frame
+    count + per-frame (u32 length + payload). A deliberately minimal
+    video-like container so the DEMUX path (header parse, frame walk,
+    every-n sampling) is real and testable without codec libraries —
+    the per-frame payloads here are BMPs the real decoder handles."""
+    parts = [BSEQ_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        parts.append(struct.pack("<I", len(f)))
+        parts.append(f)
+    return b"".join(parts)
+
+
+def demux_bseq(b: bytes) -> list[bytes] | None:
+    """Inverse of :func:`encode_bseq`; None if not a BSEQ payload (callers
+    fall through to the codec stub for real video containers)."""
+    if len(b) < 8 or b[:4] != BSEQ_MAGIC:
+        return None
+    (n,) = struct.unpack_from("<I", b, 4)
+    off, frames = 8, []
+    for _ in range(n):
+        if off + 4 > len(b):
+            return None
+        (ln,) = struct.unpack_from("<I", b, off)
+        off += 4
+        if off + ln > len(b):
+            return None
+        frames.append(b[off : off + ln])
+        off += ln
+    return frames
+
+
+def video_frame_features(
+    df: DataFrame,
+    every_n: int = 2,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """REAL frame-sampling pipeline: demux the BSEQ container, keep every
+    ``every_n``-th frame, decode each kept frame with the real BMP decoder
+    and emit (id, frame_idx, width, height, mean_luma) — the 1:N
+    ``mapInPandas`` generator shape a video featurizer needs (output rows
+    do not align with input rows; batches stream). Non-BSEQ content hits
+    the codec stub (no video libs in this container)."""
+    out_schema = (
+        f"{id_col} long, frame_idx int, width int, height int, mean_luma double"
+    )
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r[content_col])
+                frames = demux_bseq(content)
+                if frames is None:
+                    _require_codec("video-demux")
+                for idx in range(0, len(frames), every_n):
+                    bmp = decode_bmp(frames[idx])
+                    if bmp is None:
+                        _require_codec("video-frame-decode")
+                    w, h, px = bmp
+                    luma = (
+                        0.114 * px[..., 0]
+                        + 0.587 * px[..., 1]
+                        + 0.299 * px[..., 2]
+                    )
+                    rows.append(
+                        {
+                            id_col: r[id_col],
+                            "frame_idx": idx,
+                            "width": w,
+                            "height": h,
+                            "mean_luma": float(luma.mean() / 255.0),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "width", "height", "mean_luma"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(_batches, schema=out_schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     every_n: int = 30,
@@ -230,11 +319,18 @@ def sample_video_frames(
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                _require_codec("video-demux")
             rows = []
             for _, r in pdf.iterrows():
                 content = bytes(r[content_col])
+                frames = demux_bseq(content)
+                if frames is not None:  # real demux path (BSEQ container)
+                    for i in range(0, len(frames), every_n):
+                        rows.append(
+                            {id_col: r[id_col], "frame_idx": i, "frame": frames[i]}
+                        )
+                    continue
+                if not fake:
+                    _require_codec("video-demux")
                 n_frames = max(1, len(content) // (every_n * 1000))
                 for i in range(n_frames):
                     rows.append(

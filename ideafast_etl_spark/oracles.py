@@ -1281,3 +1281,19 @@ FROM events
 GROUP BY user_decade
 ORDER BY user_decade
 """
+
+
+# BSEQ frame sampling: frames j in [0, 1 + doc_id % 3), kept when j % 2 = 0;
+# same dim/level arithmetic and Rec.601 float math as the Spark synthesis.
+ORACLES["video_frame_sample"] = """
+SELECT doc_id,
+  CAST(j AS INT) AS frame_idx,
+  CAST(2 + (doc_id + j) % 5 AS INT) AS width,
+  CAST(1 + (doc_id + j) % 4 AS INT) AS height,
+  ROUND((0.114*((doc_id*7 + j*13) % 256)
+       + 0.587*((doc_id*7 + j*13) % 256)
+       + 0.299*((doc_id*7 + j*13) % 256)) / 255.0, 6) AS mean_luma
+FROM documents, LATERAL unnest(generate_series(0, doc_id % 3, 2)) AS g(j)
+WHERE doc_id < 400
+ORDER BY doc_id, frame_idx
+"""

@@ -1988,3 +1988,50 @@ def variant_props_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_decade")
     )
+
+
+@register("video_frame_sample")
+def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame-sampling differential check (§2.13): a BSEQ
+    container of 1–3 gray BMP frames is synthesized per document (frame
+    dims/levels are doc_id arithmetic), demuxed for real, every 2nd frame
+    kept, and each kept frame decoded by the actual BMP decoder. The
+    oracle replays the expected (frame_idx, width, height, luma) per
+    sampled frame via generate_series — any demux offset error, sampling
+    off-by-one, or decode drift mismatches."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                frames = []
+                for j in range(int(1 + i % 3)):
+                    w, h = int(2 + (i + j) % 5), int(1 + (i + j) % 4)
+                    v = int((i * 7 + j * 13) % 256)
+                    frames.append(
+                        mm.encode_bmp(np.full((h, w, 3), v, dtype=np.uint8))
+                    )
+                rows.append({"doc_id": int(i), "content": mm.encode_bseq(frames)})
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    clips = docs.mapInPandas(_make, schema="doc_id long, content binary")
+    feats = mm.video_frame_features(clips, every_n=2, id_col="doc_id")
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    ).orderBy("doc_id", "frame_idx")

@@ -177,3 +177,49 @@ def test_package_shipping_is_idempotent(spark):
     ensure_package_shipped(spark)
     assert getattr(spark.sparkContext, _FLAG) is True
     ensure_package_shipped(spark)  # second call: no re-zip, no error
+
+
+def test_bseq_roundtrip_and_corruption():
+    from ideafast_etl_spark.operators.multimodal import demux_bseq, encode_bseq
+
+    frames = [b"one", b"", b"three-3"]
+    packed = encode_bseq(frames)
+    assert demux_bseq(packed) == frames
+    assert demux_bseq(b"notbseq") is None
+    assert demux_bseq(packed[:-2]) is None  # truncated last frame
+
+
+def test_video_frame_features_real_demux_and_decode(spark):
+    import numpy as np
+
+    from ideafast_etl_spark.operators import multimodal as mm
+
+    frames = [
+        mm.encode_bmp(np.full((2, 3, 3), v, dtype=np.uint8)) for v in (10, 20, 30)
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(mm.encode_bseq(frames)))], "asset_id long, content binary"
+    )
+    out = sorted(
+        mm.video_frame_features(df, every_n=2).collect(), key=lambda r: r.frame_idx
+    )
+    # every 2nd frame of 3 -> indices 0 and 2, decoded for real
+    assert [(r.frame_idx, r.width, r.height) for r in out] == [(0, 3, 2), (2, 3, 2)]
+    assert out[0].mean_luma == pytest.approx(10 / 255.0)
+    assert out[1].mean_luma == pytest.approx(30 / 255.0)
+
+
+def test_sample_video_frames_real_path_emits_frame_bytes(spark):
+    import numpy as np
+
+    from ideafast_etl_spark.operators import multimodal as mm
+
+    frames = [
+        mm.encode_bmp(np.full((1, 1, 3), v, dtype=np.uint8)) for v in range(4)
+    ]
+    df = spark.createDataFrame(
+        [(7, bytearray(mm.encode_bseq(frames)))], "asset_id long, content binary"
+    )
+    out = {r.frame_idx: bytes(r.frame) for r in mm.sample_video_frames(df, every_n=3).collect()}
+    assert set(out) == {0, 3}
+    assert out[0] == frames[0] and out[3] == frames[3]
