@@ -1297,3 +1297,16 @@ FROM documents, LATERAL unnest(generate_series(0, doc_id % 3, 2)) AS g(j)
 WHERE doc_id < 400
 ORDER BY doc_id, frame_idx
 """
+
+
+# Deterministic 80/10/10 split: same sha256-bucket recipe (salt 'split0').
+ORACLES["dataset_splits"] = """
+WITH b AS (
+  SELECT lang,
+    ('0x' || substr(sha256(doc_id::VARCHAR || 'split0'), 1, 15))::BIGINT % 100 AS bk
+  FROM documents
+)
+SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+  lang, COUNT(*) AS n_docs
+FROM b GROUP BY split, lang ORDER BY split, lang
+"""

@@ -2035,3 +2035,27 @@ def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round(F.col("mean_luma"), 6).alias("mean_luma"),
     ).orderBy("doc_id", "frame_idx")
+
+
+@register("dataset_splits")
+def dataset_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (§2.13): split by sha256
+    bucket of doc_id (80/10/10) — a pure column expression, so the split is
+    stable across engines, runs, and cluster layouts (the property that
+    makes eval sets trustworthy). Returns per-split/language counts; the
+    oracle recomputes the same bucket arithmetic."""
+    from .operators.packing import stable_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    b = stable_bucket("doc_id", 100, salt="split0")
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )

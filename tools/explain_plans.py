@@ -76,6 +76,8 @@ EXPECTATIONS: dict[str, list[str]] = {
     "lang_temperature_sample": ["BroadcastHashJoin", "!BroadcastNestedLoopJoin"],
     # Morton key is unrolled shift/mask codegen — no Python, batched scan
     "zorder_curve": ["!BatchEvalPython", "!ArrowEvalPython", "Batched: true"],
+    # split assignment is a pure column expression + partial agg
+    "dataset_splits": ["partial_count", "!BatchEvalPython", "Batched: true"],
 }
 
 

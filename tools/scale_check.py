@@ -36,6 +36,10 @@ QUERIES = [
     "minhash_near_dup",
     "embedding_topk",
     "text_stats",
+    "decontaminate_ngrams",
+    "repetition_stats",
+    "lang_temperature_sample",
+    "zorder_curve",
 ]
 
 
