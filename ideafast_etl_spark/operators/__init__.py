@@ -1,8 +1,11 @@
 from . import (  # noqa: F401
+    bucketing,
+    corpus,
     dedup,
     filters,
     grouping,
     joins,
+    layout,
     metrics,
     multimodal,
     projections,

@@ -93,3 +93,15 @@ def test_temperature_sample_deterministic(spark):
         for r in temperature_sample(df.repartition(7), "lang", "doc_id").collect()
     )
     assert ids1 == ids2
+
+
+def test_corpus_ops_empty_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    docs = _docs(spark, [(1, "a b c d")])
+    # empty eval set -> nothing is contaminated
+    assert ngram_decontaminate(docs, empty, n=2).count() == 0
+    # empty corpus -> no rows out of either op
+    assert ngram_decontaminate(empty, docs, n=2).count() == 0
+    assert repetition_stats(empty).count() == 0
+    empty_l = spark.createDataFrame([], "doc_id long, lang string")
+    assert temperature_sample(empty_l, "lang", "doc_id").count() == 0

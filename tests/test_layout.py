@@ -85,3 +85,13 @@ def test_zorder_layout_narrows_minmax_in_both_dims(spark, tmp_path):
         # every random-layout file spans ~the full range; Z-order files
         # must be materially narrower in BOTH dimensions simultaneously
         assert z_mean < 0.7 * r_mean, (c, z_mean, r_mean)
+
+
+def test_zorder_key_is_injective_on_the_grid(spark):
+    grid = spark.range(16).selectExpr("id as x").crossJoin(
+        spark.range(16).selectExpr("id as y")
+    )
+    z = grid.select(zorder_key(F.col("x"), F.col("y"), bits=4).alias("z"))
+    assert z.distinct().count() == 256  # bijection onto [0, 2^8)
+    mn, mx = z.agg(F.min("z"), F.max("z")).first()
+    assert (mn, mx) == (0, 255)
