@@ -1310,3 +1310,27 @@ SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS
   lang, COUNT(*) AS n_docs
 FROM b GROUP BY split, lang ORDER BY split, lang
 """
+
+
+# Length-curriculum packing: same next-fit fold as sequence_packing but in
+# (n_chars, doc_id) order and 512-token bins.
+ORACLES["curriculum_packing"] = f"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id,
+    CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS tokens,
+    CAST(row_number() OVER (
+      PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+  FROM documents
+), packed AS (
+  SELECT lang, doc_id, tokens, rn,
+    CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_pos, tokens AS cur
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.doc_id, t.tokens, t.rn,
+    CASE WHEN p.cur + t.tokens > 512 THEN p.bin_id + 1 ELSE p.bin_id END,
+    CASE WHEN p.cur + t.tokens > 512 THEN CAST(0 AS BIGINT) ELSE p.bin_pos + 1 END,
+    CASE WHEN p.cur + t.tokens > 512 THEN t.tokens ELSE p.cur + t.tokens END
+  FROM toks t JOIN packed p ON t.lang = p.lang AND t.rn = p.rn + 1
+)
+SELECT doc_id, lang, tokens, bin_id, bin_pos FROM packed
+"""

@@ -2059,3 +2059,28 @@ def dataset_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+@register("curriculum_packing")
+def curriculum_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered packing (§2.13 composition): rank documents
+    short→long per language (the classic length-curriculum; n_chars with
+    doc_id tie-break — fully deterministic), then next-fit pack the
+    curriculum order into 512-token bins. Composes quality signal →
+    ranking window → applyInPandas fold; the oracle replays the identical
+    fold as a recursive CTE over the same rank."""
+    from .operators.packing import pack_sequences
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("tokens", T.token_count(F.col("text")).cast("long"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+            ).cast("long"),
+        )
+    )
+    return pack_sequences(
+        docs, cap=512, group_cols=["lang"], order_col="rank", token_col="tokens"
+    )
