@@ -1,0 +1,89 @@
+"""Text retrieval scoring (§2.13): BM25 over the documents table — the
+ranking function a corpus-curation pipeline uses to find documents relevant
+to a probe query (quality probes, topic filters, retrieval-based data
+selection a la DSIR).
+
+Plan shape at 100 TB: the query term set is BOUNDED (a handful of terms),
+so everything data-sized stays on the corpus side of broadcasts:
+
+1. per-doc token counts (one explode + agg keyed on doc_id),
+2. corpus scalars (N, avg doc length) as a 1-row aggregate broadcast back
+   (NOT an unpartitioned window — that would drag the per-doc table onto
+   a single partition),
+3. tokens filtered to the literal query-term set before any shuffle,
+4. document frequencies of the query terms (|query| rows) broadcast back,
+5. one final agg keyed on the uniform doc id.
+
+Float discipline: each (doc, term) contributes exactly one term score (a
+conditional single-row sum — never a multi-row float accumulation), and
+the per-doc total adds the per-term columns in sorted-term order, so the
+summation order is identical in any engine at any parallelism. The idf's
+``ln`` is the one engine-dependent transcendental; rounding the total to
+6 dp absorbs final-ulp libm divergence.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _tokens
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document containing at least one query term with Okapi
+    BM25 (k1/b defaults per the literature). Returns (id, n_terms_hit,
+    score), score rounded to 6 dp."""
+    terms = sorted(set(query_terms))
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
+    )
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("__sum_dl"), F.count("*").alias("n_docs")
+    )
+    dl = dl.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", F.col("__sum_dl") / F.col("n_docs")
+    )
+    tf = (
+        toks.filter(F.col("t").isin(terms))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(dl, id_col)
+        .withColumn(
+            "term_score",
+            idf
+            * F.col("tf")
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    # one conditional single-row sum per term, added in sorted-term order:
+    # the float summation order is engine- and parallelism-independent
+    term_cols: list[Column] = [
+        F.coalesce(
+            F.sum(F.when(F.col("t") == t, F.col("term_score"))), F.lit(0.0)
+        )
+        for t in terms
+    ]
+    total = reduce(lambda a, c: a + c, term_cols)
+    return per_term.groupBy(id_col).agg(
+        F.count("*").alias("n_terms_hit"),
+        F.round(total, 6).alias("score"),
+    )

@@ -1334,3 +1334,35 @@ WITH RECURSIVE toks AS (
 )
 SELECT doc_id, lang, tokens, bin_id, bin_pos FROM packed
 """
+
+
+# BM25 twin: identical operand order everywhere (see operators/retrieval.py
+# float discipline); ln is the one transcendental, absorbed by ROUND 6.
+ORACLES["bm25_retrieval"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({NORM_TEXT}, ' ')) AS t FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM tok
+  WHERE t IN ('join','query','spark','table','window')
+  GROUP BY doc_id, t
+), dfreq AS (
+  SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+), per AS (
+  SELECT tf.doc_id, tf.t,
+    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * tf.tf /
+      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS ts
+  FROM tf JOIN dfreq d USING (t) JOIN dl USING (doc_id), stats s
+)
+SELECT doc_id, COUNT(*) AS n_terms_hit,
+  ROUND(
+    COALESCE(SUM(CASE WHEN t='join' THEN ts END), 0)
+    + COALESCE(SUM(CASE WHEN t='query' THEN ts END), 0)
+    + COALESCE(SUM(CASE WHEN t='spark' THEN ts END), 0)
+    + COALESCE(SUM(CASE WHEN t='table' THEN ts END), 0)
+    + COALESCE(SUM(CASE WHEN t='window' THEN ts END), 0), 6) AS score
+FROM per GROUP BY doc_id ORDER BY doc_id
+"""

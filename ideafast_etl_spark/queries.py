@@ -2084,3 +2084,18 @@ def curriculum_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         docs, cap=512, group_cols=["lang"], order_col="rank", token_col="tokens"
     )
+
+
+@register("bm25_retrieval")
+def bm25_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring against a 5-term probe query (§2.13 retrieval —
+    the data-selection primitive): bounded term set means the df table and
+    corpus scalars broadcast; the corpus shuffles only on doc_id. Per-doc
+    totals add per-term columns in sorted-term order (engine- and
+    parallelism-independent float summation)."""
+    from .operators.retrieval import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(
+        docs, ["join", "query", "spark", "table", "window"]
+    ).orderBy("doc_id")

@@ -78,6 +78,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     "zorder_curve": ["!BatchEvalPython", "!ArrowEvalPython", "Batched: true"],
     # split assignment is a pure column expression + partial agg
     "dataset_splits": ["partial_count", "!BatchEvalPython", "Batched: true"],
+    # bounded df/stats tables broadcast; corpus shuffles only on doc_id.
+    # (a BroadcastNestedLoopJoin IS present and correct here: the 1-row
+    # corpus-scalars frame cross-joined in — a broadcast scalar, not an
+    # all-pairs data join, so it is not banned for this query)
+    "bm25_retrieval": ["BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython"],
 }
 
 
