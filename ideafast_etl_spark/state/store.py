@@ -414,12 +414,21 @@ class StateStore:
         self._swap_pointer(version)
         return {"updated": n_upd, "inserted": n_ins}
 
-    def changes(self, since: str, until: str | None = None) -> DataFrame:
+    def changes(
+        self, since: str, until: str | None = None, include_preimage: bool = False
+    ) -> DataFrame:
         """Change-data-feed between two retained snapshots (the snapshot
         store's analog of Delta's ``table_changes``): a keyed full-outer
         diff classifying every key as insert / update / delete. Returns the
         *new* row image for inserts/updates and the old image for deletes,
         plus a ``change_type`` column; unchanged keys are dropped.
+
+        With ``include_preimage=True`` updates emit TWO rows —
+        ``update_preimage`` (old image) and ``update_postimage`` (new) —
+        exactly Delta CDF's shape, which is what incremental view
+        maintenance needs: a downstream aggregate applies −pre, +post
+        without re-reading the table (see
+        ``tests/test_cdc_changes.py::test_incremental_view_maintenance``).
 
         Columns added by schema evolution after ``since`` read NULL on the
         old side, so rows whose only difference is a newly-populated column
@@ -471,11 +480,31 @@ class StateStore:
             .alias(c)
             for c in cols
         ]
-        return (
+        out = (
             j.withColumn("change_type", change)
             .filter(F.col("change_type").isNotNull())
             .select("change_type", *image)
         )
+        if not include_preimage:
+            return out
+        out = out.withColumn(
+            "change_type",
+            F.when(
+                F.col("change_type") == "update", F.lit("update_postimage")
+            ).otherwise(F.col("change_type")),
+        )
+        pre = (
+            j.filter(
+                F.col("__ofp").isNotNull()
+                & F.col("__nfp").isNotNull()
+                & (F.col("__ofp") != F.col("__nfp"))
+            )
+            .select(
+                F.lit("update_preimage").alias("change_type"),
+                *[F.col(f"__o_{c}").alias(c) for c in cols],
+            )
+        )
+        return out.unionByName(pre)
 
     def file_counts(self) -> dict[str, int]:
         """Data-file count per partition directory of the current snapshot
