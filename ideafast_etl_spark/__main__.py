@@ -61,7 +61,44 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def run_query(argv: list[str], spark: SparkSession | None = None) -> dict:
+    """``python -m ideafast_etl_spark query <name> [--sf-dir D] [--show N]``:
+    run any query from the registry (the operator inventory) against a
+    testdata directory and print row count + the first rows as JSON."""
+    import os
+
+    from .queries import all_queries
+
+    p = argparse.ArgumentParser(prog="ideafast_etl_spark query")
+    p.add_argument("name", nargs="?", help="query name; omit to list all")
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    p.add_argument("--show", type=int, default=10)
+    args = p.parse_args(argv)
+    registry = all_queries()
+    if not args.name:
+        print(json.dumps({"queries": sorted(registry)}))
+        return {"queries": sorted(registry)}
+    if args.name not in registry:
+        raise SystemExit(f"unknown query {args.name!r}; run without a name to list")
+    spark = spark or get_spark("ideafast-etl-query")
+    df = registry[args.name](spark, args.sf_dir)
+    rows = df.limit(args.show).collect()
+    report = {
+        "query": args.name,
+        "n_rows": df.count(),
+        "rows": [r.asDict(recursive=True) for r in rows],
+    }
+    print(json.dumps(report, default=str))
+    return report
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> dict:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "query":
+        return run_query(argv[1:], spark=spark)
     args = build_parser().parse_args(argv)
     spark = spark or get_spark("ideafast-etl")
     cfg = PipelineConfig(

@@ -45,3 +45,26 @@ def test_cli_full_run_then_single_stage(spark, tmp_path):
     # single-stage re-run: nothing left to group
     report2 = main(["--state-dir", state, "--stage", "group"], spark=spark)
     assert report2 == {"grouped": 0}
+
+
+def test_cli_query_subcommand_runs_registry_query(spark, capsys):
+    import json
+
+    from ideafast_etl_spark.__main__ import main
+
+    report = main(
+        ["query", "tpch_q6_forecast_revenue", "--sf-dir", "/root/testdata/sf0.001"],
+        spark=spark,
+    )
+    assert report["query"] == "tpch_q6_forecast_revenue"
+    assert report["n_rows"] == 1 and len(report["rows"]) == 1
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["n_rows"] == 1
+
+
+def test_cli_query_subcommand_lists_queries(spark, capsys):
+    from ideafast_etl_spark.__main__ import main
+
+    report = main(["query"], spark=spark)
+    assert "tpch_q1_pricing_summary" in report["queries"]
+    assert len(report["queries"]) > 80
