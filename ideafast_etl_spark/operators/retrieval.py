@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _tokens
@@ -86,4 +86,53 @@ def bm25_scores(
     return per_term.groupBy(id_col).agg(
         F.count("*").alias("n_terms_hit"),
         F.round(total, 6).alias("score"),
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf (§2.13 — the
+    keyword-extraction / topic-signal primitive of corpus curation).
+
+    score = tf * ln(n_docs / df): every factor is either an integer
+    aggregate (tf, df, n_docs) or a single transcendental over an
+    integer-derived ratio — NO cross-row float summation anywhere, so the
+    value is deterministic at any parallelism; rounding to 6 dp absorbs
+    last-ulp libm divergence between engines, and the per-doc ranking
+    orders by the ROUNDED score (term-asc tie-break), so both engines rank
+    identical values identically.
+
+    Plan shape at 100 TB: tf aggregates on the uniform (doc, term) key;
+    document frequency aggregates on term (stopword skew is count-only
+    with map-side partials); the df table is vocabulary-sized, so its join
+    back to tf is left to AQE (shuffle join on term when the vocab
+    outgrows broadcast); n_docs rides a 1-row broadcast; the final top-k
+    window shuffles on the uniform doc id only."""
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "score", "term_rank")
     )

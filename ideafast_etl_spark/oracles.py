@@ -1366,3 +1366,42 @@ SELECT doc_id, COUNT(*) AS n_terms_hit,
     + COALESCE(SUM(CASE WHEN t='window' THEN ts END), 0), 6) AS score
 FROM per GROUP BY doc_id ORDER BY doc_id
 """
+
+# Heavy hitters: the Spark side accelerates with a count-min sketch, but the
+# exact verify pass makes its OUTPUT a plain relative-threshold GROUP BY —
+# integer threshold arithmetic (freq * 500 >= total) is exact in any engine.
+ORACLES["token_heavy_hitters"] = f"""
+WITH toks AS (
+  SELECT unnest({_WORDS}) AS token FROM documents
+), tot AS (
+  SELECT COUNT(*) AS total FROM toks
+)
+SELECT token, COUNT(*) AS freq
+FROM toks, tot
+GROUP BY token, tot.total
+HAVING COUNT(*) * 500 >= tot.total
+"""
+
+# tf-idf twin: integer tf/df/n_docs; one ln per (doc, term); both engines
+# rank the ROUNDED score with a term tie-break, so orderings agree.
+ORACLES["tfidf_top_terms"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS score
+  FROM tf JOIN dfreq d USING (term), n
+), ranked AS (
+  SELECT doc_id, term, tf, score,
+    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+         AS INTEGER) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score, term_rank FROM ranked WHERE term_rank <= 5
+"""

@@ -2099,3 +2099,29 @@ def bm25_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(
         docs, ["join", "query", "spark", "table", "window"]
     ).orderBy("doc_id")
+
+
+@register("token_heavy_hitters")
+def token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (§2.13): corpus-level frequent-token
+    table (freq >= total/500) via sketch-then-verify — the map-side sketch
+    filter prunes the exact aggregation so the shuffle carries candidate
+    rows only, while the exact HAVING makes the OUTPUT identical to a plain
+    GROUP BY ... HAVING (which is the oracle). The integer threshold
+    ``freq * 500 >= total`` is exact in any engine."""
+    from .operators.sketch import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(dedup._tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(toks, "token", inv_phi=500)
+
+
+@register("tfidf_top_terms")
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 tf-idf terms (§2.13 keyword extraction): integer
+    tf/df/n_docs, one ln per (doc, term), ranking over the ROUNDED score
+    with term tie-break — deterministic at any parallelism."""
+    from .operators.retrieval import tf_idf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf_top_terms(docs, k=5)

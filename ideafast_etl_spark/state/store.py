@@ -40,6 +40,7 @@ import time
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 _POINTER = "_CURRENT"
 
@@ -54,15 +55,21 @@ class StateStore:
         key: str = "hash",
         partition_by: tuple[str, ...] = ("device_type",),
         keep_versions: int = 1,
+        log_appends: bool = True,
     ) -> None:
         """``keep_versions`` > 1 retains older snapshots for time travel
         (``read(version=...)`` / ``versions()``) — the snapshot-store analog
-        of Delta's VERSION AS OF, bounded so storage stays O(keep_versions)."""
+        of Delta's VERSION AS OF, bounded so storage stays O(keep_versions).
+
+        ``log_appends`` keeps an append change log under ``_cdc/`` (hardlinks
+        of each insert delta's part-files — zero extra jobs) that
+        ``stream_appends()`` exposes as a Structured-Streaming source."""
         self.spark = spark
         self.path = path
         self.key = key
         self.partition_by = partition_by
         self.keep_versions = max(1, keep_versions)
+        self.log_appends = log_appends
         os.makedirs(path, exist_ok=True)
 
     # -- snapshot mechanics ---------------------------------------------------
@@ -216,9 +223,66 @@ class StateStore:
         if n == 0:
             self._discard(out)
             return 0
+        # CDC capture BEFORE old files link in: ``out`` holds exactly the
+        # delta part-files at this point, so the change log costs hardlinks
+        # only — no second write job, no diff job
+        self._log_append(out, version)
         self._link_tree(old_dir, out)
         self._swap_pointer(version)
         return n
+
+    # -- append change log (streaming CDC source) -----------------------------
+
+    def cdc_path(self) -> str:
+        return os.path.join(self.path, "_cdc")
+
+    def _log_append(self, delta_dir: str, version: str) -> None:
+        """Hardlink the delta's part-files into the append change log under
+        ``_cdc/commit_version=<v>/`` (partition subdirs preserved). Pure
+        inode links — the log is free at write time and immutable, which is
+        exactly what Spark's file streaming source needs: each commit's
+        files appear once, atomically, and are never rewritten."""
+        if not self.log_appends:
+            return
+        self._link_tree(delta_dir, os.path.join(self.cdc_path(), f"commit_version={version}"))
+
+    def stream_appends(self, schema: StructType | None = None) -> DataFrame:
+        """Structured-Streaming source over the append change log — the
+        snapshot store's analog of streaming from a Delta table (which is
+        likewise append-only by default: updates/merges do NOT emit stream
+        rows; the batch ``changes()`` diff covers those). Each streamed row
+        carries ``commit_version`` so consumers can window/replay by commit.
+
+        The file source tracks seen files in the checkpoint, so a consumer
+        restarted with the same ``checkpointLocation`` resumes exactly
+        after the last processed commit — at-least-once end to end, dedup
+        by the unique key gives effectively-once (§2.11 semantics).
+
+        Scale: the log is the sequence of deltas, so a streaming consumer
+        reads O(new data) per trigger regardless of table size; snapshot GC
+        never touches the log (hardlinks keep the bytes alive)."""
+        os.makedirs(self.cdc_path(), exist_ok=True)
+        if schema is None:
+            base = self.read().schema
+            schema = StructType(
+                list(base.fields)
+                + [StructField("commit_version", StringType(), True)]
+            )
+        return self.spark.readStream.schema(schema).parquet(self.cdc_path())
+
+    def truncate_cdc(self, before_version: str) -> int:
+        """Retention: drop change-log commits strictly older than
+        ``before_version`` (consumers' checkpoints already passed them).
+        Returns the number of commit directories removed."""
+        root = self.cdc_path()
+        if not os.path.isdir(root):
+            return 0
+        removed = 0
+        for d in os.listdir(root):
+            if d.startswith("commit_version=") and d.split("=", 1)[1] < before_version:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                removed += 1
+        return removed
 
     # -- MERGE-shaped transitions --------------------------------------------
 
@@ -241,6 +305,10 @@ class StateStore:
         incoming = incoming.dropDuplicates([self.key])
         if not self.exists():
             self.init(incoming)
+            # the bootstrap snapshot is itself an insert batch for CDC
+            v = self.current_version()
+            assert v is not None
+            self._log_append(self._snapshot_dir(v), v)
             return self.read().count()  # once-per-store bootstrap only
         state = self.read()
         for f in state.schema.fields:
