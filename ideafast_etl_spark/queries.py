@@ -1103,11 +1103,14 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    # Timestamp subtraction yields a day-time interval for both TIMESTAMP
+    # (LTZ) and TIMESTAMP_NTZ inputs, so the 30-minute gap test is agnostic
+    # to how the parquet fixture encodes `ts` (unix_micros rejects NTZ).
     flagged = lagged.withColumn(
         "new_sess",
         F.when(
             F.col("prev_ts").isNull()
-            | ((F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))) > 1800 * 1_000_000),
+            | ((F.col("ts") - F.col("prev_ts")) > F.expr("INTERVAL 30 MINUTES")),
             1,
         ).otherwise(0),
     )
