@@ -117,7 +117,7 @@ class StateStore:
 
     def _write_snapshot(self, df: DataFrame) -> None:
         version = f"{time.time_ns()}"
-        out = self._snapshot_dir(version)
+        out = self._staging_dir(version)
         if df.isEmpty():
             # a partitionBy write of an empty frame emits NO files (no schema
             # footer) and the snapshot becomes unreadable; write one empty
@@ -128,8 +128,9 @@ class StateStore:
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
             writer.parquet(out)
-        # atomic pointer swap: readers see old or new, never partial
-        self._swap_pointer(version)
+        # staged rename + atomic pointer swap: readers see old or new, never
+        # partial, even across a crash mid-write
+        self._commit(version, out)
 
     def _gc(self, keep: tuple[str, ...]) -> None:
         current = self.current_version()
@@ -141,6 +142,12 @@ class StateStore:
         keep_dirs |= set(all_versions[: self.keep_versions])
         for d in all_versions:
             if d not in keep_dirs:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        # opportunistic cleanup of staging dirs orphaned by a crash between
+        # write and commit — GC runs post-rename, so no live staging dir can
+        # exist here (single-writer contract)
+        for d in os.listdir(self.path):
+            if d.startswith("_tmp_v_"):
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     def _swap_pointer(self, version: str) -> None:
@@ -168,19 +175,32 @@ class StateStore:
                 continue
             self._link_tree(src, os.path.join(out, entry))
 
+    def _staging_dir(self, version: str) -> str:
+        return os.path.join(self.path, f"_tmp_v_{version}")
+
     def _write_uncommitted(self, df: DataFrame) -> tuple[str, str]:
         """Write ``df`` as the next snapshot's data files WITHOUT swapping
-        the pointer. Callers inspect their Observation after this action and
-        either ``_swap_pointer`` (commit) or ``_discard`` (no-op run — the
-        state is unchanged, so no new version is published)."""
+        the pointer. The files land in a ``_tmp_v_<version>`` staging dir —
+        invisible to ``versions()`` / ``read(version)`` and to GC retention
+        accounting — so a crash between write and commit can never expose a
+        partial snapshot or eat a retention slot. Callers inspect their
+        Observation after this action and either ``_commit`` (rename into
+        place + pointer swap) or ``_discard`` (no-op run — the state is
+        unchanged, so no new version is published)."""
         version = f"{time.time_ns()}"
-        out = self._snapshot_dir(version)
+        out = self._staging_dir(version)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(out)
         os.makedirs(out, exist_ok=True)  # all-empty partitioned write emits nothing
         return version, out
+
+    def _commit(self, version: str, out: str) -> None:
+        """Publish a staged snapshot: single-directory rename (atomic on a
+        POSIX filesystem) followed by the atomic pointer swap."""
+        os.rename(out, self._snapshot_dir(version))
+        self._swap_pointer(version)
 
     def _discard(self, out: str) -> None:
         shutil.rmtree(out, ignore_errors=True)
@@ -228,7 +248,7 @@ class StateStore:
         # only — no second write job, no diff job
         self._log_append(out, version)
         self._link_tree(old_dir, out)
-        self._swap_pointer(version)
+        self._commit(version, out)
         return n
 
     # -- append change log (streaming CDC source) -----------------------------
@@ -279,7 +299,11 @@ class StateStore:
             return 0
         removed = 0
         for d in os.listdir(root):
-            if d.startswith("commit_version=") and d.split("=", 1)[1] < before_version:
+            # numeric compare: versions are time_ns integers, and a string
+            # compare would mis-order values of different digit lengths
+            if d.startswith("commit_version=") and int(d.split("=", 1)[1]) < int(
+                before_version
+            ):
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
                 removed += 1
         return removed
@@ -355,10 +379,13 @@ class StateStore:
         upd = updates.select(
             F.col(self.key),
             *[F.col(c).alias(f"__new_{c}") for c in set_cols],
+            # dedicated match marker: counting on a set-column would report
+            # 0 for a matched row whose FIRST update value is NULL even when
+            # later columns carry fills — and the commit would be discarded
+            F.lit(True).alias("__matched"),
         )
         if broadcast_updates:
             upd = F.broadcast(upd)
-        marker = f"__new_{set_cols[0]}"
         obs = Observation()
         # observe at the ROOT of the written plan: metrics survive AQE
         # empty-relation pruning (an observe on an empty broadcast side
@@ -366,12 +393,12 @@ class StateStore:
         merged = target.join(upd, on=self.key, how="left").observe(
             obs,
             F.coalesce(
-                F.sum(F.col(marker).isNotNull().cast("long")), F.lit(0)
+                F.sum(F.col("__matched").cast("long")), F.lit(0)
             ).alias("n_matched"),
         )
         for c in set_cols:
             merged = merged.withColumn(c, F.coalesce(F.col(c), F.col(f"__new_{c}")))
-        merged = merged.drop(*[f"__new_{c}" for c in set_cols])
+        merged = merged.drop(*[f"__new_{c}" for c in set_cols], "__matched")
         version, out = self._write_uncommitted(merged)
         n = int(obs.get["n_matched"])
         if n == 0:
@@ -379,7 +406,7 @@ class StateStore:
             return 0
         if selective:
             self._link_other_partitions(out, partition_value)  # type: ignore[arg-type]
-        self._swap_pointer(version)
+        self._commit(version, out)
         return n
 
     def merge(
@@ -411,6 +438,21 @@ class StateStore:
         nothing publishes no version. Returns {'updated': n, 'inserted': n}
         observed on the write action itself.
 
+        Delta-MERGE error contract: a source with DUPLICATE keys raises
+        ``ValueError`` (Delta's "multiple source rows matched" runtime
+        error) instead of silently fanning the join out into duplicated
+        state rows. Detection rides the write action itself: the source is
+        pre-aggregated per key (one extra source-side shuffle — the source
+        is the small side) and a per-key multiplicity flag is summed by the
+        same Observation that counts updates/inserts; on violation the
+        uncommitted snapshot is discarded and no version is published.
+
+        Partition-selective inserts are guarded against cross-partition
+        duplicates: with ``partition_value`` + ``insert_when_not_matched``,
+        source keys already present in OTHER partitions are anti-joined out
+        (they are outside the selective scope — neither updated nor
+        re-inserted), so a key can never come to live in two partitions.
+
         ``merge_non_overwrite`` / ``mark_uploaded`` / ``append_new`` remain
         the fast paths the pipeline uses (append_new is file-level append —
         cheaper than any join-based merge for pure inserts)."""
@@ -423,7 +465,19 @@ class StateStore:
             else state
         )
         target_cols = target.columns
-        src = F.broadcast(source) if broadcast_source else source
+        # per-key multiplicity for the duplicate-source guard; first() values
+        # are only ever committed when __src_n == 1, so the non-determinism
+        # of first() never reaches state
+        checked = source.groupBy(self.key).agg(
+            F.count(F.lit(1)).alias("__src_n"),
+            *[F.first(c).alias(c) for c in source.columns if c != self.key],
+        )
+        if selective and insert_when_not_matched:
+            other_keys = state.filter(
+                F.col(self.partition_by[0]) != partition_value
+            ).select(self.key)
+            checked = checked.join(other_keys, on=self.key, how="left_anti")
+        src = F.broadcast(checked) if broadcast_source else checked
         j = target.alias("t").join(
             src.alias("src"),
             F.col(f"t.{self.key}") == F.col(f"src.{self.key}"),
@@ -462,24 +516,35 @@ class StateStore:
                 do_update.cast("long").alias("__upd"),
                 do_insert.cast("long").alias("__ins"),
                 (has_t | do_insert).alias("__keep"),
+                (F.coalesce(F.col("src.__src_n"), F.lit(0)) > 1)
+                .cast("long")
+                .alias("__dup"),
             )
             .filter(F.col("__keep"))
             .observe(
                 obs,
                 F.coalesce(F.sum("__upd"), F.lit(0)).alias("n_updated"),
                 F.coalesce(F.sum("__ins"), F.lit(0)).alias("n_inserted"),
+                F.coalesce(F.sum("__dup"), F.lit(0)).alias("n_dup_src"),
             )
-            .drop("__upd", "__ins", "__keep")
+            .drop("__upd", "__ins", "__keep", "__dup")
         )
         version, out = self._write_uncommitted(merged)
         m = obs.get
+        if int(m["n_dup_src"]) > 0:
+            self._discard(out)
+            raise ValueError(
+                "MERGE source contains duplicate keys "
+                f"(key column {self.key!r}); like Delta MERGE, multiple "
+                "source rows per key are an error — dedupe the source first"
+            )
         n_upd, n_ins = int(m["n_updated"]), int(m["n_inserted"])
         if n_upd == 0 and n_ins == 0:
             self._discard(out)
             return {"updated": 0, "inserted": 0}
         if selective:
             self._link_other_partitions(out, partition_value)  # type: ignore[arg-type]
-        self._swap_pointer(version)
+        self._commit(version, out)
         return {"updated": n_upd, "inserted": n_ins}
 
     def changes(
@@ -603,7 +668,7 @@ class StateStore:
 
         With ``partition_value``, only that partition compacts and all
         others hardlink (same O(affected partition) shape as the merges);
-        otherwise every partition with more than ``min_files`` files is
+        otherwise every partition with at least ``min_files`` files is
         rewritten. Readers are unaffected (snapshot pointer swap). Returns
         the number of partitions compacted."""
         counts = self.file_counts()
@@ -618,9 +683,11 @@ class StateStore:
                 part.repartition(target_partitions)
             )
             self._link_other_partitions(out, partition_value)
-            self._swap_pointer(version)
+            self._commit(version, out)
             return 1
-        fragmented = {d for d, n in counts.items() if n > min_files}
+        # >= to match the selective path: a partition at exactly min_files
+        # compacts in both modes
+        fragmented = {d for d, n in counts.items() if n >= min_files}
         if not fragmented:
             return 0
         if len(self.partition_by) == 1:
@@ -644,12 +711,12 @@ class StateStore:
                     and entry not in fragmented
                 ):
                     self._link_tree(src, os.path.join(out, entry))
-            self._swap_pointer(version)
+            self._commit(version, out)
             return len(frag_vals)
         version, out = self._write_uncommitted(
             self.read().repartition(target_partitions)
         )
-        self._swap_pointer(version)
+        self._commit(version, out)
         return 1
 
     def _quarantined_delete(self, keys: DataFrame) -> int:
@@ -721,5 +788,5 @@ class StateStore:
             return 0
         if selective:
             self._link_other_partitions(out, partition_value)  # type: ignore[arg-type]
-        self._swap_pointer(version)
+        self._commit(version, out)
         return n
