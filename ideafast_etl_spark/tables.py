@@ -85,11 +85,20 @@ def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame
     # files scan as LONG under nanosAsLong (truncate to micros here, matching
     # DuckDB), but Spark reads nanos files IT wrote (row-metadata present)
     # natively as timestamps — those need no conversion.
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for c in ns_cols:
         if isinstance(df.schema[c].dataType, LongType):
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    # Canonical timestamp contract: every query sees TIMESTAMP (LTZ, UTC
+    # session). Fixture regenerations have flipped between nanos (→ LTZ via
+    # the shim above) and micros-NTZ encodings; NTZ breaks unix_micros &
+    # friends (DATATYPE_MISMATCH), so normalise it here — under the pinned
+    # UTC session the wall-clock values are identical, and no query ever
+    # sees the drift. One normalisation point instead of N query fixes.
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.to_timestamp(F.col(f.name)))
     parallelism = spark.sparkContext.defaultParallelism
     if rows >= 50_000 and groups < max(2, parallelism // 4):
         df = df.repartition(parallelism)
