@@ -12,9 +12,12 @@ bytes. Codec coverage is split honestly by what the container can decode:
 - REAL: BSEQ container demux + every-n frame sampling + per-frame BMP
   decode (``video_frame_features``) — the full video featurizer pipeline
   shape with the container format minimal enough to need no codec.
-- STUBBED behind ``_require_codec``: JPEG/PNG decode and real-world video
-  demux (MP4 etc.), which need Pillow/PyAV that are absent here. The
-  stubs either raise
+- REAL: baseline-sequential JPEG decode/encode from the public T.81 spec
+  (``jpeg.py`` — huffman + dequant + IDCT + chroma upsampling in pure
+  numpy), so compressed-image feature extraction genuinely decodes bytes.
+- STUBBED behind ``_require_codec``: PNG / progressive-JPEG decode and
+  real-world video demux (MP4 etc.), which need Pillow/PyAV that are
+  absent here. The stubs either raise
   ``NotImplementedError`` (real decode requested) or produce a
   deterministic fake (pipeline testing). Swapping in the library changes
   only the inner function — the distributed shape (Arrow batches, no
@@ -127,6 +130,17 @@ def encode_bmp(px: np.ndarray) -> bytes:
     return header + data
 
 
+def _decode_any_image(content: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Try every real decoder (uncompressed BMP, then baseline JPEG) —
+    (width, height, HxWx3 uint8 BGR) or None for unsupported formats."""
+    decoded = decode_bmp(content)
+    if decoded is None and content[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_baseline
+
+        decoded = decode_jpeg_baseline(content)
+    return decoded
+
+
 def decode_image_features(
     df: DataFrame,
     content_col: str = "content",
@@ -134,11 +148,13 @@ def decode_image_features(
     fake: bool = False,
 ) -> DataFrame:
     """Per-image feature extraction via ``mapInPandas``. Uncompressed BMPs
-    are decoded for real (pure numpy — width, height, mean luma from the
-    actual pixels, Rec.601 weights). Compressed formats (JPEG/PNG) need a
-    codec library this container lacks: with ``fake=True`` a deterministic
-    checksum-derived stand-in keeps the plumbing testable, otherwise the
-    decode site raises NotImplementedError (STUB — no PIL here)."""
+    and baseline-sequential JPEGs are decoded for real (pure numpy — width,
+    height, mean luma from the actual pixels, Rec.601 weights; see
+    ``jpeg.py`` for the from-spec JPEG decoder). Remaining compressed
+    formats (PNG, progressive JPEG) need a codec library this container
+    lacks: with ``fake=True`` a deterministic checksum-derived stand-in
+    keeps the plumbing testable, otherwise the decode site raises
+    NotImplementedError (STUB — no PIL here)."""
     out_schema = f"{id_col} long, width int, height int, mean_luma double"
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -148,9 +164,9 @@ def decode_image_features(
             rows = []
             for _, r in pdf.iterrows():
                 content = bytes(r[content_col])
-                bmp = decode_bmp(content)
-                if bmp is not None:
-                    w, h, px = bmp
+                decoded = _decode_any_image(content)
+                if decoded is not None:
+                    w, h, px = decoded
                     luma = (
                         0.114 * px[..., 0]
                         + 0.587 * px[..., 1]
@@ -166,7 +182,7 @@ def decode_image_features(
                     )
                     continue
                 if not fake:
-                    _require_codec("image-decode (JPEG/PNG)")
+                    _require_codec("image-decode (PNG / progressive JPEG)")
                 hsh = hashlib.sha256(content).digest()
                 rows.append(
                     {
@@ -190,18 +206,18 @@ def resize_images(
 ) -> DataFrame:
     """Nearest-neighbour resize for BMP content — a REAL decode→transform→
     re-encode pipeline in pure numpy (index-grid sampling), emitted as BMP
-    bytes again. Non-BMP rows raise at the decode site (same stub contract
-    as decode_image_features)."""
+    bytes again. BMP and baseline JPEG decode; other formats raise at the
+    decode site (same stub contract as decode_image_features)."""
     out_schema = f"{id_col} long, width int, height int, content binary"
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                bmp = decode_bmp(bytes(r[content_col]))
-                if bmp is None:
-                    _require_codec("image-decode (JPEG/PNG)")
-                w, h, px = bmp
+                decoded = _decode_any_image(bytes(r[content_col]))
+                if decoded is None:
+                    _require_codec("image-decode (PNG / progressive JPEG)")
+                w, h, px = decoded
                 yi = (np.arange(target_h) * h) // target_h
                 xi = (np.arange(target_w) * w) // target_w
                 out = px[yi][:, xi]

@@ -1729,6 +1729,57 @@ def image_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("jpeg_decode_features")
+def jpeg_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode differential check (§2.13): a flat-gray
+    baseline JPEG is synthesized per document (width/height/gray level are
+    doc_id arithmetic) by the from-spec encoder, then decoded by the
+    pure-numpy baseline JPEG decoder (`operators/jpeg.py` — huffman +
+    dequant + IDCT) through the same `decode_image_features` mapInPandas
+    path as BMPs. Flat q=8 quantization makes the DC of a flat
+    integer-valued image exactly recoverable, so the oracle recomputes
+    width/height/mean-luma arithmetically — a huffman mis-decode, DC
+    prediction bug, IDCT scaling error, or padding mistake all drift the
+    output."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators import jpeg as J
+    from .operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                w, h, g = int(1 + i % 13), int(1 + i % 7), int((i * 37) % 256)
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "content": J.encode_jpeg_baseline(
+                            np.full((h, w), g, dtype=np.uint8)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    jpgs = docs.mapInPandas(_make, schema="doc_id long, content binary")
+    feats = mm.decode_image_features(jpgs, id_col="doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
+
+
 @register("audio_decode_features")
 def audio_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio-decode differential check (§2.13): a constant-amplitude

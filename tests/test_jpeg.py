@@ -1,0 +1,191 @@
+"""Baseline JPEG codec (operators/jpeg.py) and its Spark integration.
+
+The two handcrafted-bytes tests build the JPEG byte stream by hand from the
+T.81 spec (markers, canonical huffman tables, entropy bits written out
+explicitly), so they validate the DECODER independently of our encoder —
+a shared consistent bug between the pair cannot pass them."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ideafast_etl_spark.operators import multimodal as mm
+from ideafast_etl_spark.operators.jpeg import (
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+)
+
+
+def _handcrafted_gray_jpeg(dc_symbol_vals, quant, entropy):
+    """Minimal 8x8 grayscale baseline JPEG: one huffman code per table
+    ('0' → the single listed symbol), explicit quant table, explicit
+    entropy bytes."""
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([quant] * 64)
+    out += b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+    out += struct.pack(">HH", 8, 8) + b"\x01" + bytes([1, 0x11, 0])
+    # DC table 0: one code of length 1 → symbol dc_symbol_vals[0]
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 1)
+        + b"\x00"
+        + bytes([1] + [0] * 15)
+        + bytes(dc_symbol_vals)
+    )
+    # AC table 0: one code of length 1 → EOB (0x00)
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 1)
+        + b"\x10"
+        + bytes([1] + [0] * 15)
+        + b"\x00"
+    )
+    out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + bytes([1, 0x00])
+    out += b"\x00\x3f\x00"
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def test_decode_handcrafted_flat_128():
+    """All-zero coefficients: DC category 0 ('0') + EOB ('0') = bits '00',
+    padded with 1s → 0x3f. Every output pixel must be exactly 128."""
+    b = _handcrafted_gray_jpeg([0], quant=1, entropy=b"\x3f")
+    decoded = decode_jpeg_baseline(b)
+    assert decoded is not None
+    w, h, px = decoded
+    assert (w, h) == (8, 8)
+    assert px.shape == (8, 8, 3)
+    assert np.all(px == 128)
+
+
+def test_decode_handcrafted_dc_only_200():
+    """Flat value 200: DC = 8*(200-128) = 576 (quant 1). Huffman: '0' →
+    category 10, then 10 magnitude bits 1001000000, then EOB '0' —
+    bits 0 1001000000 0 + 1111 padding = 0x48 0x0f."""
+    b = _handcrafted_gray_jpeg([10], quant=1, entropy=b"\x48\x0f")
+    decoded = decode_jpeg_baseline(b)
+    assert decoded is not None
+    w, h, px = decoded
+    assert (w, h) == (8, 8)
+    assert np.all(px == 200)
+
+
+def test_flat_gray_roundtrip_exact():
+    """q=8 flat quantization makes the DC of a flat integer image exactly
+    recoverable — the property the differential oracle relies on."""
+    for g in (0, 1, 77, 128, 254, 255):
+        img = np.full((5, 11), g, np.uint8)
+        w, h, px = decode_jpeg_baseline(encode_jpeg_baseline(img))
+        assert (w, h) == (11, 5)
+        assert np.all(px == g), g
+
+
+def test_color_roundtrip_within_quant_tolerance():
+    xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+    img = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, (xx + yy) % 256], -1
+    ).astype(np.uint8)
+    w, h, px = decode_jpeg_baseline(encode_jpeg_baseline(img))
+    assert (w, h) == (40, 24)
+    err = np.abs(px.astype(int) - img.astype(int))
+    assert err.max() <= 8 and err.mean() < 2.0
+
+
+def test_subsampled_420_roundtrip():
+    xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+    img = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, (xx + yy) % 256], -1
+    ).astype(np.uint8)
+    w, h, px = decode_jpeg_baseline(
+        encode_jpeg_baseline(img, subsample_420=True)
+    )
+    assert (w, h) == (40, 24)
+    # luma survives nearly intact; chroma is 2x2-averaged
+    luma = lambda a: (  # noqa: E731
+        0.114 * a[..., 0] + 0.587 * a[..., 1] + 0.299 * a[..., 2]
+    )
+    assert np.abs(luma(px) - luma(img)).mean() < 2.5
+
+
+def test_restart_markers_roundtrip():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (17, 23, 3), np.uint8)
+    b = encode_jpeg_baseline(img, q=1, restart_interval=2)
+    assert b"\xff\xdd" in b  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))
+    w, h, px = decode_jpeg_baseline(b)
+    assert (w, h) == (23, 17)
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_non_multiple_of_8_dims_and_1px():
+    for shape in ((1, 1), (3, 9), (9, 3), (8, 8), (15, 1)):
+        img = np.full(shape, 99, np.uint8)
+        w, h, px = decode_jpeg_baseline(encode_jpeg_baseline(img))
+        assert (w, h) == (shape[1], shape[0])
+        assert np.all(px == 99)
+
+
+def test_unsupported_inputs_return_none():
+    assert decode_jpeg_baseline(b"notajpeg") is None
+    assert decode_jpeg_baseline(b"\xff\xd8\xff\xd9") is None  # empty
+    # progressive (SOF2) declared → unsupported envelope
+    prog = bytearray(encode_jpeg_baseline(np.full((8, 8), 1, np.uint8)))
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    assert decode_jpeg_baseline(bytes(prog)) is None
+    # truncated entropy stream
+    good = encode_jpeg_baseline(np.full((32, 32), 1, np.uint8))
+    assert decode_jpeg_baseline(good[: len(good) // 2]) is None
+
+
+def test_decode_image_features_handles_mixed_bmp_and_jpeg(spark):
+    """The Spark mapInPandas path decodes BOTH formats in one frame —
+    no fake fallback, real pixels both ways."""
+    rows = []
+    for i in range(6):
+        g = 40 * i + 5
+        px = np.full((4, 6, 3), g, np.uint8)
+        content = (
+            mm.encode_bmp(px) if i % 2 == 0
+            else encode_jpeg_baseline(np.full((4, 6), g, np.uint8))
+        )
+        rows.append((i, g, bytearray(content)))
+    df = spark.createDataFrame(
+        rows, "asset_id long, g long, content binary"
+    )
+    got = {
+        r["asset_id"]: r
+        for r in mm.decode_image_features(df, fake=False).collect()
+    }
+    assert len(got) == 6
+    for i in range(6):
+        r = got[i]
+        assert (r["width"], r["height"]) == (6, 4)
+        expected = (40 * i + 5) / 255.0
+        assert r["mean_luma"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_resize_images_accepts_jpeg_input(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg_baseline(np.full((16, 16), 130, np.uint8))))],
+        "asset_id long, content binary",
+    )
+    out = mm.resize_images(df, target_w=4, target_h=4).collect()
+    assert len(out) == 1
+    w, h, px = mm.decode_bmp(bytes(out[0]["content"]))
+    assert (w, h) == (4, 4)
+    assert np.all(px == 130)
+
+
+def test_sniff_identifies_generated_jpeg(spark):
+    b = encode_jpeg_baseline(np.full((8, 8), 50, np.uint8))
+    df = spark.createDataFrame([(bytearray(b),)], "content binary")
+    got = df.select(
+        mm.sniff_media_type("content").alias("t")
+    ).first()["t"]
+    assert got == "image/jpeg"
