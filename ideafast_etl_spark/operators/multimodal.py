@@ -14,9 +14,11 @@ bytes. Codec coverage is split honestly by what the container can decode:
   shape with the container format minimal enough to need no codec.
 - REAL: baseline-sequential JPEG decode/encode from the public T.81 spec
   (``jpeg.py`` — huffman + dequant + IDCT + chroma upsampling in pure
-  numpy), so compressed-image feature extraction genuinely decodes bytes.
-- STUBBED behind ``_require_codec``: PNG / progressive-JPEG decode and
-  real-world video demux (MP4 etc.), which need Pillow/PyAV that are
+  numpy) and 8-bit PNG decode/encode (``png.py`` — stdlib zlib + the five
+  scanline filters), so compressed-image feature extraction genuinely
+  decodes bytes.
+- STUBBED behind ``_require_codec``: progressive-JPEG / 16-bit-PNG decode
+  and real-world video demux (MP4 etc.), which need Pillow/PyAV that are
   absent here. The stubs either raise
   ``NotImplementedError`` (real decode requested) or produce a
   deterministic fake (pipeline testing). Swapping in the library changes
@@ -131,13 +133,18 @@ def encode_bmp(px: np.ndarray) -> bytes:
 
 
 def _decode_any_image(content: bytes) -> tuple[int, int, np.ndarray] | None:
-    """Try every real decoder (uncompressed BMP, then baseline JPEG) —
-    (width, height, HxWx3 uint8 BGR) or None for unsupported formats."""
+    """Try every real decoder (uncompressed BMP, baseline JPEG, 8-bit
+    PNG) — (width, height, HxWx3 uint8 BGR) or None for unsupported
+    formats."""
     decoded = decode_bmp(content)
     if decoded is None and content[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg_baseline
 
         decoded = decode_jpeg_baseline(content)
+    if decoded is None and content[:4] == b"\x89PNG":
+        from .png import decode_png
+
+        decoded = decode_png(content)
     return decoded
 
 
@@ -148,11 +155,11 @@ def decode_image_features(
     fake: bool = False,
 ) -> DataFrame:
     """Per-image feature extraction via ``mapInPandas``. Uncompressed BMPs
-    and baseline-sequential JPEGs are decoded for real (pure numpy — width,
-    height, mean luma from the actual pixels, Rec.601 weights; see
-    ``jpeg.py`` for the from-spec JPEG decoder). Remaining compressed
-    formats (PNG, progressive JPEG) need a codec library this container
-    lacks: with ``fake=True`` a deterministic checksum-derived stand-in
+    baseline-sequential JPEGs, and 8-bit PNGs are decoded for real (pure
+    numpy — width, height, mean luma from the actual pixels, Rec.601
+    weights; see ``jpeg.py`` / ``png.py`` for the from-spec decoders).
+    Remaining formats (progressive JPEG, 16-bit/interlaced PNG) need a
+    codec library this container lacks: with ``fake=True`` a deterministic checksum-derived stand-in
     keeps the plumbing testable, otherwise the decode site raises
     NotImplementedError (STUB — no PIL here)."""
     out_schema = f"{id_col} long, width int, height int, mean_luma double"
@@ -182,7 +189,7 @@ def decode_image_features(
                     )
                     continue
                 if not fake:
-                    _require_codec("image-decode (PNG / progressive JPEG)")
+                    _require_codec("image-decode (progressive JPEG / 16-bit or interlaced PNG)")
                 hsh = hashlib.sha256(content).digest()
                 rows.append(
                     {
@@ -216,7 +223,7 @@ def resize_images(
             for _, r in pdf.iterrows():
                 decoded = _decode_any_image(bytes(r[content_col]))
                 if decoded is None:
-                    _require_codec("image-decode (PNG / progressive JPEG)")
+                    _require_codec("image-decode (progressive JPEG / 16-bit or interlaced PNG)")
                 w, h, px = decoded
                 yi = (np.arange(target_h) * h) // target_h
                 xi = (np.arange(target_w) * w) // target_w

@@ -1780,6 +1780,54 @@ def jpeg_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("png_decode_features")
+def png_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-image decode differential check (§2.13): a flat-COLOR
+    PNG is synthesized per document (dims and BGR channels are doc_id
+    arithmetic), decoded by the from-spec PNG decoder (`operators/png.py`
+    — stdlib zlib inflate + scanline unfiltering) through the same
+    `decode_image_features` path. PNG is lossless, so the decoded pixels —
+    and therefore the Rec.601 mean luma over three DIFFERENT channel
+    values — are exactly predictable by the oracle; a channel-order swap
+    (RGB vs BGR), filter bug, or stride error all drift the output."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as mm
+    from .operators import png as P
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                w, h = int(1 + i % 11), int(1 + i % 5)
+                bgr = [int(i % 256), int((i * 3) % 256), int((i * 7) % 256)]
+                px = np.tile(
+                    np.array(bgr, dtype=np.uint8), (h, w, 1)
+                )
+                rows.append(
+                    {"doc_id": int(i), "content": P.encode_png(px)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    pngs = docs.mapInPandas(_make, schema="doc_id long, content binary")
+    feats = mm.decode_image_features(pngs, id_col="doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
+
+
 @register("audio_decode_features")
 def audio_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio-decode differential check (§2.13): a constant-amplitude
