@@ -281,8 +281,13 @@ def minhash_near_dup_pairs(
         )
         ra = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
         rb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+        # no forced broadcast of `cands`: post-banding candidates are tiny on
+        # normal corpora (AQE converts to broadcast at runtime from the
+        # OBSERVED size), but on an adversarially dup-dense corpus the pair
+        # set is near-quadratic in the duplicate-cluster size and a forced
+        # broadcast would OOM the driver — AQE then keeps the shuffle join
         inter = (
-            F.broadcast(cands)
+            cands
             .join(ra, "id_a")
             .join(rb, ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
@@ -548,7 +553,9 @@ def simhash_near_dup_pairs(
         .filter(F.col("df") <= F.floor(F.lit(max_df_ratio) * F.col("nd")))
         .select("t")
     )
-    kept = toks.join(F.broadcast(rare), "t")
+    # rare-token vocabulary is corpus-scaled (not a bounded dim): let AQE
+    # broadcast it from observed size at small SF, shuffle-join at 100 TB
+    kept = toks.join(rare, "t")
     h = kept.select(F.col(id_col), _shingle_hash(F.col("t")).alias("h"))
     votes = h.groupBy(id_col).agg(
         *[

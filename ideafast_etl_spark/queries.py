@@ -684,7 +684,10 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     brand = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
-    j = li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+    # brand slice is ~1/25 of part — SF-scaled, so no forced broadcast: AQE
+    # broadcasts it at small SF from the observed post-filter size and falls
+    # back to a shuffle join when the slice outgrows the threshold at scale
+    j = li.join(brand, F.col("l_partkey") == F.col("p_partkey"))
     w = Window.partitionBy("l_partkey")
     j = j.withColumn("sum_qty", F.sum("l_quantity").over(w)).withColumn(
         "cnt", F.count(F.lit(1)).over(w)
