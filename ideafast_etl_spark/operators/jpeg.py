@@ -1,11 +1,14 @@
-"""Pure-python/numpy baseline JPEG codec (SURVEY.md §2.13 codec gap).
+"""Pure-python/numpy JPEG codec (SURVEY.md §2.13 codec gap).
 
 The container has no Pillow/libjpeg, so compressed-image coverage is
-implemented from the public JPEG specification (ITU-T T.81): a baseline
-sequential DCT decoder (SOF0, 8-bit, grayscale or YCbCr, sampling factors
-1-2 per axis — covers 4:4:4 / 4:2:2 / 4:2:0 — plus restart markers and
-byte stuffing) and a matching minimal encoder used for test fixtures and
-the re-encode leg of image pipelines.
+implemented from the public JPEG specification (ITU-T T.81): a decoder for
+both baseline-sequential (SOF0) and progressive (SOF2) DCT streams — 8-bit,
+grayscale or YCbCr, sampling factors 1-2 per axis (4:4:4 / 4:2:2 / 4:2:0),
+restart markers, byte stuffing, and the full progressive machinery
+(spectral selection, successive approximation with DC/AC first and
+refinement scans, EOB runs per T.81 G.2) — plus a matching minimal encoder
+(sequential or progressive) used for test fixtures and the re-encode leg
+of image pipelines.
 
 This is the *codec* half only; the distributed plumbing (Arrow batches via
 ``mapInPandas``, no driver collection) lives in ``multimodal.py`` and is
@@ -147,12 +150,16 @@ def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg_baseline(b: bytes) -> tuple[int, int, np.ndarray] | None:
-    """Decode a baseline-sequential JPEG into (width, height, HxWx3 uint8
-    BGR) — the same contract as ``multimodal.decode_bmp``. Returns None
-    for anything outside the supported envelope (progressive SOF2,
-    12-bit precision, >2x subsampling, CMYK) so callers fall through to
-    the codec stub — and for malformed/truncated byte streams (untrusted
-    binary columns must never raise out of the decode UDF)."""
+    """Decode a baseline-sequential (SOF0) or progressive (SOF2) JPEG into
+    (width, height, HxWx3 uint8 BGR) — the same contract as
+    ``multimodal.decode_bmp``. Progressive support covers the full T.81
+    machinery: spectral selection, successive approximation (DC and AC
+    first + refinement scans, EOB runs), interleaved DC scans and
+    per-component AC scans. Returns None for anything outside the
+    supported envelope (12-bit precision, arithmetic coding, lossless or
+    hierarchical frames, >2x subsampling, CMYK) so callers fall through
+    to the codec stub — and for malformed/truncated byte streams
+    (untrusted binary columns must never raise out of the decode UDF)."""
     try:
         return _decode_jpeg(b)
     except (struct.error, IndexError, ValueError, EOFError):
@@ -166,6 +173,8 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray] | None:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (H, W, [(comp_id, h, v, tq), ...])
+    progressive = False
+    prog = None  # _ProgressiveState once the first SOF2 scan arrives
     restart_interval = 0
     i = 2
     n = len(b)
@@ -176,7 +185,9 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray] | None:
         i += 2
         if marker == 0xD8 or (0xD0 <= marker <= 0xD7):
             continue  # no payload
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI — progressive output point
+            if prog is not None:
+                return prog.finish(qt)
             return None
         (seg_len,) = struct.unpack_from(">H", b, i)
         seg = b[i + 2 : i + seg_len]
@@ -205,7 +216,8 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray] | None:
                     bits, vals
                 )
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec = seg[0]
             h_img, w_img = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
@@ -221,25 +233,38 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray] | None:
             ):
                 return None
             frame = (h_img, w_img, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+            return None  # non-baseline/non-progressive frame types
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if frame is None:
                 return None
             ns = seg[0]
-            scan_tables = {}
+            scan_comps = []
             for c in range(ns):
                 cs = seg[1 + 2 * c]
                 tt = seg[2 + 2 * c]
-                scan_tables[cs] = (tt >> 4, tt & 0x0F)
-            segments, _end = _split_scan(b, i + seg_len)
-            return _decode_scan(
-                frame, scan_tables, qt, huff_dc, huff_ac,
-                restart_interval, segments,
-            )
+                scan_comps.append((cs, tt >> 4, tt & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            segments, end = _split_scan(b, i + seg_len)
+            if not progressive:
+                return _decode_scan(
+                    frame,
+                    {cs: (td, ta) for cs, td, ta in scan_comps},
+                    qt, huff_dc, huff_ac, restart_interval, segments,
+                )
+            if prog is None:
+                prog = _ProgressiveState(frame)
+            if not prog.scan(
+                scan_comps, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval, segments,
+            ):
+                return None
+            i = end
+            continue
         # APPn / COM / DNL and anything else: skip
         i += seg_len
     return None
@@ -308,7 +333,15 @@ def _decode_scan(frame, scan_tables, qt, huff_dc, huff_ac,
                         y0, x0 = (my * vv + by) * 8, (mx * hh + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
-    # upsample subsampled components to full resolution, crop to image size
+    return _planes_to_image(frame, planes)
+
+
+def _planes_to_image(frame, planes):
+    """Upsample subsampled component planes to full resolution, crop to the
+    true image size, level-shift and color-convert → (w, h, BGR)."""
+    h_img, w_img, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for cid, hh, vv, _tq in comps:
         p = planes[cid]
@@ -333,6 +366,218 @@ def _decode_scan(frame, scan_tables, qt, huff_dc, huff_ac,
         axis=-1,
     ).astype(np.uint8)
     return w_img, h_img, bgr
+
+
+class _ProgressiveState:
+    """Coefficient accumulator for progressive (SOF2) decoding: each SOS
+    scan deposits or refines DCT coefficients; ``finish`` dequantizes and
+    inverse-transforms once after EOI. Scan algorithms follow T.81 G.2 /
+    the public libjpeg structure (decode_mcu_DC_first/refine,
+    decode_mcu_AC_first/refine), including EOB runs."""
+
+    def __init__(self, frame) -> None:
+        self.frame = frame
+        h_img, w_img, comps = frame
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = -(-w_img // (8 * self.hmax))
+        self.mcus_y = -(-h_img // (8 * self.vmax))
+        # per-component coefficient grids, natural (raster-in-block) order;
+        # allocated at MCU-padded size, true block dims kept for AC scans
+        self.coef: dict[int, np.ndarray] = {}
+        self.true_blocks: dict[int, tuple[int, int]] = {}
+        self.comp_geom: dict[int, tuple[int, int, int]] = {}
+        for cid, hh, vv, tq in comps:
+            self.coef[cid] = np.zeros(
+                (self.mcus_y * vv, self.mcus_x * hh, 64), np.int64
+            )
+            # true block dims: ceil(ceil(W*h/hmax)/8) × ceil(ceil(H*v/vmax)/8)
+            cw = -(-w_img * hh // self.hmax)
+            ch = -(-h_img * vv // self.vmax)
+            self.true_blocks[cid] = (-(-ch // 8), -(-cw // 8))
+            self.comp_geom[cid] = (hh, vv, tq)
+        self.eobrun = 0
+
+    def scan(self, scan_comps, ss, se, ah, al,
+             huff_dc, huff_ac, restart_interval, segments) -> bool:
+        try:
+            if ss == 0:
+                if se != 0:
+                    return False  # DC scan must have Se=0 in progressive
+                return self._dc_scan(
+                    scan_comps, ah, al, huff_dc, restart_interval, segments
+                )
+            if len(scan_comps) != 1:
+                return False  # AC scans are single-component by spec
+            return self._ac_scan(
+                scan_comps[0], ss, se, ah, al, huff_ac,
+                restart_interval, segments,
+            )
+        except (EOFError, ValueError, IndexError):
+            return False
+
+    def _dc_scan(self, scan_comps, ah, al, huff_dc,
+                 restart_interval, segments) -> bool:
+        comps = [
+            (cid, *self.comp_geom[cid], td) for cid, td, _ta in scan_comps
+        ]
+        interleaved = len(comps) > 1
+        dc_pred = {cid: 0 for cid, *_ in comps}
+        seg_idx = 0
+        reader = _BitReader(segments[0])
+        unit = 0  # MCU counter (interleaved) or block counter (single)
+        if interleaved:
+            mcus = [(my, mx) for my in range(self.mcus_y)
+                    for mx in range(self.mcus_x)]
+        else:
+            cid = comps[0][0]
+            bh, bw = self.true_blocks[cid]
+            mcus = [(by, bx) for by in range(bh) for bx in range(bw)]
+        for my, mx in mcus:
+            if restart_interval and unit and unit % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    return False
+                reader = _BitReader(segments[seg_idx])
+                dc_pred = {c: 0 for c in dc_pred}
+            for cid, hh, vv, _tq, td in comps:
+                blocks = (
+                    [(my * vv + by, mx * hh + bx)
+                     for by in range(vv) for bx in range(hh)]
+                    if interleaved
+                    else [(my, mx)]
+                )
+                for gy, gx in blocks:
+                    cblk = self.coef[cid][gy, gx]
+                    if ah == 0:  # first DC scan
+                        lut = huff_dc.get(td)
+                        if lut is None:
+                            return False
+                        s = reader.read_symbol(lut)
+                        diff = _extend(reader.read_bits(s), s)
+                        dc_pred[cid] += diff
+                        cblk[0] = dc_pred[cid] << al
+                    else:  # refinement: one correction bit per block
+                        if reader.read_bit():
+                            cblk[0] |= 1 << al
+            unit += 1
+        return True
+
+    def _ac_scan(self, scan_comp, ss, se, ah, al, huff_ac,
+                 restart_interval, segments) -> bool:
+        cid, _td, ta = scan_comp
+        lut = huff_ac.get(ta)
+        if lut is None:
+            return False
+        bh, bw = self.true_blocks[cid]
+        seg_idx = 0
+        reader = _BitReader(segments[0])
+        self.eobrun = 0
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        return False
+                    reader = _BitReader(segments[seg_idx])
+                    self.eobrun = 0
+                unit += 1
+                cblk = self.coef[cid][by, bx]
+                if ah == 0:
+                    self._ac_first(cblk, reader, lut, ss, se, al)
+                else:
+                    self._ac_refine(cblk, reader, lut, ss, se, al)
+        return True
+
+    def _ac_first(self, cblk, reader, lut, ss, se, al) -> None:
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.read_symbol(lut)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                self.eobrun = (1 << r) - 1
+                if r:
+                    self.eobrun += reader.read_bits(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient index past Se")
+            cblk[_ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def _ac_refine(self, cblk, reader, lut, ss, se, al) -> None:
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = reader.read_symbol(lut)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r != 15:  # EOBn: end-of-band run starts here
+                        self.eobrun = 1 << r
+                        if r:
+                            self.eobrun += reader.read_bits(r)
+                        break
+                    # r == 15 (ZRL): skip 16 zero-history positions below
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement size must be 1")
+                    val = p1 if reader.read_bit() else m1
+                # advance over r zero-history positions, emitting correction
+                # bits for every nonzero-history coefficient passed over
+                while k <= se:
+                    c = _ZIGZAG[k]
+                    if cblk[c] != 0:
+                        if reader.read_bit():
+                            if (cblk[c] & p1) == 0:
+                                cblk[c] += p1 if cblk[c] >= 0 else m1
+                    else:
+                        if r == 0:
+                            if val:
+                                cblk[c] = val
+                            break
+                        r -= 1
+                    k += 1
+                k += 1
+        if self.eobrun > 0:
+            # inside an EOB run: only correction bits for the remainder
+            while k <= se:
+                c = _ZIGZAG[k]
+                if cblk[c] != 0:
+                    if reader.read_bit():
+                        if (cblk[c] & p1) == 0:
+                            cblk[c] += p1 if cblk[c] >= 0 else m1
+                k += 1
+            self.eobrun -= 1
+
+    def finish(self, qt):
+        h_img, w_img, comps = self.frame
+        planes = {}
+        for cid, hh, vv, tq in comps:
+            q = qt.get(tq)
+            if q is None:
+                return None
+            grid = self.coef[cid]
+            by, bx = grid.shape[0], grid.shape[1]
+            plane = np.zeros((by * 8, bx * 8), np.float64)
+            qflat = q.reshape(64).astype(np.int64)
+            for gy in range(by):
+                for gx in range(bx):
+                    block = (grid[gy, gx] * qflat).reshape(8, 8)
+                    plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8] = _idct(
+                        block.astype(np.float64)
+                    )
+            planes[cid] = plane
+        return _planes_to_image(self.frame, planes)
 
 
 # ---------------------------------------------------------------------------
@@ -416,6 +661,154 @@ def _encode_block(
     return dc
 
 
+def _sos_header(scan_cids: list[int], ss: int, se: int, ah: int, al: int,
+                dc_tbl: int = 0, ac_tbl: int = 0) -> bytes:
+    h = bytearray(b"\xff\xda")
+    h += struct.pack(">H", 6 + 2 * len(scan_cids))
+    h += bytes([len(scan_cids)])
+    for cid in scan_cids:
+        h += bytes([cid, (dc_tbl << 4) | ac_tbl])
+    h += bytes([ss, se, (ah << 4) | al])
+    return bytes(h)
+
+
+def _write_extend(w: _BitWriter, s: int, v: int) -> None:
+    if s:
+        w.write(s, v if v >= 0 else v + (1 << s) - 1)
+
+
+def _encode_progressive_scans(padded, comps, qtab, h_img, w_img) -> bytes:
+    """Emit a fixed progressive scan script over pre-quantized coefficient
+    grids: interleaved DC first (Al=1) + DC refinement, then per component
+    two spectral AC bands (Ss 1-20, 21-63) at Al=1 followed by their
+    successive-approximation refinements. The AC refinement emitter follows
+    the public libjpeg structure (encode_mcu_AC_refine): ZRLs drained at
+    every nonzero position before buffering, correction bits flushed after
+    each emitted symbol, trailing run + bits folded into a per-block EOB."""
+    qflat = qtab.reshape(64)[_ZIGZAG].astype(np.float64)
+    grids = {}
+    for plane, (cid, _hh, _vv, _tq) in zip(padded, comps):
+        by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+        g = np.zeros((by, bx, 64), np.int64)
+        for gy in range(by):
+            for gx in range(bx):
+                c = _fdct(plane[gy * 8 : gy * 8 + 8, gx * 8 : gx * 8 + 8])
+                g[gy, gx] = np.rint(c.reshape(64)[_ZIGZAG] / qflat).astype(
+                    np.int64
+                )
+        grids[cid] = g
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out = bytearray()
+    al = 1
+
+    def _mcu_blocks():
+        """(cid, gy, gx) in interleaved MCU traversal order."""
+        mcus_y = grids[comps[0][0]].shape[0] // comps[0][2]
+        mcus_x = grids[comps[0][0]].shape[1] // comps[0][1]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid, hh, vv, _tq in comps:
+                    for by in range(vv):
+                        for bx in range(hh):
+                            yield cid, my * vv + by, mx * hh + bx
+
+    # --- scan 1: DC first, interleaved, successive approximation Al=1
+    out += _sos_header([c[0] for c in comps], 0, 0, 0, al)
+    w = _BitWriter()
+    pred = {c[0]: 0 for c in comps}
+    for cid, gy, gx in _mcu_blocks():
+        dc = int(grids[cid][gy, gx, 0]) >> al  # arithmetic shift per T.81
+        diff = dc - pred[cid]
+        pred[cid] = dc
+        s = _category(diff)
+        w.write(*_ENC_DC_LUT[s])
+        _write_extend(w, s, diff)
+    w.flush()
+    out += w.out
+    # --- scan 2: DC refinement (one bit per block)
+    out += _sos_header([c[0] for c in comps], 0, 0, al, 0)
+    w = _BitWriter()
+    for cid, gy, gx in _mcu_blocks():
+        w.write(1, int(grids[cid][gy, gx, 0]) & 1)
+    w.flush()
+    out += w.out
+
+    bands = [(1, 20), (21, 63)]
+    for cid, hh, vv, _tq in comps:
+        g = grids[cid]
+        # AC scans iterate TRUE block dims — ceil(ceil(dim·f/fmax)/8), same
+        # as the decoder; MCU-padding-only blocks carry DC but no AC rows
+        bw = -(-(-(-w_img * hh // hmax)) // 8)
+        bh = -(-(-(-h_img * vv // vmax)) // 8)
+        for ss, se in bands:
+            # first pass at Al=1
+            out += _sos_header([cid], ss, se, 0, al)
+            w = _BitWriter()
+            for gy in range(bh):
+                for gx in range(bw):
+                    zz = g[gy, gx]
+                    run = 0
+                    for k in range(ss, se + 1):
+                        a = abs(int(zz[k])) >> al
+                        if a == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            w.write(*_ENC_AC_LUT[0xF0])
+                            run -= 16
+                        s = _category(a)
+                        w.write(*_ENC_AC_LUT[(run << 4) | s])
+                        v = a if zz[k] >= 0 else -a
+                        _write_extend(w, s, v)
+                        run = 0
+                    if run:
+                        w.write(*_ENC_AC_LUT[0x00])  # EOB, run of 1
+            w.flush()
+            out += w.out
+        for ss, se in bands:
+            # refinement pass Ah=1 → Al=0
+            out += _sos_header([cid], ss, se, al, 0)
+            w = _BitWriter()
+            for gy in range(bh):
+                for gx in range(bw):
+                    zz = g[gy, gx]
+                    absv = [abs(int(zz[k])) for k in range(ss, se + 1)]
+                    newly = [k for k in range(ss, se + 1)
+                             if absv[k - ss] == 1]
+                    eob_k = newly[-1] if newly else ss - 1
+                    run = 0
+                    bits: list[int] = []
+                    for k in range(ss, se + 1):
+                        t = absv[k - ss]
+                        if t == 0:
+                            run += 1
+                            continue
+                        while run > 15 and k <= eob_k:
+                            w.write(*_ENC_AC_LUT[0xF0])
+                            run -= 16
+                            for bit in bits:
+                                w.write(1, bit)
+                            bits = []
+                        if t > 1:  # history coefficient: correction bit
+                            bits.append(t & 1)
+                            continue
+                        # newly significant (|coef| == 1 at this precision)
+                        w.write(*_ENC_AC_LUT[(run << 4) | 1])
+                        run = 0
+                        w.write(1, 1 if zz[k] > 0 else 0)
+                        for bit in bits:
+                            w.write(1, bit)
+                        bits = []
+                    if run or bits:
+                        w.write(*_ENC_AC_LUT[0x00])  # EOB
+                        for bit in bits:
+                            w.write(1, bit)
+            w.flush()
+            out += w.out
+    return bytes(out)
+
+
 def _pad_to(plane: np.ndarray, by: int, bx: int) -> np.ndarray:
     """Edge-replicate pad so both dims are multiples of (by, bx)."""
     h, w = plane.shape
@@ -431,13 +824,20 @@ def encode_jpeg_baseline(
     q: int = 8,
     subsample_420: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode uint8 pixels (HxWx3 BGR, or HxW grayscale) as a baseline
     sequential JPEG. Flat quantization value ``q`` for every coefficient
     (q=8 makes the DC of a flat integer-valued image exactly recoverable —
     the property the differential oracle relies on). ``subsample_420``
     emits 2x2-subsampled chroma; ``restart_interval`` > 0 emits DRI/RSTn
-    every that many MCUs."""
+    every that many MCUs. ``progressive`` emits an SOF2 stream instead —
+    DC first + refinement, then two spectral AC bands per component, each
+    with one successive-approximation refinement pass (exercises the full
+    progressive decode machinery; not compatible with restart_interval)."""
+    assert not (progressive and restart_interval), (
+        "progressive encoder does not emit restart markers"
+    )
     gray = px.ndim == 2
     h_img, w_img = px.shape[:2]
     qtab = np.full((8, 8), q, np.int32)
@@ -476,7 +876,8 @@ def encode_jpeg_baseline(
     zz_q = np.zeros(64, np.uint8)
     zz_q[np.arange(64)] = qtab.reshape(64)[_ZIGZAG]
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q.tobytes()
-    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * len(comps)) + b"\x08"
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + struct.pack(">H", 8 + 3 * len(comps)) + b"\x08"
     out += struct.pack(">HH", h_img, w_img) + bytes([len(comps)])
     for cid, hh, vv, tq in comps:
         out += bytes([cid, (hh << 4) | vv, tq])
@@ -494,6 +895,10 @@ def encode_jpeg_baseline(
         + bytes(_ENC_AC_BITS)
         + bytes(_ENC_AC_VALS)
     )
+    if progressive:
+        out += _encode_progressive_scans(padded, comps, qtab, h_img, w_img)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">H", 6 + 2 * len(comps))

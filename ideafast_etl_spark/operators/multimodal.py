@@ -12,13 +12,13 @@ bytes. Codec coverage is split honestly by what the container can decode:
 - REAL: BSEQ container demux + every-n frame sampling + per-frame BMP
   decode (``video_frame_features``) — the full video featurizer pipeline
   shape with the container format minimal enough to need no codec.
-- REAL: baseline-sequential JPEG decode/encode from the public T.81 spec
-  (``jpeg.py`` — huffman + dequant + IDCT + chroma upsampling in pure
-  numpy) and 8-bit PNG decode/encode (``png.py`` — stdlib zlib + the five
-  scanline filters), so compressed-image feature extraction genuinely
-  decodes bytes.
-- STUBBED behind ``_require_codec``: progressive-JPEG / 16-bit-PNG decode
-  and real-world video demux (MP4 etc.), which need Pillow/PyAV that are
+- REAL: baseline-sequential AND progressive JPEG decode from the public
+  T.81 spec (``jpeg.py`` — huffman + dequant + IDCT + chroma upsampling +
+  successive-approximation scan machinery in pure numpy) and 8-bit PNG
+  decode/encode (``png.py`` — stdlib zlib + the five scanline filters), so
+  compressed-image feature extraction genuinely decodes bytes.
+- STUBBED behind ``_require_codec``: 16-bit/interlaced PNG decode and
+  real-world video demux (MP4 etc.), which need Pillow/PyAV that are
   absent here. The stubs either raise
   ``NotImplementedError`` (real decode requested) or produce a
   deterministic fake (pipeline testing). Swapping in the library changes
@@ -155,11 +155,11 @@ def decode_image_features(
     fake: bool = False,
 ) -> DataFrame:
     """Per-image feature extraction via ``mapInPandas``. Uncompressed BMPs
-    baseline-sequential JPEGs, and 8-bit PNGs are decoded for real (pure
-    numpy — width, height, mean luma from the actual pixels, Rec.601
+    baseline and progressive JPEGs, and 8-bit PNGs are decoded for real
+    (pure numpy — width, height, mean luma from the actual pixels, Rec.601
     weights; see ``jpeg.py`` / ``png.py`` for the from-spec decoders).
-    Remaining formats (progressive JPEG, 16-bit/interlaced PNG) need a
-    codec library this container lacks: with ``fake=True`` a deterministic checksum-derived stand-in
+    Remaining formats (16-bit/interlaced PNG) need a codec library this
+    container lacks: with ``fake=True`` a deterministic checksum-derived stand-in
     keeps the plumbing testable, otherwise the decode site raises
     NotImplementedError (STUB — no PIL here)."""
     out_schema = f"{id_col} long, width int, height int, mean_luma double"
@@ -189,7 +189,7 @@ def decode_image_features(
                     )
                     continue
                 if not fake:
-                    _require_codec("image-decode (progressive JPEG / 16-bit or interlaced PNG)")
+                    _require_codec("image-decode (16-bit/interlaced PNG, exotic formats)")
                 hsh = hashlib.sha256(content).digest()
                 rows.append(
                     {
@@ -223,7 +223,7 @@ def resize_images(
             for _, r in pdf.iterrows():
                 decoded = _decode_any_image(bytes(r[content_col]))
                 if decoded is None:
-                    _require_codec("image-decode (progressive JPEG / 16-bit or interlaced PNG)")
+                    _require_codec("image-decode (16-bit/interlaced PNG, exotic formats)")
                 w, h, px = decoded
                 yi = (np.arange(target_h) * h) // target_h
                 xi = (np.arange(target_w) * w) // target_w

@@ -143,6 +143,67 @@ def test_unsupported_inputs_return_none():
     assert decode_jpeg_baseline(good[: len(good) // 2]) is None
 
 
+def test_progressive_flat_gray_exact():
+    """Progressive DC path (first scan Al=1 + refinement) recovers a flat
+    integer image exactly, same as sequential."""
+    for g in (0, 77, 128, 255):
+        b = encode_jpeg_baseline(np.full((5, 11), g, np.uint8), progressive=True)
+        assert b"\xff\xc2" in b  # SOF2
+        decoded = decode_jpeg_baseline(b)
+        assert decoded is not None
+        w, h, px = decoded
+        assert (w, h) == (11, 5)
+        assert np.all(px == g), g
+
+
+def test_progressive_matches_sequential_pixels():
+    """The progressive scan script (spectral selection + successive
+    approximation + EOB runs + AC refinement correction bits) must decode
+    to EXACTLY the pixels the sequential stream produces — the coefficient
+    sets are identical, only the entropy layout differs."""
+    rng = np.random.default_rng(5)
+    xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+    cases = [
+        (((xx * 3 + yy * 5) % 256).astype(np.uint8), {}),  # gray gradient
+        (
+            np.stack(
+                [(xx * 3) % 256, (yy * 5) % 256, (xx + yy) % 256], -1
+            ).astype(np.uint8),
+            {},
+        ),
+        (rng.integers(0, 256, (17, 23, 3), np.uint8), {"subsample_420": True}),
+        (rng.integers(0, 256, (9, 17, 3), np.uint8), {"subsample_420": True}),
+        (rng.integers(0, 256, (33, 29, 3), np.uint8), {"q": 1}),  # max activity
+    ]
+    for img, kw in cases:
+        prog = decode_jpeg_baseline(
+            encode_jpeg_baseline(img, progressive=True, **kw)
+        )
+        seq = decode_jpeg_baseline(encode_jpeg_baseline(img, **kw))
+        assert prog is not None and seq is not None
+        assert prog[:2] == seq[:2]
+        assert np.array_equal(prog[2], seq[2]), kw
+
+
+def test_progressive_through_spark_decode_path(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                bytearray(
+                    encode_jpeg_baseline(
+                        np.full((6, 10), 90, np.uint8), progressive=True
+                    )
+                ),
+            )
+        ],
+        "asset_id long, content binary",
+    )
+    r = mm.decode_image_features(df, fake=False).collect()[0]
+    assert (r["width"], r["height"]) == (10, 6)
+    assert r["mean_luma"] == pytest.approx(90 / 255.0, abs=1e-6)
+
+
 def test_decode_image_features_handles_mixed_bmp_and_jpeg(spark):
     """The Spark mapInPandas path decodes BOTH formats in one frame —
     no fake fallback, real pixels both ways."""
