@@ -14,9 +14,11 @@ bytes. Codec coverage is split honestly by what the container can decode:
   shape with the container format minimal enough to need no codec.
 - REAL: baseline-sequential AND progressive JPEG decode from the public
   T.81 spec (``jpeg.py`` — huffman + dequant + IDCT + chroma upsampling +
-  successive-approximation scan machinery in pure numpy) and 8-bit PNG
-  decode/encode (``png.py`` — stdlib zlib + the five scanline filters), so
-  compressed-image feature extraction genuinely decodes bytes.
+  successive-approximation scan machinery in pure numpy), 8-bit PNG
+  decode/encode (``png.py`` — stdlib zlib + the five scanline filters),
+  and GIF87a/89a first-frame decode (``gif.py`` — full LZW, interlacing,
+  palettes), so compressed-image feature extraction genuinely decodes
+  bytes.
 - STUBBED behind ``_require_codec``: 16-bit/interlaced PNG decode and
   real-world video demux (MP4 etc.), which need Pillow/PyAV that are
   absent here. The stubs either raise
@@ -133,9 +135,9 @@ def encode_bmp(px: np.ndarray) -> bytes:
 
 
 def _decode_any_image(content: bytes) -> tuple[int, int, np.ndarray] | None:
-    """Try every real decoder (uncompressed BMP, baseline JPEG, 8-bit
-    PNG) — (width, height, HxWx3 uint8 BGR) or None for unsupported
-    formats."""
+    """Try every real decoder (uncompressed BMP, baseline/progressive
+    JPEG, 8-bit PNG, GIF) — (width, height, HxWx3 uint8 BGR) or None for
+    unsupported formats."""
     decoded = decode_bmp(content)
     if decoded is None and content[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg_baseline
@@ -145,6 +147,10 @@ def _decode_any_image(content: bytes) -> tuple[int, int, np.ndarray] | None:
         from .png import decode_png
 
         decoded = decode_png(content)
+    if decoded is None and content[:3] == b"GIF":
+        from .gif import decode_gif
+
+        decoded = decode_gif(content)
     return decoded
 
 
@@ -155,9 +161,10 @@ def decode_image_features(
     fake: bool = False,
 ) -> DataFrame:
     """Per-image feature extraction via ``mapInPandas``. Uncompressed BMPs
-    baseline and progressive JPEGs, and 8-bit PNGs are decoded for real
-    (pure numpy — width, height, mean luma from the actual pixels, Rec.601
-    weights; see ``jpeg.py`` / ``png.py`` for the from-spec decoders).
+    baseline and progressive JPEGs, 8-bit PNGs, and GIFs are decoded for
+    real (pure numpy — width, height, mean luma from the actual pixels,
+    Rec.601 weights; see ``jpeg.py`` / ``png.py`` / ``gif.py`` for the
+    from-spec decoders).
     Remaining formats (16-bit/interlaced PNG) need a codec library this
     container lacks: with ``fake=True`` a deterministic checksum-derived stand-in
     keeps the plumbing testable, otherwise the decode site raises

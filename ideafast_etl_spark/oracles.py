@@ -1116,6 +1116,15 @@ FROM documents
 WHERE doc_id < 400
 """
 
+ORACLES["gif_decode_features"] = """
+SELECT doc_id,
+  CAST(1 + doc_id % 9 AS INT) AS width,
+  CAST(1 + doc_id % 6 AS INT) AS height,
+  ROUND((0.114*((doc_id*5) % 256) + 0.587*((doc_id*11) % 256) + 0.299*(doc_id % 256)) / 255.0, 6) AS mean_luma
+FROM documents
+WHERE doc_id < 400
+"""
+
 ORACLES["audio_decode_features"] = """
 SELECT doc_id,
   CAST(8000 AS INT) AS sample_rate,

@@ -1831,6 +1831,49 @@ def png_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("gif_decode_features")
+def gif_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL palette-image decode differential check (§2.13): a flat-color
+    GIF is synthesized per document and decoded by the from-spec GIF
+    decoder (`operators/gif.py` — LZW + palette expansion) through the
+    shared `decode_image_features` path. GIF is lossless for ≤256-color
+    content, so the Rec.601 mean luma over three distinct channel values
+    is exactly predictable; an LZW mis-decode, palette index error, or
+    channel-order swap all drift the output."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators import gif as G
+    from .operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                w, h = int(1 + i % 9), int(1 + i % 6)
+                bgr = [int((i * 5) % 256), int((i * 11) % 256), int(i % 256)]
+                px = np.tile(np.array(bgr, dtype=np.uint8), (h, w, 1))
+                rows.append({"doc_id": int(i), "content": G.encode_gif(px)})
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    gifs = docs.mapInPandas(_make, schema="doc_id long, content binary")
+    feats = mm.decode_image_features(gifs, id_col="doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
+
+
 @register("audio_decode_features")
 def audio_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio-decode differential check (§2.13): a constant-amplitude
