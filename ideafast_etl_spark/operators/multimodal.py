@@ -375,17 +375,95 @@ def sample_video_frames(
     return df.select(id_col, content_col).mapInPandas(_batches, schema=out_schema)
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """256-entry μ-law byte → linear int16 table (ITU-T G.711 expansion)."""
+    out = np.zeros(256, np.int32)
+    for byte in range(256):
+        u = ~byte & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        out[byte] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return out
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """256-entry A-law byte → linear int16 table (ITU-T G.711 expansion)."""
+    out = np.zeros(256, np.int32)
+    for byte in range(256):
+        a = byte ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t += 0x108
+            t <<= seg - 1
+        out[byte] = t if (a & 0x80) else -t
+    return out
+
+
+_ULAW = _g711_ulaw_table()
+_ALAW = _g711_alaw_table()
+
+
+def _decode_wav_manual(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """RIFF/WAVE parser for the formats stdlib ``wave`` refuses: IEEE
+    float (fmt 3), G.711 A-law (6) and μ-law (7), plus their
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappings."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                return None
+            code, nch, rate, _brate, _align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if code == 0xFFFE and len(body) >= 26:
+                (code,) = struct.unpack_from("<H", body, 24)  # GUID prefix
+            fmt = (code, nch, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    code, nch, rate, bits = fmt
+    if nch == 0 or rate == 0:
+        return None
+    if code == 3 and bits == 32:  # IEEE float
+        x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    elif code == 3 and bits == 64:
+        x = np.frombuffer(data, dtype="<f8").astype(np.float64)
+    elif code == 7 and bits == 8:  # G.711 μ-law
+        x = _ULAW[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
+    elif code == 6 and bits == 8:  # G.711 A-law
+        x = _ALAW[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
+    else:
+        return None
+    n = (len(x) // nch) * nch
+    return rate, nch, x[:n].reshape(-1, nch)
+
+
 def decode_wav(b: bytes) -> tuple[int, int, np.ndarray] | None:
-    """Decode PCM WAV bytes into (sample_rate, n_channels, float64 samples
-    in [-1, 1], shape (n_frames, n_channels)). Stdlib ``wave`` handles the
-    RIFF parsing (PCM 8/16/32-bit only); None for non-WAV/compressed."""
+    """Decode WAV bytes into (sample_rate, n_channels, float64 samples in
+    [-1, 1], shape (n_frames, n_channels)). Stdlib ``wave`` handles PCM
+    8/16/32-bit; a manual RIFF parser covers IEEE-float and G.711
+    μ-law/A-law (numpy LUT expansion). None for non-WAV/other codecs."""
     try:
         with wave.open(io.BytesIO(b)) as wf:
             rate, nch = wf.getframerate(), wf.getnchannels()
             width = wf.getsampwidth()
             raw = wf.readframes(wf.getnframes())
     except (wave.Error, EOFError):
-        return None
+        return _decode_wav_manual(b)
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:  # 8-bit WAV is unsigned
@@ -393,8 +471,26 @@ def decode_wav(b: bytes) -> tuple[int, int, np.ndarray] | None:
     elif width == 4:
         x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
     else:
-        return None
+        return _decode_wav_manual(b)
     return rate, nch, x.reshape(-1, nch)
+
+
+def encode_wav_g711(law_bytes: np.ndarray, rate: int, law: str = "ulaw",
+                    n_channels: int = 1) -> bytes:
+    """Wrap raw G.711 codeword bytes into a WAV container (fmt 7 = μ-law,
+    6 = A-law) — fixture generator for the manual decode path."""
+    code = 7 if law == "ulaw" else 6
+    payload = law_bytes.astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", code, n_channels, rate, rate * n_channels,
+                      n_channels, 8)
+    out = bytearray(b"RIFF")
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    out += struct.pack("<I", len(body)) + body
+    return bytes(out)
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:

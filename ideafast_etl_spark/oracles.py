@@ -1136,6 +1136,27 @@ FROM documents
 WHERE doc_id < 300
 """
 
+ORACLES["g711_audio_features"] = """
+WITH g AS (
+  SELECT doc_id,
+    255 - (doc_id % 256) AS u,
+    160 + (doc_id % 50) * 8 AS n
+  FROM documents WHERE doc_id < 300
+), e AS (
+  SELECT doc_id, n,
+    (((u % 16) * 8 + 132) * POWER(2, (u // 16) % 8) - 132)
+      * (CASE WHEN u >= 128 THEN -1 ELSE 1 END) AS val
+  FROM g
+)
+SELECT doc_id,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(1 AS INT) AS n_channels,
+  ROUND(n / 8000.0, 6) AS duration_s,
+  ROUND(ABS(val) / 32768.0, 6) AS rms,
+  ROUND(ABS(val) / 32768.0, 6) AS peak
+FROM e
+"""
+
 ORACLES["multimodal_metadata"] = """
 WITH binm AS (
   SELECT doc_id,

@@ -1919,6 +1919,55 @@ def audio_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("g711_audio_features")
+def g711_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-telephony-audio differential check (§2.13): a WAV
+    whose payload is a single repeated G.711 μ-law codeword (byte =
+    doc_id % 256) is decoded through the manual RIFF parser + numpy LUT
+    expansion (`multimodal._decode_wav_manual`). A constant codeword makes
+    RMS = peak = |expand(byte)| / 32768 exactly, and the oracle recomputes
+    the ITU-T expansion formula ((mant·8 + 132)·2^exp − 132, sign from the
+    complemented high bit) in SQL arithmetic — an independent check of the
+    whole table."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                n = int(160 + (i % 50) * 8)
+                code = np.full(n, i % 256, dtype=np.uint8)
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "content": mm.encode_wav_g711(code, 8_000, "ulaw"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    wavs = docs.mapInPandas(_make, schema="doc_id long, content binary")
+    feats = mm.audio_features(wavs, id_col="doc_id")
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        F.round(F.col("duration_s"), 6).alias("duration_s"),
+        F.round(F.col("rms"), 6).alias("rms"),
+        F.round(F.col("peak"), 6).alias("peak"),
+    )
+
+
 @register("salted_event_counts")
 def salted_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-immune aggregation (§2.13 tooling): two-phase salted count per

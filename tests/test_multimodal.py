@@ -223,3 +223,60 @@ def test_sample_video_frames_real_path_emits_frame_bytes(spark):
     out = {r.frame_idx: bytes(r.frame) for r in mm.sample_video_frames(df, every_n=3).collect()}
     assert set(out) == {0, 3}
     assert out[0] == frames[0] and out[3] == frames[3]
+
+
+def test_g711_and_float_wav_manual_decode():
+    """Formats stdlib wave refuses: G.711 mu-law/A-law (numpy LUT per the
+    ITU-T expansion) and IEEE-float, via the manual RIFF parser. Spot
+    values from the public G.711 tables."""
+    import struct
+
+    import numpy as np
+
+    assert mm._ULAW[0xFF] == 0 and mm._ULAW[0x7F] == 0
+    assert mm._ULAW[0x80] == 32124 and mm._ULAW[0x00] == -32124
+    assert mm._ALAW[0xD5] == 8 and mm._ALAW[0x55] == -8
+
+    codes = np.arange(256, dtype=np.uint8)
+    for law, table in (("ulaw", mm._ULAW), ("alaw", mm._ALAW)):
+        rate, nch, x = mm.decode_wav(mm.encode_wav_g711(codes, 8000, law))
+        assert (rate, nch) == (8000, 1)
+        assert np.allclose(x[:, 0] * 32768.0, table[codes])
+
+    f32 = (np.linspace(-0.9, 0.9, 64)).astype("<f4")
+    fmt = struct.pack("<HHIIHH", 3, 2, 16000, 128000, 8, 32)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", f32.nbytes) + f32.tobytes()
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, nch, x = mm.decode_wav(wav)
+    assert (rate, nch) == (16000, 2)
+    assert np.allclose(x.reshape(-1), f32.astype(np.float64))
+
+    # WAVE_FORMAT_EXTENSIBLE wrapping a mu-law subformat
+    ext = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000, 1, 8)
+    # cbSize=22, validBits=8, channelMask=0, then the 16-byte SubFormat
+    # GUID whose first two bytes carry the real format code (7 = mu-law)
+    ext += struct.pack("<HHI", 22, 8, 0) + struct.pack("<H", 7) + b"\x00" * 14
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(ext)) + ext
+        + b"data" + struct.pack("<I", 4) + bytes([0xFF, 0x80, 0x00, 0x7F])
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, nch, x = mm.decode_wav(wav)
+    assert rate == 8000
+    assert np.allclose(
+        x[:, 0] * 32768.0, mm._ULAW[[0xFF, 0x80, 0x00, 0x7F]]
+    )
+
+    # unsupported format code still returns None
+    bad = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bad)) + bad
+        + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    )
+    assert mm.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body) is None
