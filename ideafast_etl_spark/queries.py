@@ -1919,6 +1919,34 @@ def audio_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kmeans_embeddings")
+def kmeans_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed spherical k-means over the embeddings
+    table (`operators/clustering.py`) — iterative algorithm, rows-only
+    contract (no SQL oracle can express the iteration); exactness is
+    carried by the bit-exact numpy twin in tests/test_clustering.py.
+    Every cross-row sum is fixed-point, so the result is identical under
+    any partitioning — the property that makes an iterative algorithm
+    auditable at cluster scale."""
+    from .operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, iters=4)
+
+
+@register("semantic_dedup")
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means blocking + within-cluster
+    cosine near-dup removal, keeping each group's lowest id. Rows-only
+    contract (depends on the iterative clustering); semantics pinned by
+    tests/test_clustering.py. The pairwise stage is an equi-self-join on
+    cluster_id — cost tracks the largest cluster, never n²."""
+    from .operators.clustering import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, iters=4, threshold=0.9)
+
+
 @register("g711_audio_features")
 def g711_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-telephony-audio differential check (§2.13): a WAV

@@ -1,0 +1,150 @@
+"""Deterministic k-means + SemDeDup (operators/clustering.py).
+
+The numpy twin replicates the EXACT arithmetic — left-fold normalization,
+HALF_UP fixed-point quantisation, integer dot products, quantised centroid
+renormalisation — so assignments and similarities must match bit-for-bit,
+not approximately. A second run over a repartitioned input must collect
+identical results (the determinism claim under shuffle reordering)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ideafast_etl_spark.operators.clustering import (
+    _SCALE,
+    kmeans_assign,
+    semantic_dedup,
+)
+
+
+def _half_up(v):
+    """Spark F.round semantics (HALF_UP, away from zero)."""
+    return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
+
+def _make_corpus(rng):
+    """Three well-separated direction clusters in dim 6, plus two near-dup
+    pairs (cosine > 0.999) inside cluster 0."""
+    base = np.array(
+        [[10, 0, 0, 1, 0, 0], [0, 10, 0, 0, 1, 0], [0, 0, 10, 0, 0, 1]],
+        dtype=np.float64,
+    )
+    rows = []
+    for i in range(30):
+        c = i % 3
+        # noise wide enough that ordinary same-cluster pairs stay clearly
+        # below the 0.999 near-dup threshold (typical pair angle ~0.4 rad)
+        v = base[c] + rng.normal(0, 1.2, 6)
+        rows.append((i, v))
+    # near-dups of ids 0 and 3 (both cluster 0): tiny perturbations
+    rows.append((100, rows[0][1] + 1e-4))
+    rows.append((101, rows[3][1] + 1e-4))
+    return rows
+
+
+def _twin(rows, k, iters):
+    """Exact numpy replica of kmeans_assign."""
+    ids = np.array([r[0] for r in rows])
+    vecs = np.array([r[1] for r in rows], dtype=np.float64)
+    # float32 ingestion like array<float>, then cast to double
+    vecs = vecs.astype(np.float32).astype(np.float64)
+    units = []
+    for v in vecs:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        units.append(v / np.sqrt(acc))
+    units = np.array(units)
+    ivals = _half_up(units * _SCALE).astype(np.int64)
+    order = np.argsort(ids)
+    seeds = order[:k]
+    cent = ivals[seeds].copy()  # cid = rank of id
+    for _ in range(iters):
+        dots = ivals @ cent.T  # exact int64
+        sims = dots.astype(np.float64) / (_SCALE * _SCALE)
+        assign = np.argmax(sims, axis=1)  # ties → lowest cid (argmax rule)
+        new = []
+        for c in range(k):
+            members = ivals[assign == c]
+            if len(members) == 0:
+                new.append(cent[c])  # empty cluster keeps its centroid
+                continue
+            s = members.sum(axis=0)
+            mean = s.astype(np.float64) / (len(members) * _SCALE)
+            imean = _half_up(mean * _SCALE).astype(np.int64)
+            cnorm = np.sqrt(float((imean * imean).sum())) / _SCALE
+            new.append(
+                _half_up((imean / (cnorm * _SCALE)) * _SCALE).astype(np.int64)
+            )
+        cent = np.array(new)
+    dots = ivals @ cent.T
+    sims = dots.astype(np.float64) / (_SCALE * _SCALE)
+    assign = np.argmax(sims, axis=1)
+    best = sims[np.arange(len(ids)), assign]
+    return {
+        int(i): (int(c), float(_half_up(s * 1e6) / 1e6))
+        for i, c, s in zip(ids, assign, best)
+    }
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(42)
+    rows = _make_corpus(rng)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    return rows, df
+
+
+def test_kmeans_matches_numpy_twin_exactly(spark, corpus):
+    rows, df = corpus
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["sim"])
+        for r in kmeans_assign(df, k=3, iters=4).collect()
+    }
+    want = _twin(rows, k=3, iters=4)
+    assert got == want  # bit-exact, not approx
+
+
+def test_kmeans_deterministic_under_repartition(spark, corpus):
+    _rows, df = corpus
+    a = sorted(
+        map(tuple, kmeans_assign(df, k=3, iters=3).collect())
+    )
+    b = sorted(
+        map(tuple, kmeans_assign(df.repartition(7), k=3, iters=3).collect())
+    )
+    assert a == b
+
+
+def test_kmeans_recovers_planted_clusters(spark, corpus):
+    rows, df = corpus
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assign(df, k=3, iters=4).collect()
+    }
+    # every planted group lands in one cluster, groups in distinct clusters
+    planted = {c: {i for i, _v in rows if i < 30 and i % 3 == c} for c in range(3)}
+    labels = {c: {got[i] for i in members} for c, members in planted.items()}
+    assert all(len(ls) == 1 for ls in labels.values())
+    assert len(set().union(*labels.values())) == 3
+
+
+def test_semantic_dedup_drops_near_dups_keeps_lowest_id(spark, corpus):
+    rows, df = corpus
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(df, k=3, iters=4, threshold=0.999).collect()
+    }
+    assert len(got) == len(rows)
+    # the planted near-dups (100 of 0, 101 of 3) are dropped; originals kept
+    assert got[100][1] is False and got[101][1] is False
+    assert got[0][1] is True and got[3][1] is True
+    # and they were blocked into the same cluster as their originals
+    assert got[100][0] == got[0][0]
+    assert got[101][0] == got[3][0]
+    # nothing outside the planted pairs is dropped at this threshold
+    dropped = {i for i, (_c, keep) in got.items() if not keep}
+    assert dropped == {100, 101}
