@@ -1919,6 +1919,37 @@ def audio_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_train_merges")
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (`operators/tokenizer.py`, Sennrich
+    arXiv:1508.07909): one corpus pass builds the word-frequency table,
+    then every merge iteration is vocabulary-sized. Rows-only contract
+    (iterative, argmax-dependent rewriting is not SQL-expressible); the
+    bit-exact pure-python twin in tests/test_tokenizer.py pins semantics.
+    Integer pair counts + lexicographic tie-breaks make training
+    deterministic under any partitioning."""
+    from .operators.tokenizer import bpe_merge_table, bpe_train
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    merges, _vocab = bpe_train(docs, text_col="text", n_merges=20)
+    return bpe_merge_table(spark, merges)
+
+
+@register("bpe_token_counts")
+def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained BPE vocabulary: corpus-sized
+    work exactly once (posexplode → vocab equi-join → per-doc fold);
+    out-of-vocabulary words fall back to characters. Rows-only (depends
+    on the iterative training); twin-tested."""
+    from .operators.tokenizer import bpe_tokenize, bpe_train
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    _merges, vocab = bpe_train(docs, text_col="text", n_merges=20)
+    return bpe_tokenize(docs, vocab).select(
+        "doc_id", "n_words", "n_tokens"
+    )
+
+
 @register("kmeans_embeddings")
 def kmeans_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed spherical k-means over the embeddings
