@@ -162,7 +162,7 @@ def decode_jpeg_baseline(b: bytes) -> tuple[int, int, np.ndarray] | None:
     (untrusted binary columns must never raise out of the decode UDF)."""
     try:
         return _decode_jpeg(b)
-    except (struct.error, IndexError, ValueError, EOFError):
+    except (struct.error, IndexError, KeyError, ValueError, EOFError):
         return None
 
 

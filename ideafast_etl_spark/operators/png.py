@@ -78,7 +78,7 @@ def decode_png(b: bytes) -> tuple[int, int, np.ndarray] | None:
     interlace) or for malformed bytes — never raises."""
     try:
         return _decode(b)
-    except (struct.error, IndexError, ValueError, zlib.error):
+    except (struct.error, IndexError, KeyError, ValueError, zlib.error):
         return None
 
 

@@ -1,0 +1,85 @@
+"""Property-based round-trip invariants for the pure-python codecs
+(hypothesis over random shapes/contents) — stronger evidence than the
+fixed examples in test_jpeg/test_png/test_gif."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ideafast_etl_spark.operators.gif import decode_gif, encode_gif
+from ideafast_etl_spark.operators.jpeg import (
+    decode_jpeg_baseline,
+    encode_jpeg_baseline,
+)
+from ideafast_etl_spark.operators.png import decode_png, encode_png
+
+DIMS = st.tuples(st.integers(1, 24), st.integers(1, 24))
+SEED = st.integers(0, 2**32 - 1)
+
+
+@given(dims=DIMS, seed=SEED)
+@settings(max_examples=12, deadline=None)
+def test_png_roundtrip_lossless_any_shape(dims, seed):
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    decoded = decode_png(encode_png(img))
+    assert decoded is not None
+    dw, dh, px = decoded
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(px, img)
+
+
+@given(dims=DIMS, seed=SEED)
+@settings(max_examples=10, deadline=None)
+def test_gif_roundtrip_lossless_bounded_palette(dims, seed):
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    # ≤64 distinct colors so the palette constraint always holds
+    img = (rng.integers(0, 4, (h, w, 3), np.uint8) * 85).astype(np.uint8)
+    decoded = decode_gif(encode_gif(img))
+    assert decoded is not None
+    dw, dh, px = decoded
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(px, img)
+
+
+@given(dims=DIMS, seed=SEED, prog=st.booleans())
+@settings(max_examples=8, deadline=None)
+def test_jpeg_roundtrip_bounded_error_and_prog_equivalence(dims, seed, prog):
+    """Sequential decode error is bounded by quantization; progressive
+    emission of the same image decodes to IDENTICAL pixels."""
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    seq = decode_jpeg_baseline(encode_jpeg_baseline(img, q=1))
+    assert seq is not None
+    dw, dh, px = seq
+    assert (dw, dh) == (w, h)
+    # q=1: error from float DCT rounding + color transform only
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 4
+    if prog:
+        p = decode_jpeg_baseline(
+            encode_jpeg_baseline(img, q=1, progressive=True)
+        )
+        assert p is not None and np.array_equal(p[2], px)
+
+
+@given(seed=SEED)
+@settings(max_examples=8, deadline=None)
+def test_decoders_never_raise_on_mutations(seed):
+    """Flipping arbitrary bytes in a valid stream must yield a decode or
+    None — never an exception (untrusted binary column contract)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    streams = [
+        bytearray(encode_png(img)),
+        bytearray(encode_jpeg_baseline(img)),
+        bytearray(encode_gif((img[..., 0] // 32) * 32)),
+    ]
+    for s in streams:
+        for _ in range(8):
+            i = int(rng.integers(0, len(s)))
+            s[i] = int(rng.integers(0, 256))
+        for dec in (decode_png, decode_jpeg_baseline, decode_gif):
+            r = dec(bytes(s))  # must not raise
+            assert r is None or len(r) == 3
