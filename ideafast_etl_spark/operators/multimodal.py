@@ -18,10 +18,9 @@ bytes. Codec coverage is split honestly by what the container can decode:
   decode/encode (``png.py`` — stdlib zlib + the five scanline filters),
   and GIF87a/89a first-frame decode (``gif.py`` — full LZW, interlacing,
   palettes), so compressed-image feature extraction genuinely decodes
-  bytes.
-- STUBBED behind ``_require_codec``: 16-bit/interlaced PNG decode and
-  real-world video demux (MP4 etc.), which need Pillow/PyAV that are
-  absent here. The stubs either raise
+  bytes. PNG covers 8/16-bit depths and Adam7 interlacing.
+- STUBBED behind ``_require_codec``: real-world video demux (MP4 etc.),
+  which needs PyAV/ffmpeg absent here. The stubs either raise
   ``NotImplementedError`` (real decode requested) or produce a
   deterministic fake (pipeline testing). Swapping in the library changes
   only the inner function — the distributed shape (Arrow batches, no
@@ -165,10 +164,9 @@ def decode_image_features(
     real (pure numpy — width, height, mean luma from the actual pixels,
     Rec.601 weights; see ``jpeg.py`` / ``png.py`` / ``gif.py`` for the
     from-spec decoders).
-    Remaining formats (16-bit/interlaced PNG) need a codec library this
-    container lacks: with ``fake=True`` a deterministic checksum-derived stand-in
-    keeps the plumbing testable, otherwise the decode site raises
-    NotImplementedError (STUB — no PIL here)."""
+    Non-image or unrecognized content: with ``fake=True`` a deterministic
+    checksum-derived stand-in keeps the plumbing testable, otherwise the
+    decode site raises NotImplementedError."""
     out_schema = f"{id_col} long, width int, height int, mean_luma double"
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -196,7 +194,7 @@ def decode_image_features(
                     )
                     continue
                 if not fake:
-                    _require_codec("image-decode (16-bit/interlaced PNG, exotic formats)")
+                    _require_codec("image-decode (unrecognized format)")
                 hsh = hashlib.sha256(content).digest()
                 rows.append(
                     {
@@ -230,7 +228,7 @@ def resize_images(
             for _, r in pdf.iterrows():
                 decoded = _decode_any_image(bytes(r[content_col]))
                 if decoded is None:
-                    _require_codec("image-decode (16-bit/interlaced PNG, exotic formats)")
+                    _require_codec("image-decode (unrecognized format)")
                 w, h, px = decoded
                 yi = (np.arange(target_h) * h) // target_h
                 xi = (np.arange(target_w) * w) // target_w

@@ -2,9 +2,11 @@
 
 PNG is DEFLATE (stdlib ``zlib``) + per-scanline prediction filters, so a
 complete from-spec implementation needs no third-party codec: decoder for
-8-bit non-interlaced grayscale / RGB / palette / gray+alpha / RGBA with
-all five filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6), and a
-minimal encoder (filter 0 + zlib) for fixtures and the re-encode leg.
+8- and 16-bit grayscale / RGB / palette / gray+alpha / RGBA, all five
+filter types (None/Sub/Up/Average/Paeth, RFC 2083 §6), and Adam7
+interlacing (seven per-pass filtered sub-images); 16-bit samples
+downscale to 8-bit via the high byte. A minimal encoder (filter 0 +
+zlib) covers fixtures and the re-encode leg.
 
 Same split as ``jpeg.py``: this is the codec half only; the distributed
 plumbing lives in ``multimodal.py`` and is codec-agnostic. Per-row Python
@@ -34,10 +36,12 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
-    """Reverse the per-scanline filters → (h, stride) uint8 recon array."""
+def _unfilter(
+    raw: bytes, pos: int, h: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Reverse the per-scanline filters from ``raw[pos:]`` → ((h, stride)
+    uint8 recon array, next offset)."""
     out = np.zeros((h, stride), np.uint8)
-    pos = 0
     prev = np.zeros(stride, np.int32)
     for y in range(h):
         ftype = raw[pos]
@@ -67,15 +71,16 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = recon.astype(np.uint8)
         prev = recon
-    return out
+    return out, pos
 
 
 def decode_png(b: bytes) -> tuple[int, int, np.ndarray] | None:
     """Decode an 8-bit non-interlaced PNG into (width, height, HxWx3 uint8
     BGR) — same contract as ``decode_bmp`` / ``decode_jpeg_baseline``.
-    Alpha channels are dropped; palette images are expanded through PLTE.
-    Returns None outside the envelope (16-bit, sub-byte depths, Adam7
-    interlace) or for malformed bytes — never raises."""
+    Alpha channels are dropped; palette images are expanded through PLTE;
+    16-bit samples downscale via the high byte; Adam7 passes are
+    recomposed. Returns None outside the envelope (sub-byte depths) or
+    for malformed bytes — never raises."""
     try:
         return _decode(b)
     except (struct.error, IndexError, KeyError, ValueError, zlib.error):
@@ -107,16 +112,34 @@ def _decode(b: bytes) -> tuple[int, int, np.ndarray] | None:
     if ihdr is None or not idat:
         return None
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
         return None
     nch = _CHANNELS.get(color)
     if nch is None or w == 0 or h == 0:
         return None
+    if depth == 16 and color == 3:
+        return None  # 16-bit palette indices are not legal PNG
     raw = zlib.decompress(bytes(idat))
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
-        return None
-    recon = _unfilter(raw, h, stride, nch).reshape(h, w, nch)
+    bps = depth // 8  # bytes per sample
+    bpp = nch * bps
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            return None
+        rows, _pos = _unfilter(raw, 0, h, stride, bpp)
+        recon_bytes = rows
+    else:
+        recon_bytes = _decode_adam7(raw, w, h, bpp)
+        if recon_bytes is None:
+            return None
+    if depth == 16:
+        recon = (
+            np.frombuffer(recon_bytes.tobytes(), dtype=">u2")
+            .reshape(h, w, nch)
+            >> 8
+        ).astype(np.uint8)
+    else:
+        recon = recon_bytes.reshape(h, w, nch)
     if color == 0:  # grayscale
         g = recon[..., 0]
         rgb = np.stack([g, g, g], axis=-1)
@@ -132,6 +155,32 @@ def _decode(b: bytes) -> tuple[int, int, np.ndarray] | None:
     else:  # RGBA → drop alpha
         rgb = recon[..., :3]
     return w, h, rgb[..., ::-1].copy()  # RGB → BGR
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per RFC 2083 §2.6
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _decode_adam7(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray | None:
+    """Recompose the seven independently-filtered interlace passes into a
+    full (h, w*bpp) byte image."""
+    full = np.zeros((h, w * bpp), np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = -(-(w - x0) // xs) if w > x0 else 0
+        ph = -(-(h - y0) // ys) if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        rows, pos = _unfilter(raw, pos, ph, pw * bpp, bpp)
+        for py in range(ph):
+            row_view = full[y0 + py * ys].reshape(w, bpp)
+            row_view[x0::xs] = rows[py].reshape(pw, bpp)
+    if pos != len(raw):
+        return None
+    return full
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:

@@ -136,12 +136,12 @@ def test_unsupported_and_malformed_return_none():
     assert decode_png(b"nope") is None
     good = encode_png(np.full((8, 8), 1, np.uint8))
     assert decode_png(good[:24]) is None  # truncated before IDAT
-    # 16-bit depth declared → outside envelope
+    # 16-bit depth declared over 8-bit-sized data → stride mismatch
     bad = bytearray(good)
     i = bad.find(b"IHDR")
     bad[i + 4 + 8] = 16  # bit-depth byte of IHDR data
-    assert decode_png(bytes(bad)) is None  # (CRC not rechecked; depth gate)
-    # interlaced declared → outside envelope
+    assert decode_png(bytes(bad)) is None
+    # interlace declared over sequential-sized data → pass-length mismatch
     bad = bytearray(good)
     bad[i + 4 + 12] = 1
     assert decode_png(bytes(bad)) is None
@@ -150,6 +150,67 @@ def test_unsupported_and_malformed_return_none():
     j = bad.find(b"IDAT")
     bad[j + 8] ^= 0xFF
     assert decode_png(bytes(bad)) is None
+
+
+def test_16bit_depth_downscales_via_high_byte():
+    """16-bit gray and RGB: decoder unfilters at 2-byte bpp and keeps the
+    high byte (low byte deliberately nonzero to catch offset errors)."""
+    img8 = np.array([[10, 200, 30], [255, 0, 128]], np.uint8)
+    raw = bytearray()
+    for y in range(2):
+        raw.append(0)
+        for x in range(3):
+            raw += struct.pack(">H", (int(img8[y, x]) << 8) | 0x7F)
+    png = _png_from_raw16(3, 2, 0, bytes(raw))
+    w, h, px = decode_png(png)
+    assert (w, h) == (3, 2)
+    assert np.array_equal(px[..., 0], img8)
+    rgb = np.array([[[1, 2, 3], [4, 5, 6]]], np.uint8)
+    raw = bytearray([0])
+    for x in range(2):
+        for c in range(3):
+            raw += struct.pack(">H", int(rgb[0, x, c]) << 8)
+    w, h, px = decode_png(_png_from_raw16(2, 1, 2, bytes(raw)))
+    assert np.array_equal(px, rgb[..., ::-1])  # returned BGR
+
+
+def _png_from_raw16(w, h, color, raw):
+    return (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_adam7_interlaced_recomposes_all_passes():
+    """Build the seven per-pass filtered sub-images from a reference image
+    and expect the decoder to recompose it exactly (every pass non-empty
+    at 10x9)."""
+    ref = np.arange(9 * 10, dtype=np.uint8).reshape(9, 10)
+    passes = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    raw = bytearray()
+    for x0, y0, xs, ys in passes:
+        sub = ref[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)
+            raw += row.tobytes()
+    png = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 9, 8, 0, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    decoded = decode_png(png)
+    assert decoded is not None
+    w, h, px = decoded
+    assert (w, h) == (10, 9)
+    assert np.array_equal(px[..., 0], ref)
 
 
 def test_decode_image_features_handles_png(spark):
