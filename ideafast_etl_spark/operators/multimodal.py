@@ -9,9 +9,10 @@ bytes. Codec coverage is split honestly by what the container can decode:
   ``wave`` + numpy linear-interpolation resample) — no third-party codec
   needed, so image feature extraction and audio resampling genuinely
   decode bytes.
-- REAL: BSEQ container demux + every-n frame sampling + per-frame BMP
-  decode (``video_frame_features``) — the full video featurizer pipeline
-  shape with the container format minimal enough to need no codec.
+- REAL: video demux for BSEQ and uncompressed-DIB AVI (``avi.py`` —
+  RIFF chunk-tree walk per the public AVI spec) + every-n frame sampling
+  + per-frame image decode (``video_frame_features``) — the full video
+  featurizer pipeline on a real-world container.
 - REAL: baseline-sequential AND progressive JPEG decode from the public
   T.81 spec (``jpeg.py`` — huffman + dequant + IDCT + chroma upsampling +
   successive-approximation scan machinery in pure numpy), 8-bit PNG
@@ -19,7 +20,7 @@ bytes. Codec coverage is split honestly by what the container can decode:
   and GIF87a/89a first-frame decode (``gif.py`` — full LZW, interlacing,
   palettes), so compressed-image feature extraction genuinely decodes
   bytes. PNG covers 8/16-bit depths and Adam7 interlacing.
-- STUBBED behind ``_require_codec``: real-world video demux (MP4 etc.),
+- STUBBED behind ``_require_codec``: compressed video (MP4/H.264 etc.),
   which needs PyAV/ffmpeg absent here. The stubs either raise
   ``NotImplementedError`` (real decode requested) or produce a
   deterministic fake (pipeline testing). Swapping in the library changes
@@ -283,6 +284,18 @@ def demux_bseq(b: bytes) -> list[bytes] | None:
     return frames
 
 
+def _demux_any_video(content: bytes) -> list[bytes] | None:
+    """Try every real demuxer (BSEQ container, then uncompressed-DIB AVI)
+    — list of per-frame image byte strings (decodable by
+    ``_decode_any_image``) or None for containers needing a codec lib."""
+    frames = demux_bseq(content)
+    if frames is None and content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        from .avi import demux_avi
+
+        frames = demux_avi(content)
+    return frames
+
+
 def video_frame_features(
     df: DataFrame,
     every_n: int = 2,
@@ -290,11 +303,12 @@ def video_frame_features(
     id_col: str = "asset_id",
 ) -> DataFrame:
     """REAL frame-sampling pipeline: demux the BSEQ container, keep every
-    ``every_n``-th frame, decode each kept frame with the real BMP decoder
-    and emit (id, frame_idx, width, height, mean_luma) — the 1:N
-    ``mapInPandas`` generator shape a video featurizer needs (output rows
-    do not align with input rows; batches stream). Non-BSEQ content hits
-    the codec stub (no video libs in this container)."""
+    ``every_n``-th frame, decode each kept frame with the real image
+    decoders (BMP/JPEG/PNG/GIF) and emit (id, frame_idx, width, height,
+    mean_luma) — the 1:N ``mapInPandas`` generator shape a video
+    featurizer needs (output rows do not align with input rows; batches
+    stream). Containers: BSEQ and uncompressed-DIB AVI demux for real;
+    compressed containers hit the codec stub."""
     out_schema = (
         f"{id_col} long, frame_idx int, width int, height int, mean_luma double"
     )
@@ -304,14 +318,14 @@ def video_frame_features(
             rows = []
             for _, r in pdf.iterrows():
                 content = bytes(r[content_col])
-                frames = demux_bseq(content)
+                frames = _demux_any_video(content)
                 if frames is None:
-                    _require_codec("video-demux")
+                    _require_codec("video-demux (compressed containers)")
                 for idx in range(0, len(frames), every_n):
-                    bmp = decode_bmp(frames[idx])
-                    if bmp is None:
+                    decoded = _decode_any_image(frames[idx])
+                    if decoded is None:
                         _require_codec("video-frame-decode")
-                    w, h, px = bmp
+                    w, h, px = decoded
                     luma = (
                         0.114 * px[..., 0]
                         + 0.587 * px[..., 1]
@@ -350,8 +364,8 @@ def sample_video_frames(
             rows = []
             for _, r in pdf.iterrows():
                 content = bytes(r[content_col])
-                frames = demux_bseq(content)
-                if frames is not None:  # real demux path (BSEQ container)
+                frames = _demux_any_video(content)
+                if frames is not None:  # real demux path (BSEQ / DIB-AVI)
                     for i in range(0, len(frames), every_n):
                         rows.append(
                             {id_col: r[id_col], "frame_idx": i, "frame": frames[i]}

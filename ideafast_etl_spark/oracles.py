@@ -1347,6 +1347,20 @@ ORDER BY doc_id, frame_idx
 """
 
 
+ORACLES["avi_frame_sample"] = """
+SELECT doc_id,
+  CAST(j AS INT) AS frame_idx,
+  CAST(2 + doc_id % 6 AS INT) AS width,
+  CAST(1 + doc_id % 4 AS INT) AS height,
+  ROUND((0.114*((doc_id*11 + j*29) % 256)
+       + 0.587*((doc_id*11 + j*29) % 256)
+       + 0.299*((doc_id*11 + j*29) % 256)) / 255.0, 6) AS mean_luma
+FROM documents, LATERAL unnest(generate_series(0, doc_id % 3, 2)) AS g(j)
+WHERE doc_id < 300
+ORDER BY doc_id, frame_idx
+"""
+
+
 # Deterministic 80/10/10 split: same sha256-bucket recipe (salt 'split0').
 ORACLES["dataset_splits"] = """
 WITH b AS (

@@ -2293,6 +2293,56 @@ def video_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+@register("avi_frame_sample")
+def avi_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-WORLD-container video check (§2.13): an uncompressed-DIB AVI
+    of 1-3 flat gray frames is muxed per document (`operators/avi.py`),
+    demuxed through the RIFF chunk walk, every 2nd frame kept, and each
+    DIB frame decoded by the shared image decoders. DIB video is
+    lossless, so the oracle replays (frame_idx, width, height, luma) with
+    generate_series — a chunk-alignment error, BITMAPINFOHEADER misread,
+    or row-padding mistake all drift the output."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators import avi as A
+    from .operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                w, h = int(2 + i % 6), int(1 + i % 4)
+                frames = [
+                    np.full(
+                        (h, w, 3), int((i * 11 + j * 29) % 256), dtype=np.uint8
+                    )
+                    for j in range(int(1 + i % 3))
+                ]
+                rows.append(
+                    {"doc_id": int(i), "content": A.encode_avi(frames)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    clips = docs.mapInPandas(_make, schema="doc_id long, content binary")
+    feats = mm.video_frame_features(clips, every_n=2, id_col="doc_id")
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    ).orderBy("doc_id", "frame_idx")
+
+
 @register("dataset_splits")
 def dataset_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (§2.13): split by sha256
