@@ -139,6 +139,8 @@ def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
         if nxt == 0x00:  # stuffed 0xFF literal
             cur.append(0xFF)
             i += 2
+        elif nxt == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            i += 1
         elif 0xD0 <= nxt <= 0xD7:  # restart marker: segment boundary
             segments.append(bytes(cur))
             cur = bytearray()
@@ -181,6 +183,9 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, np.ndarray] | None:
     while i < n - 1:
         if b[i] != 0xFF:
             return None  # garbage between markers
+        if b[i + 1] == 0xFF:  # fill byte padding before a marker (B.1.1.2)
+            i += 1
+            continue
         marker = b[i + 1]
         i += 2
         if marker == 0xD8 or (0xD0 <= marker <= 0xD7):

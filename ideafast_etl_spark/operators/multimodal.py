@@ -20,7 +20,13 @@ bytes. Codec coverage is split honestly by what the container can decode:
   and GIF87a/89a first-frame decode (``gif.py`` — full LZW, interlacing,
   palettes), so compressed-image feature extraction genuinely decodes
   bytes. PNG covers 8/16-bit depths and Adam7 interlacing.
-- STUBBED behind ``_require_codec``: compressed video (MP4/H.264 etc.),
+- REAL: FLAC decode/encode from the public spec (``flac.py`` — Rice
+  residuals, FIXED/LPC prediction, stereo decorrelation, CRC-8/16), so
+  compressed-audio feature extraction and resampling genuinely decode
+  bytes; M-JPEG AVI decodes via ``avi.py`` demux + the ``jpeg.py``
+  decoder (the one compressed-video codec needing no external library).
+- STUBBED behind ``_require_codec``: compressed video beyond M-JPEG
+  (MP4/H.264 etc.) and MP3 audio,
   which needs PyAV/ffmpeg absent here. The stubs either raise
   ``NotImplementedError`` (real decode requested) or produce a
   deterministic fake (pipeline testing). Swapping in the library changes
@@ -320,7 +326,7 @@ def video_frame_features(
                 content = bytes(r[content_col])
                 frames = _demux_any_video(content)
                 if frames is None:
-                    _require_codec("video-demux (compressed containers)")
+                    _require_codec("video-demux (compressed containers beyond M-JPEG)")
                 for idx in range(0, len(frames), every_n):
                     decoded = _decode_any_image(frames[idx])
                     if decoded is None:
@@ -464,6 +470,18 @@ def _decode_wav_manual(b: bytes) -> tuple[int, int, np.ndarray] | None:
     return rate, nch, x[:n].reshape(-1, nch)
 
 
+def _decode_any_audio(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """WAV (stdlib + manual RIFF) then FLAC (from-spec ``flac.py``) —
+    (rate, n_channels, float64 samples) or None for codecs genuinely
+    needing an external library (MP3)."""
+    dec = decode_wav(b)
+    if dec is None and b[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        dec = decode_flac(b)
+    return dec
+
+
 def decode_wav(b: bytes) -> tuple[int, int, np.ndarray] | None:
     """Decode WAV bytes into (sample_rate, n_channels, float64 samples in
     [-1, 1], shape (n_frames, n_channels)). Stdlib ``wave`` handles PCM
@@ -523,9 +541,9 @@ def audio_features(
     content_col: str = "content",
     id_col: str = "asset_id",
 ) -> DataFrame:
-    """REAL per-clip audio features from PCM WAV bytes: sample rate,
-    channels, duration, RMS energy, peak amplitude — decoded executor-side
-    in Arrow batches. Compressed audio (MP3/FLAC) hits the codec stub."""
+    """REAL per-clip audio features from PCM/G.711 WAV or FLAC bytes:
+    sample rate, channels, duration, RMS energy, peak amplitude — decoded
+    executor-side in Arrow batches. MP3 hits the codec stub."""
     out_schema = (
         f"{id_col} long, sample_rate int, n_channels int, "
         "duration_s double, rms double, peak double"
@@ -535,9 +553,9 @@ def audio_features(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                dec = decode_wav(bytes(r[content_col]))
+                dec = _decode_any_audio(bytes(r[content_col]))
                 if dec is None:
-                    _require_codec("audio-decode (MP3/FLAC)")
+                    _require_codec("audio-decode (MP3)")
                 rate, nch, x = dec
                 rows.append(
                     {
@@ -579,7 +597,7 @@ def resample_audio(
             rows = []
             for _, r in pdf.iterrows():
                 content = bytes(r[content_col])
-                dec = decode_wav(content)
+                dec = _decode_any_audio(content)
                 if dec is not None:
                     rate, nch, x = dec
                     n_out = max(1, int(round(x.shape[0] * target_hz / rate)))
@@ -598,7 +616,7 @@ def resample_audio(
                     )
                     continue
                 if not fake:
-                    _require_codec("audio-decode (MP3/FLAC)")
+                    _require_codec("audio-decode (MP3)")
                 rows.append(
                     {
                         id_col: r[id_col],

@@ -29,15 +29,26 @@ from pyspark.sql import functions as F
 
 _EOW = "</w>"
 
+# C0 control characters + DEL are treated as word separators during
+# pre-tokenization: 0x1F in particular is the internal pair-key delimiter
+# (``bpe_train``) and is NOT regex whitespace, so letting it survive into a
+# word would make the learned pair ambiguous (round-5 ADVICE fix). Mapping
+# the whole control block to whitespace is also what real tokenizers do.
+_CTRL_CLASS = "[\\x00-\\x1F\\x7F]"
+
+
+def _split_words(text_col) -> F.Column:
+    """Shared pre-tokenization: lowercase, control chars → separators,
+    whitespace split. Training and tokenization MUST agree on this."""
+    return F.split(
+        F.regexp_replace(F.lower(text_col), _CTRL_CLASS, " "), r"\s+"
+    )
+
 
 def _word_freq(df: DataFrame, text_col: str) -> DataFrame:
     """(word, freq) from whitespace pre-tokenization, lowercased."""
     return (
-        df.select(
-            F.explode(
-                F.split(F.lower(F.col(text_col)), r"\s+")
-            ).alias("word")
-        )
+        df.select(F.explode(_split_words(F.col(text_col))).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -112,7 +123,10 @@ def bpe_train(
         )
         if not top:
             break
-        a, b = top[0]["pair"].split("\x1f")
+        parts = top[0]["pair"].split("\x1f")
+        if len(parts) != 2:  # unreachable post-sanitisation; fail loud
+            raise ValueError(f"malformed BPE pair key: {top[0]['pair']!r}")
+        a, b = parts
         merges.append((a, b, int(top[0]["pf"])))
         vocab = vocab.withColumn(
             "sym", _apply_merge(F.col("sym"), a, b)
@@ -141,9 +155,7 @@ def bpe_tokenize(
     Returns (id_col, n_words, n_tokens, tokens array<string>)."""
     words = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.split(F.lower(F.col(text_col)), r"\s+")
-        ).alias("pos", "word"),
+        F.posexplode(_split_words(F.col(text_col))).alias("pos", "word"),
     ).filter(F.length("word") > 0)
     vocab_toks = vocab.select(
         "word", F.split(F.col("sym"), " ").alias("word_tokens")

@@ -1136,6 +1136,19 @@ FROM documents
 WHERE doc_id < 300
 """
 
+# FLAC square wave ±a: lossless decode, even sample count → RMS = peak =
+# round(a·32767)/32768 exactly (same quantisation grid as the WAV check).
+ORACLES["flac_audio_features"] = """
+SELECT doc_id,
+  CAST(8000 AS INT) AS sample_rate,
+  CAST(1 AS INT) AS n_channels,
+  ROUND((800 + (doc_id % 50) * 16) / 8000.0, 6) AS duration_s,
+  ROUND(ROUND((doc_id % 100) / 200.0 * 32767) / 32768.0, 6) AS rms,
+  ROUND(ROUND((doc_id % 100) / 200.0 * 32767) / 32768.0, 6) AS peak
+FROM documents
+WHERE doc_id < 200
+"""
+
 ORACLES["g711_audio_features"] = """
 WITH g AS (
   SELECT doc_id,
@@ -1357,6 +1370,22 @@ SELECT doc_id,
        + 0.299*((doc_id*11 + j*29) % 256)) / 255.0, 6) AS mean_luma
 FROM documents, LATERAL unnest(generate_series(0, doc_id % 3, 2)) AS g(j)
 WHERE doc_id < 300
+ORDER BY doc_id, frame_idx
+"""
+
+
+# M-JPEG AVI: flat q=8 JPEG frames decode exactly, so the same
+# generate_series replay predicts the decoded luma bit-for-bit.
+ORACLES["avi_mjpeg_frame_sample"] = """
+SELECT doc_id,
+  CAST(j AS INT) AS frame_idx,
+  CAST(2 + doc_id % 6 AS INT) AS width,
+  CAST(1 + doc_id % 4 AS INT) AS height,
+  ROUND((0.114*((doc_id*17 + j*23) % 256)
+       + 0.587*((doc_id*17 + j*23) % 256)
+       + 0.299*((doc_id*17 + j*23) % 256)) / 255.0, 6) AS mean_luma
+FROM documents, LATERAL unnest(generate_series(0, doc_id % 3, 2)) AS g(j)
+WHERE doc_id < 200
 ORDER BY doc_id, frame_idx
 """
 

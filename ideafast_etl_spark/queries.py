@@ -1919,6 +1919,54 @@ def audio_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("flac_audio_features")
+def flac_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-audio decode differential check (§2.13): a ±a square
+    wave per document is FLAC-encoded by the from-spec encoder
+    (`operators/flac.py` — FIXED prediction + Rice residuals over a
+    genuinely non-constant signal) and decoded back through the same
+    Arrow `audio_features` path as WAV. FLAC is lossless, so
+    RMS = peak = round(a·32767)/32768 exactly and the oracle recomputes
+    every feature arithmetically — a Rice mis-read, prediction bug, CRC
+    slip, or block misalignment all drift the output."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as mm
+    from .operators.flac import encode_flac
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                n = int(800 + (i % 50) * 16)  # even → rms exact
+                a = float((i % 100) / 200.0)
+                x = np.where(np.arange(n) % 2 == 0, a, -a).reshape(-1, 1)
+                rows.append(
+                    {"doc_id": int(i), "content": encode_flac(x, 8_000)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    clips = docs.mapInPandas(_make, schema="doc_id long, content binary")
+    feats = mm.audio_features(clips, id_col="doc_id")
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        F.round(F.col("duration_s"), 6).alias("duration_s"),
+        F.round(F.col("rms"), 6).alias("rms"),
+        F.round(F.col("peak"), 6).alias("peak"),
+    )
+
+
 @register("bpe_train_merges")
 def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (`operators/tokenizer.py`, Sennrich
@@ -2329,6 +2377,65 @@ def avi_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 rows.append(
                     {"doc_id": int(i), "content": A.encode_avi(frames)}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    clips = docs.mapInPandas(_make, schema="doc_id long, content binary")
+    feats = mm.video_frame_features(clips, every_n=2, id_col="doc_id")
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register("avi_mjpeg_frame_sample")
+def avi_mjpeg_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-video check (§2.13): a Motion-JPEG AVI (strf fourcc
+    'MJPG', each movi chunk a standalone baseline JPEG — OpenDML M-JPEG)
+    of 1-3 flat gray frames is muxed per document with an interleaved PCM
+    audio stream ahead of the video strl, demuxed through the stream-aware
+    RIFF walk (`operators/avi.py` — the video stream is ordinal 1 here, so
+    chunk-id tracking is load-bearing), every 2nd frame kept, and each
+    JPEG frame decoded by the from-spec T.81 decoder (`operators/jpeg.py`).
+    Flat q=8 quantization makes flat frames exactly recoverable, so the
+    oracle replays (frame_idx, width, height, luma) with generate_series —
+    a stream mixup, chunk misalignment, or huffman drift all mismatch.
+    Reference analog: binary-asset leg S2 (`ideafast_etl/hooks/drm.py:48-90`)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators import avi as A
+    from .operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                w, h = int(2 + i % 6), int(1 + i % 4)
+                frames = [
+                    np.full(
+                        (h, w, 3), int((i * 17 + j * 23) % 256), dtype=np.uint8
+                    )
+                    for j in range(int(1 + i % 3))
+                ]
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "content": A.encode_avi(
+                            frames, codec="MJPG", audio_stream=True
+                        ),
+                    }
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "content"])
 

@@ -42,6 +42,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
+        # tz-naive parquet timestamps scan directly as TIMESTAMP (LTZ) —
+        # the engine's canonical type — so no per-row NTZ→LTZ cast sits on
+        # the event-time hot path (values identical under the UTC session)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # inert unless a fixture carries parquet TIMESTAMP(NANOS) columns
+        # (Spark never writes those); pinned here so tables.load never has
+        # to flip it on a session this factory built
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

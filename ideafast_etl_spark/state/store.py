@@ -478,10 +478,15 @@ class StateStore:
             ).select(self.key)
             checked = checked.join(other_keys, on=self.key, how="left_anti")
         src = F.broadcast(checked) if broadcast_source else checked
+        # full_outer even for update-only merges: a source-only key must
+        # reach the projection so its duplicate marker is observable (a
+        # left_outer join would drop it and the duplicate-keys ValueError
+        # contract would silently pass); update-only drops those rows via
+        # the __keep filter AFTER the observe. Same shuffle either way.
         j = target.alias("t").join(
             src.alias("src"),
             F.col(f"t.{self.key}") == F.col(f"src.{self.key}"),
-            "full_outer" if insert_when_not_matched else "left_outer",
+            "full_outer",
         )
         has_t = F.col(f"t.{self.key}").isNotNull()
         has_s = F.col(f"src.{self.key}").isNotNull()
@@ -520,13 +525,15 @@ class StateStore:
                 .cast("long")
                 .alias("__dup"),
             )
-            .filter(F.col("__keep"))
+            # observe BEFORE the __keep filter: dup markers on source-only
+            # keys must count even when update-only merges then discard them
             .observe(
                 obs,
                 F.coalesce(F.sum("__upd"), F.lit(0)).alias("n_updated"),
                 F.coalesce(F.sum("__ins"), F.lit(0)).alias("n_inserted"),
                 F.coalesce(F.sum("__dup"), F.lit(0)).alias("n_dup_src"),
             )
+            .filter(F.col("__keep"))
             .drop("__upd", "__ins", "__keep", "__dup")
         )
         version, out = self._write_uncommitted(merged)

@@ -74,3 +74,38 @@ def test_sniff_identifies_avi_container(spark):
     df = spark.createDataFrame([(bytearray(b),)], "content binary")
     got = df.select(mm.sniff_media_type("content").alias("t")).first()["t"]
     assert got == "video/avi"
+
+
+def test_mjpeg_avi_roundtrip_exact_for_flat_frames():
+    """MJPG codec: each chunk is a standalone baseline JPEG; flat q=8
+    frames decode bit-exactly through the from-spec JPEG decoder."""
+    from ideafast_etl_spark.operators.jpeg import decode_jpeg_baseline
+
+    frames = [np.full((6, 10, 3), 40 * j + 20, np.uint8) for j in range(3)]
+    out = demux_avi(encode_avi(frames, codec="MJPG"))
+    assert out is not None and len(out) == 3
+    for orig, jpg in zip(frames, out):
+        assert jpg[:2] == b"\xff\xd8"
+        w, h, px = decode_jpeg_baseline(jpg)
+        assert (w, h) == (10, 6)
+        assert np.array_equal(px, orig)
+
+
+def test_multistream_avi_tracks_video_stream_ordinal():
+    """With a PCM audio stream ahead of the video strl, video chunks are
+    '01db'/'01dc' — the demuxer must collect stream 1 only and ignore the
+    interleaved '00wb' audio chunks (round-5 ADVICE fix)."""
+    frames = [np.full((4, 4, 3), 80 * j, np.uint8) for j in range(3)]
+    for codec in ("DIB ", "MJPG"):
+        b = encode_avi(frames, codec=codec, audio_stream=True)
+        assert b.find(b"01db") > 0 or b.find(b"01dc") > 0
+        assert b.find(b"00wb") > 0
+        out = demux_avi(b)
+        assert out is not None and len(out) == 3, codec
+
+
+def test_mjpeg_with_wrong_payload_rejected():
+    b = bytearray(encode_avi([np.full((4, 4, 3), 5, np.uint8)], codec="MJPG"))
+    j = b.find(b"00dc")
+    b[j + 8 : j + 10] = b"XX"  # corrupt the SOI marker
+    assert demux_avi(bytes(b)) is None

@@ -148,3 +148,78 @@ def test_semantic_dedup_drops_near_dups_keeps_lowest_id(spark, corpus):
     # nothing outside the planted pairs is dropped at this threshold
     dropped = {i for i, (_c, keep) in got.items() if not keep}
     assert dropped == {100, 101}
+
+
+def test_derive_k_scales_with_n():
+    from ideafast_etl_spark.operators.clustering import derive_k
+
+    assert derive_k(10, 1024) == 1
+    assert derive_k(1024, 1024) == 1
+    assert derive_k(1025, 1024) == 2
+    assert derive_k(10_000_000, 1024) == 9766  # k grows with n, not fixed
+    assert derive_k(5, 0) == 5  # degenerate target clamped to 1
+
+
+def test_auto_k_and_giant_cluster_cap(spark):
+    """A planted giant cluster (every vector near-identical) must not
+    produce an unbounded pairwise stage: with max_cluster_size=cap the
+    candidate-pair count stays <= n*cap/2; uncapped it is n*(n-1)/2."""
+    from ideafast_etl_spark.operators.clustering import near_dup_pairs
+
+    n, cap = 30, 5
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, (np.array([10.0, 0, 0, 1, 0, 0]) + rng.normal(0, 1e-3, 6)).tolist())
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assign = kmeans_assign(df, k=1, iters=2)
+    uncapped = near_dup_pairs(df, assign).count()
+    assert uncapped == n * (n - 1) // 2  # the quadratic stage, made visible
+    capped = near_dup_pairs(df, assign, max_cluster_size=cap).count()
+    # ceil(30/5)=6 full blocks of C(5,2)=10 pairs
+    assert capped == 6 * 10
+    assert capped <= n * cap / 2
+
+
+def test_cluster_sizes_surfaces_skew(spark):
+    from ideafast_etl_spark.operators.clustering import cluster_sizes
+
+    rng = np.random.default_rng(3)
+    rows = [(i, list(map(float, v))) for i, (_, v) in enumerate(_make_corpus(rng))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assign = kmeans_assign(df, k=3, iters=3)
+    sizes = cluster_sizes(assign).collect()
+    assert sum(r["n_members"] for r in sizes) == assign.count()
+    # ordered worst-first so skew is the first row a report shows
+    assert sizes[0]["n_members"] == max(r["n_members"] for r in sizes)
+
+
+def test_zero_norm_centroid_guard(spark):
+    """Two exactly opposite vectors forced into one cluster make the
+    quantised centroid mean all zeros; the guard drops that centroid
+    instead of emitting Inf/NaN -> null assignments."""
+    rows = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_assign(df, k=1, iters=2).collect()
+    # graceful degenerate case: no row carries a null/NaN similarity
+    for r in out:
+        assert r["sim"] is not None and r["sim"] == r["sim"]
+
+
+def test_semantic_dedup_cap_keeps_lowest_id_semantics(spark):
+    """With a cap small enough to split the corpus's clusters, dedup still
+    keeps the lowest id of each detected near-dup pair and never drops a
+    vector without a surviving lower-id witness."""
+    rng = np.random.default_rng(5)
+    rows = [(int(i), list(map(float, v))) for i, v in _make_corpus(rng)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            df, k=3, iters=4, threshold=0.999, max_cluster_size=64
+        ).collect()
+    }
+    # the planted near-dups 100/101 duplicate ids 0/3 -> dropped; originals kept
+    assert out[0] and out[3]
+    assert not out[100] and not out[101]

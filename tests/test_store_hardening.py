@@ -68,6 +68,50 @@ def test_merge_duplicate_source_keys_raise_and_state_unchanged(spark, tmp_path):
     assert leftovers == []
 
 
+def test_update_only_merge_duplicate_source_keys_absent_from_target_raise(
+    spark, tmp_path
+):
+    """Round-5 ADVICE fix: in an update-only merge (no insert clause) a
+    duplicate source key that matches NO target row used to vanish inside
+    the left_outer join before the duplicate observe — the documented
+    ValueError contract silently passed. The join is full_outer with the
+    observe ahead of the keep-filter now, so the guard fires."""
+    store = _store(spark, tmp_path / "s")
+    v0 = store.current_version()
+    dup_src = spark.createDataFrame(
+        [("h9", "DRM", "x", None), ("h9", "DRM", "y", None)],  # h9 ∉ target
+        "hash string, device_type string, col_a string, col_b string",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        store.merge(
+            dup_src,
+            when_matched_set={"col_a": "src.col_a"},
+            insert_when_not_matched=False,
+        )
+    assert store.current_version() == v0
+    assert store.read().count() == 3
+
+
+def test_update_only_merge_ignores_unique_unmatched_source_keys(spark, tmp_path):
+    """The full_outer rewrite must not change update-only semantics: a
+    UNIQUE source key absent from the target is ignored (no insert, no
+    error), matched keys still update."""
+    store = _store(spark, tmp_path / "s")
+    src = spark.createDataFrame(
+        [("h1", "DRM", "new-a", None), ("h9", "DRM", "zz", None)],
+        "hash string, device_type string, col_a string, col_b string",
+    )
+    res = store.merge(
+        src,
+        when_matched_set={"col_a": "src.col_a"},
+        insert_when_not_matched=False,
+    )
+    assert res == {"updated": 1, "inserted": 0}
+    got = {r["hash"]: r["col_a"] for r in store.read().collect()}
+    assert got["h1"] == "new-a"
+    assert "h9" not in got  # not inserted
+
+
 def test_merge_selective_insert_does_not_duplicate_cross_partition_key(
     spark, tmp_path
 ):

@@ -14,8 +14,16 @@ from ideafast_etl_spark.operators.tokenizer import (
 )
 
 
+def _pre_tok(t):
+    """Twin of tokenizer._split_words: control chars are separators."""
+    cleaned = "".join(
+        " " if (ord(c) < 0x20 or ord(c) == 0x7F) else c for c in t.lower()
+    )
+    return [w for w in cleaned.split() if w]
+
+
 def _twin_train(texts, n_merges, min_freq=2):
-    wf = Counter(w for t in texts for w in t.lower().split() if w)
+    wf = Counter(w for t in texts for w in _pre_tok(t))
     vocab = {w: list(w) + ["</w>"] for w in wf}
     merges = []
     for _ in range(n_merges):
@@ -55,7 +63,7 @@ def _twin_tokenize(texts_by_id, vocab):
     out = {}
     for i, t in texts_by_id.items():
         toks = []
-        words = [w for w in t.lower().split() if w]
+        words = _pre_tok(t)
         for w in words:
             toks.extend(vocab.get(w, list(w) + ["</w>"]))
         out[i] = (len(words), toks)
@@ -120,3 +128,26 @@ def test_merge_table_shape(spark, corpus):
     rows = t.orderBy("rank").collect()
     assert [r["rank"] for r in rows] == list(range(len(merges)))
     assert all(r["merged"] == r["left"] + r["right"] for r in rows)
+
+
+def test_control_chars_cannot_corrupt_pair_keys(spark):
+    """Round-5 ADVICE fix: 0x1F is the internal pair-key delimiter; a word
+    containing it (or any C0 control char) must be split apart during
+    pre-tokenization so no learned merge ever carries an ambiguous key —
+    and training must still match the twin exactly on such a corpus."""
+    texts = [
+        "ab\x1fab ab\x1fab ab\x1fab",  # 0x1F inside "words"
+        "ab ab low\x00low low\x7flow lower lower",
+        "ab ab lower lower",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab = bpe_train(df, n_merges=8)
+    want, _ = _twin_train(texts, n_merges=8)
+    assert merges == want
+    for a, b, _f in merges:
+        assert "\x1f" not in a and "\x1f" not in b
+    # learned vocabulary contains only control-free words
+    for r in vocab.collect():
+        assert "\x1f" not in r["word"]
