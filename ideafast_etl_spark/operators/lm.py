@@ -1,0 +1,137 @@
+"""Distributed n-gram language model: training (count tables) and add-k
+perplexity scoring (SURVEY.md §2.13 — LLM-pipeline extension).
+
+Perplexity scoring with an n-gram LM is the classic corpus-quality /
+domain-match signal (CCNet, Gopher/MassiveText, RedPajama all filter on an
+LM perplexity); this implements it as pure DataFrame algebra so the same
+code trains on 100 TB:
+
+1. tokenize + explode once, build n-grams JVM-side via
+   ``transform(sequence(...))`` over the token array (no Python in the hot
+   path),
+2. training = two keyed aggregations: counts of (context, word) and of
+   (context) — map-side partial aggs, shuffle on the uniform gram keys,
+3. vocabulary size = one 1-row distinct aggregate, broadcast back,
+4. scoring = two equi-joins of the document grams against the
+   vocabulary-sized count tables (AQE picks broadcast vs shuffle as the
+   vocab grows), then one keyed agg per doc.
+
+Float discipline (REPRO.md): each gram's add-k log-probability
+``ln((c_ngram + k) / (c_context + k*V))`` is derived from integer counts,
+quantized to a fixed-point long (1e-6 grid) and summed as LONGS — an
+associative integer sum, so any partitioning and any engine produce the
+identical per-document total; the single final ``exp`` runs on identical
+inputs in both engines and 4-dp rounding absorbs last-ulp libm divergence.
+
+Reference parity: the reference pipeline has no LM scoring (nothing in
+``ideafast_etl/``); this is part of the training-data extension surface the
+build brief mandates alongside dedup/similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import norm_text
+
+_FP = 1_000_000  # fixed-point grid for log-prob quantization
+
+
+def _grams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, ctx, w) rows: every n-gram as (n-1)-word context + next word.
+    Built entirely JVM-side: one token split + one generator explode."""
+    assert n >= 2, "need at least bigrams (n >= 2)"
+    toks = df.select(
+        F.col(id_col), F.split(norm_text(F.col(text_col)), " ").alias("t")
+    )
+    gram = (
+        f"transform(sequence(1, size(t) - {n - 1}), i -> "
+        f"struct(array_join(slice(t, i, {n - 1}), ' ') AS ctx, "
+        f"element_at(t, i + {n - 1}) AS w))"
+    )
+    return (
+        toks.filter(F.size("t") >= n)
+        .select(F.col(id_col), F.explode(F.expr(gram)).alias("g"))
+        .select(id_col, F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w"))
+    )
+
+
+def train_ngram_lm(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Count tables for an n-gram LM over the corpus.
+
+    Returns ``(ngram_counts, context_counts, vocab)`` where
+    ``ngram_counts`` is (ctx, w, c_nw), ``context_counts`` is (ctx, c_ctx)
+    and ``vocab`` is a 1-row (n_vocab) aggregate. All three are lazy
+    DataFrames — two shuffles on the gram keys, one global distinct-count.
+    """
+    grams = _grams(df, n, text_col, id_col)
+    ngram_counts = grams.groupBy("ctx", "w").agg(
+        F.count(F.lit(1)).alias("c_nw")
+    )
+    context_counts = grams.groupBy("ctx").agg(
+        F.count(F.lit(1)).alias("c_ctx")
+    )
+    vocab = (
+        df.select(
+            F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("w")
+        )
+        .agg(F.count_distinct("w").alias("n_vocab"))
+    )
+    return ngram_counts, context_counts, vocab
+
+
+def score_perplexity(
+    df: DataFrame,
+    ngram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab: DataFrame,
+    n: int = 2,
+    k: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document add-k perplexity under the trained n-gram LM.
+
+    Output: (id, n_ngrams, avg_logprob, perplexity) — avg_logprob is the
+    mean natural-log probability (6 dp), perplexity = exp(-avg) (4 dp).
+    Unseen (ctx, w) falls back to ``k / (c_ctx + k*V)``; an unseen context
+    scores the uniform ``1/V``. Deterministic at any parallelism: the sum
+    is over fixed-point longs (see module docstring)."""
+    grams = _grams(df, n, text_col, id_col)
+    joined = (
+        grams.join(ngram_counts, ["ctx", "w"], "left")
+        .join(context_counts, ["ctx"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("c_nw"), F.lit(0)).alias("c_nw"),
+            F.coalesce(F.col("c_ctx"), F.lit(0)).alias("c_ctx"),
+            F.col("n_vocab"),
+        )
+    )
+    lp_fp = F.round(
+        (
+            F.log(F.col("c_nw") + F.lit(k))
+            - F.log(F.col("c_ctx") + F.lit(k) * F.col("n_vocab"))
+        )
+        * F.lit(_FP)
+    ).cast("long")
+    per_doc = joined.select(F.col(id_col), lp_fp.alias("lp")).groupBy(
+        id_col
+    ).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum("lp").alias("__s"),
+    )
+    avg = F.col("__s").cast("double") / F.lit(_FP) / F.col("n_ngrams")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_ngrams"),
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("perplexity"),
+    )

@@ -1496,3 +1496,68 @@ WITH toks AS (
 )
 SELECT doc_id, term, tf, score, term_rank FROM ranked WHERE term_rank <= 5
 """
+
+# Bigram-LM add-1 perplexity twin: integer counts, fixed-point (1e-6 grid)
+# log-prob quantized to BIGINT before the per-doc sum — the sum is an
+# associative integer reduction, identical in any engine; the final exp/round
+# runs on identical inputs.
+ORACLES["ngram_lm_perplexity"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS} AS t FROM documents
+), g2 AS (
+  SELECT doc_id, g['ctx'] AS ctx, g['w'] AS w
+  FROM (
+    SELECT doc_id,
+      unnest([{{'ctx': t[i], 'w': t[i+1]}} for i in range(1, len(t))]) AS g
+    FROM toks WHERE len(t) >= 2
+  )
+), nc AS (
+  SELECT ctx, w, COUNT(*) AS c_nw FROM g2 GROUP BY ctx, w
+), cc AS (
+  SELECT ctx, COUNT(*) AS c_ctx FROM g2 GROUP BY ctx
+), v AS (
+  SELECT COUNT(DISTINCT w) AS n_vocab
+  FROM (SELECT unnest({_WORDS}) AS w FROM documents)
+), scored AS (
+  SELECT g2.doc_id,
+    CAST(ROUND((LN(COALESCE(nc.c_nw, 0) + 1)
+                - LN(COALESCE(cc.c_ctx, 0) + v.n_vocab)) * 1000000)
+         AS BIGINT) AS lp
+  FROM g2 LEFT JOIN nc USING (ctx, w) LEFT JOIN cc USING (ctx), v
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_ngrams, SUM(lp) AS s FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams,
+  ROUND(CAST(s AS DOUBLE) / 1000000 / n_ngrams, 6) AS avg_logprob,
+  ROUND(EXP(-(CAST(s AS DOUBLE) / 1000000 / n_ngrams)), 4) AS perplexity
+FROM agg
+"""
+
+# Span-level exact dedup twin: 20-word non-overlapping spans, first
+# occurrence by (doc_id, span_idx) wins; sha256 agrees across engines and
+# the dup ratio is an integer-derived division.
+ORACLES["span_dedup"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS} AS t FROM documents
+), spans AS (
+  SELECT doc_id, sp['span_idx'] AS span_idx,
+    sha256(sp['span_text']) AS span_hash
+  FROM (
+    SELECT doc_id,
+      unnest([{{'span_idx': CAST(s AS BIGINT),
+                'span_text': array_to_string(t[s*20+1 : s*20+20], ' ')}}
+              for s in range(0, CAST(floor((len(t)-1)/20) AS BIGINT) + 1)]) AS sp
+    FROM toks
+  )
+), flagged AS (
+  SELECT doc_id,
+    CASE WHEN ROW_NUMBER() OVER (
+      PARTITION BY span_hash ORDER BY doc_id, span_idx) > 1
+    THEN 1 ELSE 0 END AS is_dup
+  FROM spans
+)
+SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(is_dup) AS BIGINT) AS n_dup_spans,
+  CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_ratio
+FROM flagged
+GROUP BY doc_id
+"""

@@ -2538,3 +2538,59 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return tf_idf_top_terms(docs, k=5)
+
+
+@register("ngram_lm_perplexity")
+def ngram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM add-1 perplexity per document (§2.13 corpus-quality
+    scoring a la CCNet/Gopher): train the count tables on the corpus, score
+    every document. Two keyed aggs to train, two vocabulary-sized
+    equi-joins + one per-doc agg to score; the per-doc log-prob sum is a
+    fixed-point LONG sum (REPRO.md pattern), so the value is deterministic
+    at any parallelism and engine."""
+    from .operators.lm import score_perplexity, train_ngram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    nc, cc, v = train_ngram_lm(docs, n=2)
+    return score_perplexity(docs, nc, cc, v, n=2, k=1)
+
+
+@register("span_dedup")
+def span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup stats (§2.13, Lee et al. 'Deduplicating
+    Training Data' at span granularity): split each document into
+    non-overlapping 20-word spans, mark every span occurrence that repeats
+    an identical earlier span (first occurrence by (doc_id, span_idx)
+    wins), report per-doc duplication. One shuffle on the span sha256 (a
+    uniform key), integer-derived ratio — exact in any engine."""
+    span_w = 20
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"), F.split(T.norm_text(F.col("text")), " ").alias("t")
+    )
+    spans = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, int((size(t)-1)/{span_w})), s -> "
+                    f"struct(cast(s AS long) AS span_idx, "
+                    f"array_join(slice(t, s*{span_w}+1, {span_w}), ' ') AS span_text))"
+                )
+            ).alias("sp"),
+        )
+        .select(
+            "doc_id",
+            F.col("sp.span_idx").alias("span_idx"),
+            F.sha2(F.col("sp.span_text"), 256).alias("span_hash"),
+        )
+    )
+    w = Window.partitionBy("span_hash").orderBy("doc_id", "span_idx")
+    flagged = spans.withColumn(
+        "is_dup", (F.row_number().over(w) > 1).cast("long")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("is_dup").alias("n_dup_spans"),
+        (F.sum("is_dup").cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
+    )
