@@ -25,9 +25,10 @@ bytes. Codec coverage is split honestly by what the container can decode:
   compressed-audio feature extraction and resampling genuinely decode
   bytes; M-JPEG AVI decodes via ``avi.py`` demux + the ``jpeg.py``
   decoder (the one compressed-video codec needing no external library).
-- STUBBED behind ``_require_codec``: compressed video beyond M-JPEG
-  (MP4/H.264 etc.) and MP3 audio,
-  which needs PyAV/ffmpeg absent here. The stubs either raise
+- STUBBED behind ``_require_codec``: compressed-video BITSTREAMS beyond
+  M-JPEG (H.26x/MPEG-4 part 2 — the AVI and MP4/MOV containers themselves
+  demux for real via ``avi.py``/``mp4.py``) and MP3 audio, which need
+  PyAV/ffmpeg absent here. The stubs either raise
   ``NotImplementedError`` (real decode requested) or produce a
   deterministic fake (pipeline testing). Swapping in the library changes
   only the inner function — the distributed shape (Arrow batches, no
@@ -76,7 +77,9 @@ def sniff_media_type(content: str | F.Column = "content") -> F.Column:
             expr = F.when(head.startswith(magic), riff).otherwise(expr)
         else:
             expr = F.when(head.startswith(magic), F.lit(mtype)).otherwise(expr)
-    return expr
+    # ISO BMFF (MP4/MOV): 'ftyp' at byte offset 4, whatever the leading size
+    is_bmff = F.substring(head, 9, 8) == "66747970"
+    return F.when(is_bmff, F.lit("video/mp4")).otherwise(expr)
 
 
 def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -291,7 +294,8 @@ def demux_bseq(b: bytes) -> list[bytes] | None:
 
 
 def _demux_any_video(content: bytes) -> list[bytes] | None:
-    """Try every real demuxer (BSEQ container, then uncompressed-DIB AVI)
+    """Try every real demuxer (BSEQ container, DIB/M-JPEG AVI, then
+    Motion-JPEG MP4/MOV)
     — list of per-frame image byte strings (decodable by
     ``_decode_any_image``) or None for containers needing a codec lib."""
     frames = demux_bseq(content)
@@ -299,6 +303,10 @@ def _demux_any_video(content: bytes) -> list[bytes] | None:
         from .avi import demux_avi
 
         frames = demux_avi(content)
+    if frames is None and len(content) >= 12 and content[4:8] == b"ftyp":
+        from .mp4 import demux_mp4
+
+        frames = demux_mp4(content)
     return frames
 
 
@@ -313,7 +321,7 @@ def video_frame_features(
     decoders (BMP/JPEG/PNG/GIF) and emit (id, frame_idx, width, height,
     mean_luma) — the 1:N ``mapInPandas`` generator shape a video
     featurizer needs (output rows do not align with input rows; batches
-    stream). Containers: BSEQ and uncompressed-DIB AVI demux for real;
+    stream). Containers: BSEQ, DIB/M-JPEG AVI and M-JPEG MP4 demux for real;
     compressed containers hit the codec stub."""
     out_schema = (
         f"{id_col} long, frame_idx int, width int, height int, mean_luma double"
@@ -326,7 +334,7 @@ def video_frame_features(
                 content = bytes(r[content_col])
                 frames = _demux_any_video(content)
                 if frames is None:
-                    _require_codec("video-demux (compressed containers beyond M-JPEG)")
+                    _require_codec("video-demux (compressed codecs beyond M-JPEG AVI/MP4)")
                 for idx in range(0, len(frames), every_n):
                     decoded = _decode_any_image(frames[idx])
                     if decoded is None:

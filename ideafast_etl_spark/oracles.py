@@ -1561,3 +1561,32 @@ SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(is_dup) AS BIGINT) AS n_dup_spans,
 FROM flagged
 GROUP BY doc_id
 """
+
+# M-JPEG MP4: flat q=8 JPEG frames decode exactly; same generate_series
+# replay as the AVI leg but over the BMFF sample-table demux path.
+ORACLES["mp4_frame_sample"] = """
+SELECT doc_id,
+  CAST(j AS INT) AS frame_idx,
+  CAST(2 + doc_id % 5 AS INT) AS width,
+  CAST(1 + doc_id % 3 AS INT) AS height,
+  ROUND((0.114*((doc_id*13 + j*29) % 256)
+       + 0.587*((doc_id*13 + j*29) % 256)
+       + 0.299*((doc_id*13 + j*29) % 256)) / 255.0, 6) AS mean_luma
+FROM documents, LATERAL unnest(generate_series(0, doc_id % 4, 2)) AS g(j)
+WHERE doc_id < 200
+ORDER BY doc_id, frame_idx
+"""
+
+# Index-only MP4 metadata: codec/geometry/frames/duration are all exact
+# integers (duration = n_frames/25 at media timescale 25).
+ORACLES["mp4_stream_info"] = """
+SELECT doc_id,
+  'jpeg' AS codec,
+  CAST(2 + doc_id % 5 AS INT) AS width,
+  CAST(1 + doc_id % 3 AS INT) AS height,
+  CAST(1 + doc_id % 4 AS INT) AS n_frames,
+  CAST(1 + doc_id % 4 AS DOUBLE) / 25 AS duration_s
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+"""

@@ -2594,3 +2594,116 @@ def span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_dup").alias("n_dup_spans"),
         (F.sum("is_dup").cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
     )
+
+
+def _mp4_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Motion-JPEG MP4 fixtures, one clip per doc_id < 200:
+    1-4 flat gray frames (value (i*13 + j*29) % 256), w=2+i%5, h=1+i%3;
+    every even doc gets an interleaved PCM audio track FIRST in moov, so
+    hdlr-based track selection is load-bearing."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators import mp4 as M
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                w, h = int(2 + i % 5), int(1 + i % 3)
+                frames = [
+                    np.full(
+                        (h, w, 3), int((i * 13 + j * 29) % 256), dtype=np.uint8
+                    )
+                    for j in range(int(1 + i % 4))
+                ]
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "content": M.encode_mp4(
+                            frames, fps=25, audio_track=bool(i % 2 == 0)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return docs.mapInPandas(_make, schema="doc_id long, content binary")
+
+
+@register("mp4_frame_sample")
+def mp4_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF (MP4) Motion-JPEG demux + decode (§2.13): the sample table
+    (stsz/stsc/stco arithmetic, chunks of 2 samples so the stsc run
+    expansion is exercised) locates every frame, the first hdlr='vide'
+    track is selected past an interleaved audio track, every 2nd frame is
+    decoded by the from-spec T.81 JPEG decoder. Flat q=8 quantization
+    makes flat frames exactly recoverable, so the oracle replays
+    (frame_idx, width, height, luma) with generate_series — an offset
+    miscalculation, stsc drift, or track mixup all mismatch."""
+    from .operators import multimodal as mm
+
+    clips = _mp4_clips(spark, sf_dir)
+    feats = mm.video_frame_features(clips, every_n=2, id_col="doc_id")
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register("mp4_stream_info")
+def mp4_stream_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-only MP4 metadata scan (§2.13): codec fourcc, geometry, frame
+    count and duration from the moov sample tables WITHOUT touching sample
+    bytes — the cheap first pass a 100 TB multimodal corpus runs to decide
+    what to decode. Arrow mapInPandas; one row per clip."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .operators.mp4 import mp4_stream_info
+
+    clips = _mp4_clips(spark, sf_dir)
+
+    def _info(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                info = mp4_stream_info(bytes(r["content"]))
+                if info is None:
+                    continue
+                rows.append(
+                    {
+                        "doc_id": int(r["doc_id"]),
+                        "codec": info["codec"],
+                        "width": info["width"],
+                        "height": info["height"],
+                        "n_frames": info["n_frames"],
+                        "duration_s": info["duration_s"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "codec", "width", "height", "n_frames",
+                    "duration_s",
+                ],
+            )
+
+    return clips.mapInPandas(
+        _info,
+        schema=(
+            "doc_id long, codec string, width int, height int, "
+            "n_frames int, duration_s double"
+        ),
+    ).orderBy("doc_id")
