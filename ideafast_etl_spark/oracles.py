@@ -1590,3 +1590,41 @@ FROM documents
 WHERE doc_id < 200
 ORDER BY doc_id
 """
+
+# MP3 framing arithmetic replay: every field of the header walk is exact
+# integer arithmetic (frame length = floor(144|72 * br / rate), duration =
+# n * spf / rate) — the walker's ID3 skip, version/LSF handling and
+# truncation rules all mismatch if wrong.
+ORACLES["mp3_stream_info"] = """
+WITH p AS (
+  SELECT doc_id,
+    doc_id % 4 AS m,
+    CAST(5 + doc_id % 20 AS INT) AS n_frames,
+    CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    WHEN 2 THEN 32000 ELSE 22050 END AS rate,
+    CASE doc_id % 4 WHEN 0 THEN 128 WHEN 1 THEN 192
+                    WHEN 2 THEN 320 ELSE 64 END AS br,
+    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS channels
+  FROM documents WHERE doc_id < 300
+), q AS (
+  SELECT *,
+    CASE WHEN m = 3 THEN '2' ELSE '1' END AS version,
+    CASE WHEN m = 3 THEN 576 ELSE 1152 END AS spf,
+    CASE WHEN m = 3 THEN (72 * br * 1000) // rate
+         ELSE (144 * br * 1000) // rate END AS flen
+  FROM p
+)
+SELECT doc_id, version, CAST(3 AS INT) AS layer,
+  CAST(rate AS INT) AS sample_rate, CAST(channels AS INT) AS channels,
+  n_frames,
+  ROUND(CAST(n_frames * spf AS DOUBLE) / rate, 6) AS duration_s,
+  CAST(br AS INT) AS nominal_bitrate_kbps,
+  ROUND(CAST(n_frames * flen * 8 AS DOUBLE)
+        / (CAST(n_frames * spf AS DOUBLE) / rate) / 1000, 6) AS avg_bitrate_kbps,
+  'CBR' AS mode,
+  doc_id % 3 = 0 AS has_id3v2,
+  doc_id % 5 = 0 AS has_id3v1,
+  CAST(n_frames * flen AS BIGINT) AS audio_bytes
+FROM q
+ORDER BY doc_id
+"""

@@ -2707,3 +2707,72 @@ def mp4_stream_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_frames int, duration_s double"
         ),
     ).orderBy("doc_id")
+
+
+@register("mp3_stream_info")
+def mp3_stream_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG audio (MP3) frame-header metadata scan (§2.13): ID3v2 skip,
+    header walk (frame length from the 32-bit header alone), Xing/VBR
+    detection, duration/bitrate arithmetic — the index pass over an audio
+    corpus that never entropy-decodes a granule (`operators/mp3.py`).
+    Fixtures cycle MPEG-1/MPEG-2 versions, rates, channel modes and tag
+    layouts; the oracle replays the framing arithmetic exactly."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .operators.mp3 import encode_mp3_silence, mp3_stream_info
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rates = (44100, 48000, 32000, 22050)
+        brs = (128, 192, 320, 64)
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                m = int(i % 4)
+                b = encode_mp3_silence(
+                    n_frames=int(5 + i % 20),
+                    bitrate_kbps=brs[m],
+                    sample_rate=rates[m],
+                    channels=1 if i % 2 else 2,
+                    id3v2_bytes=64 if i % 3 == 0 else 0,
+                    id3v1=bool(i % 5 == 0),
+                )
+                info = mp3_stream_info(b)
+                if info is None:
+                    continue
+                info["doc_id"] = int(i)
+                rows.append(info)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "version", "layer", "sample_rate", "channels",
+                    "n_frames", "duration_s", "nominal_bitrate_kbps",
+                    "avg_bitrate_kbps", "mode", "has_id3v2", "has_id3v1",
+                    "audio_bytes",
+                ],
+            )
+
+    out = docs.mapInPandas(
+        _make,
+        schema=(
+            "doc_id long, version string, layer int, sample_rate int, "
+            "channels int, n_frames int, duration_s double, "
+            "nominal_bitrate_kbps int, avg_bitrate_kbps double, "
+            "mode string, has_id3v2 boolean, has_id3v1 boolean, "
+            "audio_bytes long"
+        ),
+    )
+    return out.select(
+        "doc_id", "version", "layer", "sample_rate", "channels", "n_frames",
+        F.round("duration_s", 6).alias("duration_s"),
+        "nominal_bitrate_kbps",
+        F.round("avg_bitrate_kbps", 6).alias("avg_bitrate_kbps"),
+        "mode", "has_id3v2", "has_id3v1", "audio_bytes",
+    ).orderBy("doc_id")
