@@ -2776,3 +2776,33 @@ def mp3_stream_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_bitrate_kbps", 6).alias("avg_bitrate_kbps"),
         "mode", "has_id3v2", "has_id3v1", "audio_bytes",
     ).orderBy("doc_id")
+
+
+@register("quality_classifier_scores")
+def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words logistic-regression quality classifier (§2.13,
+    the fasttext-style corpus-quality model of GPT-3/CCNet pipelines):
+    self-supervised labels from the heuristic quality score, 5 full-batch
+    GD steps (each one distributed pass aggregating a D+1-row gradient),
+    then a shuffle-free scoring pass with the weights as a literal array.
+    Iterative (driver applies the step), so rows-only by contract; the
+    fixed-point gradient sums make the weights bit-identical under any
+    partitioning (tests/test_classifier.py holds a numpy twin to it)."""
+    from .operators.classifier import (
+        doc_features,
+        quality_labels,
+        score_logreg,
+        train_logreg,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dim = 256
+    feats = doc_features(docs, dim=dim)
+    labels = quality_labels(docs)
+    w = train_logreg(feats, labels, dim=dim, iters=5)
+    return (
+        score_logreg(feats, w)
+        .join(labels, "doc_id")
+        .select("doc_id", "prob", "predicted", "label")
+        .orderBy("doc_id")
+    )
