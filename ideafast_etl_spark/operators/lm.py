@@ -135,3 +135,78 @@ def score_perplexity(
         F.round(avg, 6).alias("avg_logprob"),
         F.round(F.exp(-avg), 4).alias("perplexity"),
     )
+
+
+def score_kn_perplexity(
+    df: DataFrame,
+    ngram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab: DataFrame,
+    n: int = 2,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under interpolated Kneser-Ney smoothing —
+    the smoothing CCNet-grade 5-gram filters actually use (Kneser & Ney
+    1995; Chen & Goodman 1998):
+
+        p(w|ctx) = max(c(ctx,w) - d, 0)/c(ctx)
+                 + ((d * N1+(ctx,*)) / c(ctx)) * p_cont(w)
+        p_cont(w) = (N1+(*,w) + 1) / (n_bigram_types + V)   (add-1 escape
+                    so unseen words keep nonzero mass)
+        unseen context -> p(w|ctx) = p_cont(w)
+
+    Every quantity is an integer count aggregate; d = 0.75 is exactly
+    representable in binary, so the float expression tree evaluates
+    bit-identically in any engine, and the per-doc sum uses the same
+    fixed-point-long discipline as :func:`score_perplexity`. Plan shape:
+    three extra vocabulary-sized aggregates (continuation counts) that
+    join on the same gram keys — no new shuffle classes."""
+    n1p_ctx = ngram_counts.groupBy("ctx").agg(
+        F.count(F.lit(1)).alias("n1p_ctx")
+    )
+    n1p_left = ngram_counts.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n1p_left")
+    )
+    n_types = ngram_counts.agg(F.count(F.lit(1)).alias("n_types"))
+    grams = _grams(df, n, text_col, id_col)
+    joined = (
+        grams.join(ngram_counts, ["ctx", "w"], "left")
+        .join(context_counts, ["ctx"], "left")
+        .join(n1p_ctx, ["ctx"], "left")
+        .join(n1p_left, ["w"], "left")
+        .crossJoin(F.broadcast(n_types))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("c_nw"), F.lit(0)).cast("double").alias("c_nw"),
+            F.coalesce(F.col("c_ctx"), F.lit(0)).cast("double").alias("c_ctx"),
+            F.coalesce(F.col("n1p_ctx"), F.lit(0)).cast("double").alias("n1p_ctx"),
+            F.coalesce(F.col("n1p_left"), F.lit(0)).alias("n1p_left"),
+            F.col("n_types"),
+            F.col("n_vocab"),
+        )
+    )
+    d = F.lit(float(discount))
+    pcont = (F.col("n1p_left") + F.lit(1)).cast("double") / (
+        F.col("n_types") + F.col("n_vocab")
+    ).cast("double")
+    p_seen_ctx = (
+        F.greatest(F.col("c_nw") - d, F.lit(0.0)) / F.col("c_ctx")
+    ) + ((d * F.col("n1p_ctx")) / F.col("c_ctx")) * pcont
+    p = F.when(F.col("c_ctx") > 0, p_seen_ctx).otherwise(pcont)
+    lp_fp = F.round(F.log(p) * F.lit(_FP)).cast("long")
+    per_doc = joined.select(F.col(id_col), lp_fp.alias("lp")).groupBy(
+        id_col
+    ).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum("lp").alias("__s"),
+    )
+    avg = F.col("__s").cast("double") / F.lit(_FP) / F.col("n_ngrams")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_ngrams"),
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("perplexity"),
+    )

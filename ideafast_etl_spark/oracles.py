@@ -1628,3 +1628,58 @@ SELECT doc_id, version, CAST(3 AS INT) AS layer,
 FROM q
 ORDER BY doc_id
 """
+
+# Interpolated Kneser-Ney twin: all counts integer aggregates; the float
+# tree (d=0.75 binary-exact) is written with identical association on both
+# sides; per-doc sum in fixed-point BIGINTs.
+ORACLES["kneser_ney_perplexity"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS} AS t FROM documents
+), g2 AS (
+  SELECT doc_id, g['ctx'] AS ctx, g['w'] AS w
+  FROM (
+    SELECT doc_id,
+      unnest([{{'ctx': t[i], 'w': t[i+1]}} for i in range(1, len(t))]) AS g
+    FROM toks WHERE len(t) >= 2
+  )
+), nc AS (
+  SELECT ctx, w, COUNT(*) AS c_nw FROM g2 GROUP BY ctx, w
+), cc AS (
+  SELECT ctx, COUNT(*) AS c_ctx FROM g2 GROUP BY ctx
+), n1pc AS (
+  SELECT ctx, COUNT(*) AS n1p_ctx FROM nc GROUP BY ctx
+), n1pl AS (
+  SELECT w, COUNT(*) AS n1p_left FROM nc GROUP BY w
+), nt AS (
+  SELECT COUNT(*) AS n_types FROM nc
+), v AS (
+  SELECT COUNT(DISTINCT w) AS n_vocab
+  FROM (SELECT unnest({_WORDS}) AS w FROM documents)
+), scored AS (
+  SELECT g2.doc_id,
+    CAST(ROUND(LN(
+      CASE WHEN COALESCE(cc.c_ctx, 0) > 0 THEN
+        (GREATEST(CAST(COALESCE(nc.c_nw, 0) AS DOUBLE) - 0.75, 0.0)
+         / CAST(cc.c_ctx AS DOUBLE))
+        + ((0.75 * CAST(COALESCE(n1pc.n1p_ctx, 0) AS DOUBLE))
+           / CAST(cc.c_ctx AS DOUBLE))
+          * (CAST(COALESCE(n1pl.n1p_left, 0) + 1 AS DOUBLE)
+             / CAST(nt.n_types + v.n_vocab AS DOUBLE))
+      ELSE
+        CAST(COALESCE(n1pl.n1p_left, 0) + 1 AS DOUBLE)
+        / CAST(nt.n_types + v.n_vocab AS DOUBLE)
+      END) * 1000000) AS BIGINT) AS lp
+  FROM g2
+  LEFT JOIN nc USING (ctx, w)
+  LEFT JOIN cc USING (ctx)
+  LEFT JOIN n1pc USING (ctx)
+  LEFT JOIN n1pl USING (w)
+  , nt, v
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_ngrams, SUM(lp) AS s FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams,
+  ROUND(CAST(s AS DOUBLE) / 1000000 / n_ngrams, 6) AS avg_logprob,
+  ROUND(EXP(-(CAST(s AS DOUBLE) / 1000000 / n_ngrams)), 4) AS perplexity
+FROM agg
+"""

@@ -2806,3 +2806,17 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "prob", "predicted", "label")
         .orderBy("doc_id")
     )
+
+
+@register("kneser_ney_perplexity")
+def kneser_ney_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity per document (§2.13 — the
+    smoothing CCNet-grade LM filters actually use). Continuation counts
+    are three more vocabulary-sized aggregates joining on the same gram
+    keys; d=0.75 is binary-exact so the float expression tree is
+    bit-identical across engines; per-doc sums are fixed-point longs."""
+    from .operators.lm import score_kn_perplexity, train_ngram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    nc, cc, v = train_ngram_lm(docs, n=2)
+    return score_kn_perplexity(docs, nc, cc, v, n=2)

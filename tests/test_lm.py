@@ -98,3 +98,27 @@ def test_partitioning_determinism(spark, corpus):
         .collect()
     )
     assert a == b
+
+
+def test_kneser_ney_hand_computed(spark, corpus):
+    from ideafast_etl_spark.operators.lm import score_kn_perplexity
+
+    nc, cc, v = train_ngram_lm(corpus, n=2)
+    probe = spark.createDataFrame([(30, "a b"), (31, "z z")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           score_kn_perplexity(probe, nc, cc, v, n=2).collect()}
+    # training: bigram types = {(a,b),(b,a),(a,c),(c,c)} -> n_types=4, V=3
+    # p_cont(b) = (N1+(*,b)+1)/(4+3) = 2/7; ctx a: c_ctx=4, N1+(a,*)=2
+    p_ab = (3 - 0.75) / 4 + (0.75 * 2 / 4) * (2 / 7)
+    assert out[30].avg_logprob == pytest.approx(math.log(p_ab), abs=2e-6)
+    # (z,z): unseen ctx -> p_cont(z) = (0+1)/(4+3)
+    assert out[31].avg_logprob == pytest.approx(math.log(1 / 7), abs=2e-6)
+
+
+def test_kneser_ney_prob_mass_bounded(spark, corpus):
+    """Every scored probability must be in (0, 1]: perplexity >= 1."""
+    from ideafast_etl_spark.operators.lm import score_kn_perplexity
+
+    nc, cc, v = train_ngram_lm(corpus, n=2)
+    rows = score_kn_perplexity(corpus, nc, cc, v, n=2).collect()
+    assert rows and all(r.perplexity >= 1.0 for r in rows)
