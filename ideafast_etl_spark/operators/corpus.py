@@ -176,3 +176,118 @@ def temperature_sample(
         .filter(bucket < F.floor(F.col("sample_rate") * mod))
         .withColumn("sample_rate", F.round("sample_rate", 6))
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (§2.13): when the eval suite outgrows a
+# raw-string broadcast, ship a fixed-size bit table instead.
+# --------------------------------------------------------------------------
+
+BLOOM_K = 4  # probes per key; ~10 bits/key -> fpp ~1%
+
+
+def _bloom_positions(col: Column, m_bits: int) -> list[Column]:
+    """K bit positions from non-overlapping sha256 hex windows — the same
+    engine-portable construction as stable_bucket, K independent slices."""
+    h = F.sha2(col, 256)
+    return [
+        F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("bigint")
+        % F.lit(m_bits)
+        for i in range(BLOOM_K)
+    ]
+
+
+def build_ngram_bloom(
+    eval_df: DataFrame,
+    n: int = 4,
+    m_bits: int = 1 << 17,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """1-row DataFrame with a ``bloom`` array<long> column (m_bits/64
+    words) over the eval set's distinct n-grams. Fully distributed: k
+    position rows per shingle, bit_or-reduced per 64-bit word (map-side
+    partials), then one 1-row aggregate densifies the word map — the bit
+    table never exists on the driver and rides a broadcast exchange, not a
+    plan literal."""
+    n_words = m_bits // 64
+    sh = shingle_rows(eval_df, text_col, id_col, n).select("shingle").distinct()
+    pos = sh.select(
+        F.explode(F.array(*_bloom_positions(F.col("shingle"), m_bits))).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("int").alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (F.col("p") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    dense = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "bits"))
+        ).alias("m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}), "
+            f"i -> coalesce(element_at(m, i), 0L))"
+        ).alias("bloom")
+    )
+    return dense
+
+
+def bloom_might_contain(
+    col: Column, bloom_col: Column, m_bits: int
+) -> Column:
+    """All-K-bits-set membership test — pure JVM column expression
+    (element_at + getbit), no UDF."""
+    cond = F.lit(True)
+    for p in _bloom_positions(col, m_bits):
+        word = F.element_at(bloom_col, (p / 64).cast("int") + 1)
+        cond = cond & (
+            F.call_function("getbit", word, (p % 64).cast("int")) == 1
+        )
+    return cond
+
+
+def bloom_ngram_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 4,
+    m_bits: int = 1 << 17,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact decontamination output (identical to
+    :func:`ngram_decontaminate`) with a Bloom map-side prefilter.
+
+    Scale rationale: the plain version broadcasts the eval set's RAW
+    shingles — fine for MB suites, impossible when the held-out set is
+    itself large (e.g. decontaminating against a full validation corpus).
+    Here only the fixed-size bit table (m_bits/8 bytes) is broadcast; the
+    corpus side drops every shingle the Bloom rejects BEFORE any join, and
+    the exact verification join then runs on the tiny candidate remnant
+    (shuffle join on the shingle key — AQE sizes it), so false positives
+    cannot reach the output. Wrong-by-construction is impossible: Bloom
+    has no false negatives, and the verify join removes false positives.
+    """
+    bloom = build_ngram_bloom(eval_df, n, m_bits, text_col, id_col)
+    corpus_sh = shingle_rows(corpus, text_col, id_col, n)
+    totals = corpus_sh.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    candidates = corpus_sh.crossJoin(F.broadcast(bloom)).filter(
+        bloom_might_contain(F.col("shingle"), F.col("bloom"), m_bits)
+    ).drop("bloom")
+    eval_sh = shingle_rows(eval_df, text_col, id_col, n).select("shingle").distinct()
+    hits = (
+        candidates.join(eval_sh, "shingle")  # exact verify: fps die here
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.join(totals, id_col).select(
+        id_col,
+        "n_hits",
+        "n_grams",
+        F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("hit_ratio"),
+    )

@@ -1683,3 +1683,30 @@ SELECT doc_id, n_ngrams,
   ROUND(EXP(-(CAST(s AS DOUBLE) / 1000000 / n_ngrams)), 4) AS perplexity
 FROM agg
 """
+
+# Bloom decontamination twin: the Bloom table is a performance prefilter
+# whose false positives die in the exact verify join, so the oracle is the
+# same exact n-gram overlap SQL (held-out = src1).
+ORACLES["bloom_decontaminate"] = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split({NORM_TEXT}, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source,
+    unnest([array_to_string(t[i:i+3], ' ') for i in range(1, len(t) - 2)]) AS g
+  FROM tok
+), eval_g AS (
+  SELECT DISTINCT g FROM grams WHERE source = 'src1'
+), corpus AS (
+  SELECT doc_id, g FROM grams WHERE source <> 'src1'
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id
+), hit AS (
+  SELECT doc_id, COUNT(*) AS n_hits
+  FROM corpus JOIN eval_g USING (g) GROUP BY doc_id
+)
+SELECT h.doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+  CAST(n_grams AS BIGINT) AS n_grams,
+  ROUND(CAST(n_hits AS DOUBLE) / n_grams, 6) AS hit_ratio
+FROM hit h JOIN tot t ON h.doc_id = t.doc_id
+ORDER BY h.doc_id
+"""

@@ -2820,3 +2820,20 @@ def kneser_ney_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     nc, cc, v = train_ngram_lm(docs, n=2)
     return score_kn_perplexity(docs, nc, cc, v, n=2)
+
+
+@register("bloom_decontaminate")
+def bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination (§2.13): same exact
+    output as decontaminate_ngrams, but the eval side ships as a
+    fixed-size bit table (m/8 bytes broadcast) instead of raw shingles —
+    the posture for an eval suite too large to broadcast as strings. The
+    corpus drops Bloom-rejected shingles map-side BEFORE any join; the
+    exact verify join on the candidate remnant kills false positives, so
+    the oracle is plain exact-overlap SQL (src1 as the held-out set)."""
+    from .operators.corpus import bloom_ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("source") == "src1")
+    rest = docs.filter(F.col("source") != "src1")
+    return bloom_ngram_decontaminate(rest, eval_df, n=4).orderBy("doc_id")
