@@ -83,6 +83,25 @@ EXPECTATIONS: dict[str, list[str]] = {
     # corpus-scalars frame cross-joined in — a broadcast scalar, not an
     # all-pairs data join, so it is not banned for this query)
     "bm25_retrieval": ["BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython"],
+    # n-gram LM: gram construction is JVM generate/explode; count tables are
+    # keyed aggs with map-side partials; the 1-row vocab scalar broadcasts
+    # (BNLJ of a 1-row frame is a broadcast scalar, not an all-pairs join)
+    "ngram_lm_perplexity": ["partial_count", "HashAggregate", "!CartesianProduct", "!BatchEvalPython"],
+    "kneser_ney_perplexity": ["partial_count", "HashAggregate", "!CartesianProduct", "!BatchEvalPython"],
+    # span dedup: ONE shuffle on the span sha256 feeding the first-occurrence
+    # window; everything JVM
+    "span_dedup": ["Window", "partial_count", "!BatchEvalPython", "Batched: true"],
+    # bloom decontamination: bit-table rides a 1-row broadcast; membership is
+    # a JVM expression; the exact verify join must never be a nested loop
+    # over DATA (the only BNLJ is the 1-row bloom scalar)
+    "bloom_decontaminate": ["HashAggregate", "!CartesianProduct", "!BatchEvalPython"],
+    # classifier scoring: the weights are a literal array — the scoring side
+    # is pure JVM fold (no Python at all in the plan)
+    "quality_classifier_scores": ["!BatchEvalPython", "!ArrowEvalPython", "HashAggregate"],
+    # multimodal demux/decode is Arrow-batched mapInPandas (the correct
+    # posture — no JVM builtin decodes JPEG/BMFF)
+    "mp4_frame_sample": ["MapInPandas"],
+    "mp3_stream_info": ["MapInPandas"],
 }
 
 
