@@ -1710,3 +1710,47 @@ SELECT h.doc_id, CAST(n_hits AS BIGINT) AS n_hits,
 FROM hit h JOIN tot t ON h.doc_id = t.doc_id
 ORDER BY h.doc_id
 """
+
+# DSIR twin: hashed unigram+bigram buckets (same sha256 bucketing as the
+# Spark side), add-1 bucket distributions as integer rationals, per-bucket
+# log-ratio quantized to a fixed-point BIGINT before the per-doc sum.
+ORACLES["dsir_selection"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_WORDS} AS t FROM documents
+), grams AS (
+  SELECT doc_id, source, unnest(
+    list_concat(t,
+      [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))])) AS g
+  FROM toks
+), feats AS (
+  SELECT doc_id, source,
+    ('0x' || substr(sha256(g || 'dsir'), 1, 15))::BIGINT % 4096 AS bucket,
+    COUNT(*) AS cnt
+  FROM grams GROUP BY doc_id, source, bucket
+), tgt AS (
+  SELECT bucket, SUM(cnt) AS c_t FROM feats WHERE source = 'src0' GROUP BY bucket
+), raw AS (
+  SELECT doc_id, bucket, cnt FROM feats WHERE source <> 'src0'
+), rawtot AS (
+  SELECT bucket, SUM(cnt) AS c_r FROM raw GROUP BY bucket
+), nt AS (SELECT COALESCE(SUM(c_t), 0) AS n_t FROM tgt),
+   nr AS (SELECT COALESCE(SUM(c_r), 0) AS n_r FROM rawtot),
+scored AS (
+  SELECT raw.doc_id, raw.cnt,
+    CAST(ROUND((LN(COALESCE(tgt.c_t, 0) + 1) - LN(nt.n_t + 4096)
+              - LN(COALESCE(rawtot.c_r, 0) + 1) + LN(nr.n_r + 4096))
+               * 1000000) AS BIGINT) * raw.cnt AS lw
+  FROM raw
+  LEFT JOIN tgt USING (bucket)
+  LEFT JOIN rawtot USING (bucket)
+  , nt, nr
+), agg AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats, SUM(lw) AS s
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_feats,
+  ROUND(CAST(s AS DOUBLE) / 1000000, 6) AS log_weight,
+  s > 0 AS selected
+FROM agg
+ORDER BY doc_id
+"""

@@ -2837,3 +2837,20 @@ def bloom_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(F.col("source") == "src1")
     rest = docs.filter(F.col("source") != "src1")
     return bloom_ngram_decontaminate(rest, eval_df, n=4).orderBy("doc_id")
+
+
+@register("dsir_selection")
+def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection (§2.13, arXiv:2302.03169):
+    docs from src0 play the target set; every other doc gets a log
+    importance weight over hashed unigram+bigram features (add-1-smoothed
+    target vs raw bucket distributions, both D-row broadcasts) and a
+    deterministic selected flag. Per-bucket log-ratios quantize to
+    fixed-point longs before the per-doc sum — bit-identical in any
+    engine; the DuckDB oracle runs the same arithmetic."""
+    from .operators.dsir import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    return dsir_log_weights(raw, target, dim=4096).orderBy("doc_id")
