@@ -83,3 +83,72 @@ def test_decoders_never_raise_on_mutations(seed):
         for dec in (decode_png, decode_jpeg_baseline, decode_gif):
             r = dec(bytes(s))  # must not raise
             assert r is None or len(r) == 3
+
+
+@given(seed=SEED, n=st.integers(1, 9), audio=st.booleans())
+@settings(max_examples=10, deadline=None)
+def test_mp4_roundtrip_any_count(seed, n, audio):
+    from ideafast_etl_spark.operators.mp4 import demux_mp4, encode_mp4
+
+    rng = np.random.default_rng(seed)
+    w, h = int(rng.integers(1, 9)), int(rng.integers(1, 7))
+    frames = [
+        np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+        for _ in range(n)
+    ]
+    out = demux_mp4(encode_mp4(frames, audio_track=audio))
+    assert out is not None and len(out) == n
+    assert all(f[:2] == b"\xff\xd8" for f in out)
+
+
+@given(seed=SEED)
+@settings(max_examples=10, deadline=None)
+def test_mp4_mp3_walkers_never_raise_on_mutations(seed):
+    """Byte-flipped container/stream indexes must demux/parse or return
+    None — never raise (untrusted binary column contract)."""
+    from ideafast_etl_spark.operators.mp3 import (
+        encode_mp3_silence,
+        mp3_stream_info,
+    )
+    from ideafast_etl_spark.operators.mp4 import (
+        demux_mp4,
+        encode_mp4,
+        mp4_stream_info,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (4, 4, 3), np.uint8)
+    mp4 = bytearray(encode_mp4([img] * 3, audio_track=True))
+    mp3 = bytearray(
+        encode_mp3_silence(6, id3v2_bytes=32, id3v1=True)
+    )
+    for s in (mp4, mp3):
+        for _ in range(12):
+            i = int(rng.integers(0, len(s)))
+            s[i] = int(rng.integers(0, 256))
+    for fn in (demux_mp4, mp4_stream_info):
+        fn(bytes(mp4))  # must not raise
+    mp3_stream_info(bytes(mp3))  # must not raise
+
+
+@given(seed=SEED, frames=st.integers(1, 5), rate=st.sampled_from(
+    [44100, 48000, 32000, 22050, 24000, 16000]))
+@settings(max_examples=12, deadline=None)
+def test_mp3_framing_invariants(seed, frames, rate):
+    from ideafast_etl_spark.operators.mp3 import (
+        _BITRATES,
+        encode_mp3_silence,
+        mp3_stream_info,
+    )
+
+    rng = np.random.default_rng(seed)
+    version = "1" if rate in (44100, 48000, 32000) else "2"
+    table = _BITRATES[(version, 3)]
+    br = int(table[int(rng.integers(1, 15))])
+    info = mp3_stream_info(
+        encode_mp3_silence(frames, bitrate_kbps=br, sample_rate=rate)
+    )
+    assert info["n_frames"] == frames
+    assert info["sample_rate"] == rate and info["nominal_bitrate_kbps"] == br
+    spf = 1152 if version == "1" else 576
+    assert abs(info["duration_s"] - frames * spf / rate) < 1e-12
