@@ -626,3 +626,77 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
         votes = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote(mask))
         acc = acc + F.when(votes > 0, F.lit(mask)).otherwise(F.lit(0))
     return acc
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    min_len: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-duplication spans, Lee et al. ('Deduplicating
+    Training Data Makes Language Models Better') semantics at word
+    granularity: every maximal token run covered by ``min_len``-token
+    windows that occur (anywhere, any document — including twice in the
+    same one) more than once.
+
+    The suffix-array construction of the paper is replaced by an
+    equivalent distributed shape:
+
+    1. every ``min_len``-token window as (id, pos, window) rows — built
+       JVM-side from the token array (one generator explode);
+    2. global window counts keyed on the window string: count >= 2 marks
+       a duplicated window (ONE shuffle on a uniform key);
+    3. per document, overlapping duplicated windows merge into maximal
+       spans by the gaps-and-islands pattern: a window starting at or
+       before the running max end extends the current island, otherwise
+       it opens a new one (two window functions over the doc partition);
+    4. one keyed agg emits each island (start/end token positions,
+       window count).
+
+    Output: (id, span_start, span_end, n_windows) with 1-based inclusive
+    token positions. All-integer arithmetic — exact in any engine.
+
+    At 100 TB: shuffle #1 is on the window string (uniform — the count
+    head is exactly the duplicated tail we keep), shuffle #2 on the doc
+    id; both AQE-sized. No driver state, no Python.
+    """
+    toks = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= min_len)
+    wins = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {min_len - 1}), "
+                f"i -> struct(cast(i AS long) AS pos, "
+                f"array_join(slice(t, i, {min_len}), ' ') AS w))"
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.w").alias("w"))
+    dup_w = (
+        wins.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("w")
+    )
+    dups = wins.join(dup_w, "w").select(id_col, "pos")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + (min_len - 1)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dups.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_doc))
+    return (
+        flagged.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (min_len - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )

@@ -1754,3 +1754,48 @@ SELECT doc_id, n_feats,
 FROM agg
 ORDER BY doc_id
 """
+
+# Substring-dup spans twin: same 15-token windows, same global count>=2
+# rule, same gaps-and-islands merge (adjacent spans coalesce) — every
+# quantity an integer.
+ORACLES["substring_dup_spans"] = f"""
+WITH toks AS (
+  SELECT doc_id, t FROM (SELECT doc_id, {_WORDS} AS t FROM documents)
+  WHERE len(t) >= 15
+), wins AS (
+  SELECT doc_id, g['pos'] AS pos, g['w'] AS w
+  FROM (
+    SELECT doc_id,
+      unnest([{{'pos': i, 'w': array_to_string(t[i:i+14], ' ')}}
+              for i in range(1, len(t) - 13)]) AS g
+    FROM toks
+  )
+), dup_w AS (
+  SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2
+), dups AS (
+  SELECT doc_id, pos FROM wins JOIN dup_w USING (w)
+), flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN MAX(pos + 14) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > MAX(pos + 14) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+    THEN 1 ELSE 0 END AS new_island
+  FROM dups
+), islands AS (
+  SELECT doc_id, pos,
+    SUM(new_island) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT doc_id,
+  MIN(pos) AS span_start,
+  CAST(MAX(pos) + 14 AS BIGINT) AS span_end,
+  COUNT(*) AS n_windows
+FROM islands
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""

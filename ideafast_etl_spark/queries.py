@@ -2854,3 +2854,16 @@ def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.filter(F.col("source") == "src0")
     raw = docs.filter(F.col("source") != "src0")
     return dsir_log_weights(raw, target, dim=4096).orderBy("doc_id")
+
+
+@register("substring_dup_spans")
+def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication spans (§2.13, Lee et al. semantics at
+    word granularity): maximal token runs covered by 15-token windows
+    occurring more than once anywhere in the corpus. One shuffle on the
+    window string, one on the doc id for the gaps-and-islands merge;
+    all-integer output — exact in any engine."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.substring_dup_spans(docs, min_len=15).orderBy(
+        "doc_id", "span_start"
+    )
