@@ -1799,3 +1799,42 @@ FROM islands
 GROUP BY doc_id, island
 ORDER BY doc_id, span_start
 """
+
+# Waterfill twin: caps/prefix sums exact integers, λ one integer-derived
+# double division; the feasible set is a prefix so MAX(feasible idx) is
+# the true saturated count.
+ORACLES["token_budget_mix"] = f"""
+WITH counts AS (
+  SELECT source, SUM(len(t)) AS tokens
+  FROM (SELECT source, {_WORDS} AS t FROM documents) GROUP BY source
+), b AS (
+  SELECT 2 * SUM(tokens) AS budget FROM counts
+), ranked AS (
+  SELECT source, tokens, 4 * tokens AS cap,
+    ROW_NUMBER() OVER (ORDER BY 4 * tokens, source) AS idx,
+    SUM(4 * tokens) OVER (ORDER BY 4 * tokens, source
+                          ROWS UNBOUNDED PRECEDING) AS cum_cap,
+    COUNT(*) OVER () AS n, budget
+  FROM counts, b
+), feas AS (
+  SELECT *,
+    CAST(budget - cum_cap AS DOUBLE) / (n - idx) AS lam_i,
+    CASE WHEN idx < n
+          AND CAST(budget - cum_cap AS DOUBLE) / (n - idx)
+              >= CAST(cap AS DOUBLE)
+    THEN 1 ELSE 0 END AS feasible
+  FROM ranked
+), m AS (
+  SELECT MAX(CASE WHEN feasible = 1 THEN idx END) AS m FROM feas
+), lvl AS (
+  SELECT lam_i AS level FROM feas, m WHERE feas.idx = m.m
+  UNION ALL
+  SELECT CAST(budget AS DOUBLE) / n AS level FROM feas, m
+  WHERE m.m IS NULL AND idx = 1
+)
+SELECT source, CAST(tokens AS BIGINT) AS tokens, CAST(cap AS BIGINT) AS cap,
+  ROUND(LEAST(CAST(cap AS DOUBLE), level), 6) AS allocation,
+  ROUND(LEAST(CAST(cap AS DOUBLE), level) / tokens, 6) AS epochs
+FROM feas, lvl
+ORDER BY source
+"""

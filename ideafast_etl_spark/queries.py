@@ -2867,3 +2867,28 @@ def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_dup_spans(docs, min_len=15).orderBy(
         "doc_id", "span_start"
     )
+
+
+@register("token_budget_mix")
+def token_budget_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfill token-budget allocation across sources (§2.13 — the
+    '<= N epochs per source' mixture rule of large pretraining runs):
+    budget = 2x corpus tokens, caps = 4 epochs per source; closed-form
+    waterfilling over the bounded per-source count table (two cumulative
+    windows + one conditional aggregate, no iteration). Integer caps and
+    prefix sums; one integer-derived double division — engine-exact."""
+    from .operators.mixing import waterfill_allocation
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source",
+            F.size(F.split(T.norm_text(F.col("text")), " ")).alias("__w"),
+        )
+        .groupBy("source")
+        .agg(F.sum("__w").alias("tokens"))
+    )
+    budget = counts.agg(
+        (F.lit(2) * F.sum("tokens")).alias("budget")
+    )
+    return waterfill_allocation(counts, budget, max_epochs=4).orderBy("source")
