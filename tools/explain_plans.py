@@ -102,6 +102,14 @@ EXPECTATIONS: dict[str, list[str]] = {
     # posture — no JVM builtin decodes JPEG/BMFF)
     "mp4_frame_sample": ["MapInPandas"],
     "mp3_stream_info": ["MapInPandas"],
+    # DSIR: both fitted distributions are D-row broadcasts; the corpus side
+    # is explode + keyed aggs + broadcast joins — no data-sized shuffle join
+    "dsir_selection": ["partial_count", "HashAggregate", "!CartesianProduct", "!BatchEvalPython"],
+    # substring dedup: window-count shuffle + doc-partition window; all JVM
+    "substring_dup_spans": ["Window", "partial_count", "!BatchEvalPython", "Batched: true"],
+    # waterfill: data-sized work is ONE keyed agg; windows run over the
+    # bounded source table only
+    "token_budget_mix": ["partial_sum", "Window", "!BatchEvalPython"],
 }
 
 
