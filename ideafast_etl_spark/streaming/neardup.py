@@ -1,0 +1,163 @@
+"""Streaming MinHash near-dup against evolving state (SURVEY.md §2.11 +
+§2.13): the streaming flavor of the production dedup step — which incoming
+documents near-duplicate anything already seen, where "seen" grows as the
+stream drains.
+
+``foreachBatch`` composition (the same posture as ``run_streaming_ingest``):
+each micro-batch
+
+1. computes MinHash signatures for the batch (one keyed agg),
+2. band-joins batch bands against STATE bands plus the batch's own bands
+   (incoming × seen only — never state × state, the scale-correct
+   incremental plan),
+3. verifies candidates by signature-estimated Jaccard (the share of equal
+   MinHash components — an unbiased Jaccard estimator; the state keeps 32
+   longs per doc instead of full shingle sets, the right state-size
+   trade at 100 TB),
+4. appends the NON-duplicate survivors' signatures to the parquet state
+   (duplicates are suppressed, exactly like J1's anti-join generalised to
+   similarity),
+5. reports duplicates driver-side via ``dup_log`` (foreachBatch runs on
+   the driver; the per-batch pair list is bounded by the batch).
+
+Checkpointing gives exactly-once file consumption; the signature state is
+idempotent per batch id (an append of already-present ids is prevented by
+the duplicate check itself). Reference analog: the polling DAG's per-run
+dedup rung (``dags/dreem.py:299-307``), upgraded from exact hash to
+near-dup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..operators.dedup import LSH_BANDS, LSH_ROWS, with_minhash
+
+SIG_LEN = LSH_BANDS * LSH_ROWS
+
+
+def _bands(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, minhash, band, band_key) rows — one per LSH band."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(F.col("minhash"), b * LSH_ROWS + r + 1)
+                        for r in range(LSH_ROWS)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.col("minhash"), F.explode(bands).alias("bk")
+    ).select(
+        id_col, "minhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
+def estimated_jaccard(a: Column, b: Column) -> Column:
+    """Share of equal MinHash components — unbiased Jaccard estimator."""
+    eq = F.zip_with(a, b, lambda x, y: (x == y).cast("int"))
+    return (
+        F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
+        / F.lit(SIG_LEN)
+    )
+
+
+def batch_near_dups(
+    batch_sigs: DataFrame,
+    state_sigs: DataFrame | None,
+    id_col: str = "doc_id",
+    sim_threshold: float = 0.5,
+) -> DataFrame:
+    """(incoming_id, matched_id, est_jaccard) for batch docs matching the
+    state or an EARLIER batch doc (id order breaks in-batch ties, so one
+    survivor per in-batch dup cluster). Plan: banded equi-join incoming ×
+    seen only, then the signature verify on candidates."""
+    b = _bands(batch_sigs, id_col)
+    if state_sigs is not None:
+        seen = _bands(state_sigs, id_col).union(b)
+    else:
+        seen = b
+    cand = (
+        b.alias("l")
+        .join(
+            seen.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") > F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("incoming_id"),
+            F.col(f"r.{id_col}").alias("matched_id"),
+            F.col("l.minhash").alias("__ma"),
+            F.col("r.minhash").alias("__mb"),
+        )
+        .dropDuplicates(["incoming_id", "matched_id"])
+    )
+    return (
+        cand.withColumn(
+            "est_jaccard",
+            F.round(estimated_jaccard(F.col("__ma"), F.col("__mb")), 6),
+        )
+        .filter(F.col("est_jaccard") >= sim_threshold)
+        .select("incoming_id", "matched_id", "est_jaccard")
+    )
+
+
+def run_streaming_near_dup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    state_dir: str,
+    checkpoint_dir: str | None = None,
+    sim_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+    dup_log: list | None = None,
+) -> StreamingQuery:
+    """Drain available files; per micro-batch detect near-dups against the
+    signature state, append survivors' signatures, log duplicate pairs."""
+    import os
+
+    def _batch(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = with_minhash(batch_df, text_col).select(id_col, "minhash")
+        state = (
+            spark.read.parquet(state_dir)
+            if os.path.isdir(state_dir) and os.listdir(state_dir)
+            else None
+        )
+        dups = batch_near_dups(sigs, state, id_col, sim_threshold)
+        dup_rows = dups.collect()  # bounded by the batch's dup pairs
+        if dup_log is not None:
+            dup_log.extend(
+                (batch_id, r.incoming_id, r.matched_id, r.est_jaccard)
+                for r in dup_rows
+            )
+        survivors = sigs.join(
+            dups.select(F.col("incoming_id").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        survivors.write.mode("append").parquet(state_dir)
+
+    stream = spark.readStream.format(fmt).schema(schema).load(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(_batch)
+        .trigger(availableNow=True)
+        .outputMode("update")
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
