@@ -40,6 +40,15 @@ QUERIES = [
     "repetition_stats",
     "lang_temperature_sample",
     "zorder_curve",
+    # round-5 operators
+    "ngram_lm_perplexity",
+    "kneser_ney_perplexity",
+    "span_dedup",
+    "substring_dup_spans",
+    "dsir_selection",
+    "bloom_decontaminate",
+    "token_budget_mix",
+    "quality_classifier_scores",
 ]
 
 
