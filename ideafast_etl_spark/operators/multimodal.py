@@ -184,7 +184,7 @@ def decode_image_features(
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):  # no per-row Series (iterrows) in the hot path
                 content = bytes(r[content_col])
                 decoded = _decode_any_image(content)
                 if decoded is not None:
@@ -235,7 +235,7 @@ def resize_images(
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):  # no per-row Series (iterrows) in the hot path
                 decoded = _decode_any_image(bytes(r[content_col]))
                 if decoded is None:
                     _require_codec("image-decode (unrecognized format)")
@@ -330,7 +330,7 @@ def video_frame_features(
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):  # no per-row Series (iterrows) in the hot path
                 content = bytes(r[content_col])
                 frames = _demux_any_video(content)
                 if frames is None:
@@ -376,7 +376,7 @@ def sample_video_frames(
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):  # no per-row Series (iterrows) in the hot path
                 content = bytes(r[content_col])
                 frames = _demux_any_video(content)
                 if frames is not None:  # real demux path (BSEQ / DIB-AVI)
@@ -560,7 +560,7 @@ def audio_features(
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):  # no per-row Series (iterrows) in the hot path
                 dec = _decode_any_audio(bytes(r[content_col]))
                 if dec is None:
                     _require_codec("audio-decode (MP3)")
@@ -603,7 +603,7 @@ def resample_audio(
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):  # no per-row Series (iterrows) in the hot path
                 content = bytes(r[content_col])
                 dec = _decode_any_audio(content)
                 if dec is not None:

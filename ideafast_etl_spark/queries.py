@@ -2678,7 +2678,7 @@ def mp4_stream_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _info(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):  # no per-row Series (iterrows) in the hot path
                 info = mp4_stream_info(bytes(r["content"]))
                 if info is None:
                     continue

@@ -108,7 +108,7 @@ def upload_group_archives(
         dmp_id = pdf[group_col].iloc[0]
         buf = io.BytesIO()
         with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-            for _, r in pdf.sort_values(name_col).iterrows():
+            for r in pdf.sort_values(name_col).to_dict("records"):
                 zf.writestr(f"{r[name_col]}.h5", bytes(r[content_col]))
         payload = buf.getvalue()
         ok = uploader(dmp_id, payload)

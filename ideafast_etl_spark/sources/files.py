@@ -38,7 +38,7 @@ def distributed_fetch(
     def _batches(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):  # no per-row Series (iterrows) in the hot path
                 content = fetch(r[url_col]) if r[url_col] is not None else None
                 if content is not None:
                     rows.append({id_col: r[id_col], "content": content})
