@@ -244,6 +244,88 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the IVF index: cell assignments written PARTITIONED BY cell
+    (``<path>/cells/cell=N/``) plus the centroid table — the build/query
+    separation a production ANN deployment uses. A query via
+    :func:`ivf_topk_from_index` then reads only its n_probe cell
+    partitions (physical partition pruning on the filesystem layout),
+    instead of re-clustering or scanning the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("features", array_to_vector("vec"))
+    km = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+    )
+    model = km.fit(corpus)
+    assigned = model.transform(corpus).select("neighbor_id", "vec", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
+    cent = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cell", "centroid"],
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (see :func:`write_ivf_index`): rank
+    cells by centroid similarity, keep ``n_probe``, equi-join the probe
+    list against the cell-partitioned corpus (the join key IS the
+    partition column, so dynamic partition pruning limits the scan to the
+    probed cells), exact-rerank the candidates. Identical output to the
+    inline :func:`ivf_topk` for the same build parameters."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    assigned = spark.read.parquet(f"{path}/cells")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+    )
+    qc = q.crossJoin(F.broadcast(cent)).withColumn(
+        "cdist", cosine(F.col("query_vec"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cdist"), F.asc("cell"))
+    probes = (
+        qc.withColumn("cell_rank", F.row_number().over(wq))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "query_vec", "cell")
+    )
+    cands = probes.join(assigned, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cands.withColumn(
+        "cosine_sim", F.round(cosine(F.col("query_vec"), F.col("vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def _grid_cells(
     df: DataFrame, id_col: str, vec_col: str, r: float, block_dims: int
 ) -> DataFrame:
