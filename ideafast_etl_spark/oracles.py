@@ -1838,3 +1838,23 @@ SELECT source, CAST(tokens AS BIGINT) AS tokens, CAST(cap AS BIGINT) AS cap,
 FROM feas, lvl
 ORDER BY source
 """
+
+# WebM metadata replay: every field round-trips exactly (durations are
+# multiples of 0.25 stored as float64 milliseconds; rates are integers
+# representable in float32).
+ORACLES["webm_stream_info"] = """
+SELECT doc_id,
+  'webm' AS doctype,
+  CAST(1 + doc_id % 10 AS DOUBLE) / 4 AS duration_s,
+  CAST(2 AS INT) AS n_tracks,
+  CASE doc_id % 3 WHEN 0 THEN 'V_VP8' WHEN 1 THEN 'V_VP9' ELSE 'V_AV1' END
+    AS video_codec,
+  CAST(320 + 16 * (doc_id % 5) AS INT) AS width,
+  CAST(240 + 16 * (doc_id % 3) AS INT) AS height,
+  CASE doc_id % 2 WHEN 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END AS audio_codec,
+  CASE doc_id % 3 WHEN 0 THEN 48000.0 WHEN 1 THEN 44100.0 ELSE 16000.0 END
+    AS audio_rate
+FROM documents
+WHERE doc_id < 250
+ORDER BY doc_id
+"""

@@ -2892,3 +2892,61 @@ def token_budget_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(2) * F.sum("tokens")).alias("budget")
     )
     return waterfill_allocation(counts, budget, max_epochs=4).orderBy("source")
+
+
+@register("webm_stream_info")
+def webm_stream_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM/Matroska (EBML) metadata scan (§2.13): doctype, duration,
+    per-track codec/geometry/rate from the EBML index WITHOUT touching
+    Cluster frame data (`operators/webm.py`) — the third container leg
+    next to AVI and MP4. VP8/VP9/Opus bitstream decode genuinely needs
+    libvpx/libopus and stays behind the codec stub."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .operators.webm import encode_webm_stub, webm_stream_info
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id")
+    )
+    vcodecs = ("V_VP8", "V_VP9", "V_AV1")
+    acodecs = ("A_OPUS", "A_VORBIS")
+    rates = (48000.0, 44100.0, 16000.0)
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                b = encode_webm_stub(
+                    duration_s=(1 + i % 10) / 4.0,
+                    width=int(320 + 16 * (i % 5)),
+                    height=int(240 + 16 * (i % 3)),
+                    video_codec=vcodecs[i % 3],
+                    audio_rate=rates[i % 3],
+                    audio_codec=acodecs[i % 2],
+                )
+                info = webm_stream_info(b)
+                if info is None:
+                    continue
+                info["doc_id"] = int(i)
+                rows.append(info)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "doctype", "duration_s", "n_tracks",
+                    "video_codec", "width", "height", "audio_codec",
+                    "audio_rate",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _make,
+        schema=(
+            "doc_id long, doctype string, duration_s double, n_tracks int, "
+            "video_codec string, width int, height int, audio_codec string, "
+            "audio_rate double"
+        ),
+    ).orderBy("doc_id")
