@@ -1858,3 +1858,20 @@ FROM documents
 WHERE doc_id < 250
 ORDER BY doc_id
 """
+
+# Ogg metadata replay: quarter-second durations are exact in both the
+# 48 kHz Opus granule clock and the Vorbis rates used.
+ORACLES["ogg_stream_info"] = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+  CAST(1 + doc_id % 2 AS INT) AS channels,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 48000
+            WHEN doc_id % 4 = 1 THEN 44100 ELSE 16000 END AS INT)
+    AS sample_rate,
+  CAST(1 + doc_id % 8 AS DOUBLE) / 4 AS duration_s,
+  CAST(3 AS INT) AS n_pages,
+  CAST(1 AS INT) AS n_streams
+FROM documents
+WHERE doc_id < 250
+ORDER BY doc_id
+"""

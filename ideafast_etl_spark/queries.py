@@ -2950,3 +2950,61 @@ def webm_stream_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "audio_rate double"
         ),
     ).orderBy("doc_id")
+
+
+@register("ogg_stream_info")
+def ogg_stream_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container metadata scan (§2.13): page walk per RFC 3533, codec
+    identification from BOS packets (OpusHead / Vorbis ID header),
+    duration from the terminal granule position — no packet decode
+    (`operators/ogg.py`). Opus granules are fixed 48 kHz; Vorbis rate
+    comes from the ID header."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .operators.ogg import encode_ogg_stub, ogg_stream_info
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                if i % 2 == 0:
+                    b = encode_ogg_stub(
+                        codec="opus",
+                        duration_s=(1 + i % 8) / 4.0,
+                        channels=int(1 + i % 2),
+                    )
+                else:
+                    b = encode_ogg_stub(
+                        codec="vorbis",
+                        duration_s=(1 + i % 8) / 4.0,
+                        rate=44100 if i % 4 == 1 else 16000,
+                        channels=int(1 + i % 2),
+                    )
+                info = ogg_stream_info(b)
+                if info is None:
+                    continue
+                info["doc_id"] = int(i)
+                rows.append(info)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "codec", "channels", "sample_rate",
+                    "duration_s", "n_pages", "n_streams",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _make,
+        schema=(
+            "doc_id long, codec string, channels int, sample_rate int, "
+            "duration_s double, n_pages int, n_streams int"
+        ),
+    ).orderBy("doc_id")
