@@ -62,6 +62,7 @@ _MAGIC = {
     "494433": "audio/mp3",
     "664c6143": "audio/flac",
     "1a45dfa3": "video/webm",
+    "4f676753": "audio/ogg",
 }
 
 
