@@ -19,7 +19,9 @@ bytes. Codec coverage is split honestly by what the container can decode:
   decode/encode (``png.py`` — stdlib zlib + the five scanline filters),
   and GIF87a/89a first-frame decode (``gif.py`` — full LZW, interlacing,
   palettes), so compressed-image feature extraction genuinely decodes
-  bytes. PNG covers 8/16-bit depths and Adam7 interlacing.
+  bytes. PNG covers 8/16-bit depths and Adam7 interlacing; baseline
+  uncompressed TIFF decodes in both byte orders and strip layouts
+  (``tiff.py``).
 - REAL: FLAC decode/encode from the public spec (``flac.py`` — Rice
   residuals, FIXED/LPC prediction, stereo decorrelation, CRC-8/16), so
   compressed-audio feature extraction and resampling genuinely decode
@@ -63,6 +65,8 @@ _MAGIC = {
     "664c6143": "audio/flac",
     "1a45dfa3": "video/webm",
     "4f676753": "audio/ogg",
+    "49492a00": "image/tiff",
+    "4d4d002a": "image/tiff",
 }
 
 
@@ -161,6 +165,10 @@ def _decode_any_image(content: bytes) -> tuple[int, int, np.ndarray] | None:
         from .gif import decode_gif
 
         decoded = decode_gif(content)
+    if decoded is None and content[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        decoded = decode_tiff(content)
     return decoded
 
 

@@ -1875,3 +1875,15 @@ FROM documents
 WHERE doc_id < 250
 ORDER BY doc_id
 """
+
+# TIFF is lossless: the flat-color replay predicts the decoded luma
+# bit-for-bit across both byte orders and strip layouts.
+ORACLES["tiff_decode_features"] = """
+SELECT doc_id,
+  CAST(1 + doc_id % 9 AS INT) AS width,
+  CAST(2 + doc_id % 4 AS INT) AS height,
+  ROUND((0.114*(doc_id % 256) + 0.587*((doc_id*5) % 256)
+       + 0.299*((doc_id*11) % 256)) / 255.0, 6) AS mean_luma
+FROM documents
+WHERE doc_id < 300
+"""

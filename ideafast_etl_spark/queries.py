@@ -3008,3 +3008,55 @@ def ogg_stream_info_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_s double, n_pages int, n_streams int"
         ),
     ).orderBy("doc_id")
+
+
+@register("tiff_decode_features")
+def tiff_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode differential check (§2.13): a flat-color baseline
+    uncompressed TIFF per document — byte order AND strip layout cycle
+    with doc_id (LE/BE, single/multi-strip), decoded by the from-spec
+    IFD walker (`operators/tiff.py`) through the shared
+    `decode_image_features` path. Lossless, so the oracle replays the
+    Rec.601 luma exactly; an endian mix-up, strip-offset error, or
+    RGB/BGR swap all drift the output."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as mm
+    from .operators import tiff as TF
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                w, h = int(1 + i % 9), int(2 + i % 4)
+                bgr = [int(i % 256), int((i * 5) % 256), int((i * 11) % 256)]
+                px = np.tile(np.array(bgr, dtype=np.uint8), (h, w, 1))
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "content": TF.encode_tiff(
+                            px,
+                            big_endian=bool(i % 2),
+                            rows_per_strip=2 if i % 3 == 0 else None,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    tiffs = docs.mapInPandas(_make, schema="doc_id long, content binary")
+    feats = mm.decode_image_features(tiffs, id_col="doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
