@@ -102,6 +102,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # posture — no JVM builtin decodes JPEG/BMFF)
     "mp4_frame_sample": ["MapInPandas"],
     "mp3_stream_info": ["MapInPandas"],
+    "webm_stream_info": ["MapInPandas"],
+    "ogg_stream_info": ["MapInPandas"],
+    "tiff_decode_features": ["MapInPandas"],
     # DSIR: both fitted distributions are D-row broadcasts; the corpus side
     # is explode + keyed aggs + broadcast joins — no data-sized shuffle join
     "dsir_selection": ["partial_count", "HashAggregate", "!CartesianProduct", "!BatchEvalPython"],
