@@ -1887,3 +1887,16 @@ SELECT doc_id,
 FROM documents
 WHERE doc_id < 300
 """
+
+# ZIP manifest replay: STORED entries make compressed == uncompressed ==
+# the deterministic payload length per (doc, entry ordinal).
+ORACLES["zip_manifest"] = """
+SELECT doc_id,
+  'rec' || CAST(j AS VARCHAR) || '.h5' AS entry_name,
+  CAST(10 + j AS BIGINT) AS uncompressed_size,
+  CAST(10 + j AS BIGINT) AS compressed_size,
+  'stored' AS method
+FROM documents, LATERAL unnest(generate_series(0, doc_id % 3)) AS g(j)
+WHERE doc_id < 200
+ORDER BY doc_id, entry_name
+"""

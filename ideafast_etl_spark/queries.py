@@ -3060,3 +3060,50 @@ def tiff_decode_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round(F.col("mean_luma"), 6).alias("mean_luma"),
     )
+
+
+@register("zip_manifest")
+def zip_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP central-directory manifest over a binary column (§2.13 + K9's
+    inverse): per-doc zips with STORED entries (deterministic bytes →
+    deterministic CRC32) are listed without decompressing payloads
+    (`sinks/archive.py::zip_manifest`). The oracle replays entry names
+    and sizes (CRC32 stays operator-side — no SQL twin for the
+    polynomial; the unit test checks it against zlib)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .sinks.archive import zip_manifest
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import zipfile
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].astype("int64"):
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                    for j in range(int(1 + i % 3)):
+                        zf.writestr(
+                            f"rec{j}.h5", bytes([int((i + j) % 256)]) * (10 + j)
+                        )
+                rows.append({"doc_id": int(i), "content": buf.getvalue()})
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    zips = docs.mapInPandas(_make, schema="doc_id long, content binary")
+    return (
+        zip_manifest(zips, id_col="doc_id")
+        .select(
+            "doc_id", "entry_name", "uncompressed_size",
+            "compressed_size", "method",
+        )
+        .orderBy("doc_id", "entry_name")
+    )

@@ -45,3 +45,63 @@ def run_scratch(prefix: str = "ideafast-run-") -> Iterator[Path]:
         yield d
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def zip_manifest(
+    df,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+):
+    """Inverse of the K9 zip sink: list every entry of ZIP payloads held
+    in a binary column — (id, entry_name, uncompressed_size,
+    compressed_size, crc32, method) — via the central directory only
+    (no payload decompression; stdlib ``zipfile`` over an in-memory
+    buffer). 1:N Arrow ``mapInPandas``; corrupt/non-zip payloads yield
+    no rows instead of failing the batch (untrusted binary contract).
+
+    The training-data use: web archives and device uploads arrive as
+    zips — the manifest scan decides what to extract before any bytes
+    decompress."""
+    import io as _io
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, entry_name string, uncompressed_size long, "
+        "compressed_size long, crc32 long, method string"
+    )
+    methods = {0: "stored", 8: "deflated", 12: "bzip2", 14: "lzma"}
+
+    def _batches(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                try:
+                    with zipfile.ZipFile(_io.BytesIO(bytes(r[content_col]))) as zf:
+                        infos = zf.infolist()
+                except (zipfile.BadZipFile, OSError, ValueError):
+                    continue
+                for zi in infos:
+                    rows.append(
+                        {
+                            id_col: r[id_col],
+                            "entry_name": zi.filename,
+                            "uncompressed_size": zi.file_size,
+                            "compressed_size": zi.compress_size,
+                            "crc32": zi.CRC,
+                            "method": methods.get(
+                                zi.compress_type, str(zi.compress_type)
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "entry_name", "uncompressed_size",
+                    "compressed_size", "crc32", "method",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        _batches, schema=out_schema
+    )

@@ -50,3 +50,30 @@ def test_upload_failure_reported_per_group(spark):
         ).collect()
     }
     assert out == {"G1": True, "G2": False}
+
+
+def test_zip_manifest_lists_entries_and_crc(spark):
+    import io
+    import zipfile
+    import zlib
+
+    from ideafast_etl_spark.sinks.archive import zip_manifest
+
+    buf = io.BytesIO()
+    payload_a, payload_b = b"hello" * 10, b"\x01\x02\x03"
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("a.txt", payload_a)
+        zf.writestr("dir/b.bin", payload_b)
+    rows = [(1, bytearray(buf.getvalue())), (2, bytearray(b"not a zip"))]
+    df = spark.createDataFrame(rows, ["doc_id", "content"])
+    got = {
+        (r.doc_id, r.entry_name): r
+        for r in zip_manifest(df, id_col="doc_id").collect()
+    }
+    # corrupt payload yields no rows, valid one lists both entries
+    assert set(got) == {(1, "a.txt"), (1, "dir/b.bin")}
+    a = got[(1, "a.txt")]
+    assert a.uncompressed_size == len(payload_a)
+    assert a.crc32 == zlib.crc32(payload_a)
+    assert a.method == "deflated"
+    assert a.compressed_size < a.uncompressed_size  # deflate actually ran
