@@ -128,11 +128,20 @@ def score_perplexity(
         F.count(F.lit(1)).alias("n_ngrams"),
         F.sum("lp").alias("__s"),
     )
+    # report avg_logprob via INTEGER-space rounding: S and n are exact
+    # integers, so round(S/n) agrees across engines even at exact .5
+    # midpoints (both round away from zero on exactly-representable .5s),
+    # unlike ROUND(S/1e6/n, 6) whose 6-decimal midpoint is not exactly
+    # representable and splits Spark's shortest-repr rounding from
+    # DuckDB's multiply-and-round (seen once at sf0.001).
     avg = F.col("__s").cast("double") / F.lit(_FP) / F.col("n_ngrams")
+    avg_fp = F.round(
+        F.col("__s").cast("double") / F.col("n_ngrams")
+    ).cast("long")
     return per_doc.select(
         F.col(id_col),
         F.col("n_ngrams"),
-        F.round(avg, 6).alias("avg_logprob"),
+        (avg_fp.cast("double") / F.lit(_FP)).alias("avg_logprob"),
         F.round(F.exp(-avg), 4).alias("perplexity"),
     )
 
@@ -203,10 +212,19 @@ def score_kn_perplexity(
         F.count(F.lit(1)).alias("n_ngrams"),
         F.sum("lp").alias("__s"),
     )
+    # report avg_logprob via INTEGER-space rounding: S and n are exact
+    # integers, so round(S/n) agrees across engines even at exact .5
+    # midpoints (both round away from zero on exactly-representable .5s),
+    # unlike ROUND(S/1e6/n, 6) whose 6-decimal midpoint is not exactly
+    # representable and splits Spark's shortest-repr rounding from
+    # DuckDB's multiply-and-round (seen once at sf0.001).
     avg = F.col("__s").cast("double") / F.lit(_FP) / F.col("n_ngrams")
+    avg_fp = F.round(
+        F.col("__s").cast("double") / F.col("n_ngrams")
+    ).cast("long")
     return per_doc.select(
         F.col(id_col),
         F.col("n_ngrams"),
-        F.round(avg, 6).alias("avg_logprob"),
+        (avg_fp.cast("double") / F.lit(_FP)).alias("avg_logprob"),
         F.round(F.exp(-avg), 4).alias("perplexity"),
     )

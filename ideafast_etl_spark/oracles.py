@@ -1528,7 +1528,8 @@ WITH toks AS (
   SELECT doc_id, COUNT(*) AS n_ngrams, SUM(lp) AS s FROM scored GROUP BY doc_id
 )
 SELECT doc_id, n_ngrams,
-  ROUND(CAST(s AS DOUBLE) / 1000000 / n_ngrams, 6) AS avg_logprob,
+  CAST(ROUND(CAST(s AS DOUBLE) / n_ngrams) AS BIGINT) / 1000000.0
+    AS avg_logprob,
   ROUND(EXP(-(CAST(s AS DOUBLE) / 1000000 / n_ngrams)), 4) AS perplexity
 FROM agg
 """
@@ -1679,7 +1680,8 @@ WITH toks AS (
   SELECT doc_id, COUNT(*) AS n_ngrams, SUM(lp) AS s FROM scored GROUP BY doc_id
 )
 SELECT doc_id, n_ngrams,
-  ROUND(CAST(s AS DOUBLE) / 1000000 / n_ngrams, 6) AS avg_logprob,
+  CAST(ROUND(CAST(s AS DOUBLE) / n_ngrams) AS BIGINT) / 1000000.0
+    AS avg_logprob,
   ROUND(EXP(-(CAST(s AS DOUBLE) / 1000000 / n_ngrams)), 4) AS perplexity
 FROM agg
 """
