@@ -60,3 +60,58 @@ def test_min_len_boundary(spans_of):
     rows = [(0, "c0 c1 c2 c3 c4 x y z w v"), (1, "c0 c1 c2 c3 c4 q r s t u")]
     got = spans_of(rows)
     assert (0, 1, 5, 1) in got and (1, 1, 5, 1) in got
+
+
+def _python_twin(texts, min_len):
+    """Brute-force reference: window counts + island merge in pure python."""
+    import re
+    from collections import Counter
+
+    toks = {
+        i: re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        for i, t in texts
+    }
+    wins = []
+    counts = Counter()
+    for i, tk in toks.items():
+        for p in range(len(tk) - min_len + 1):
+            w = " ".join(tk[p : p + min_len])
+            wins.append((i, p + 1, w))
+            counts[w] += 1
+    dups = sorted((i, p) for i, p, w in wins if counts[w] >= 2)
+    out = []
+    cur = None
+    for i, p in dups:
+        end = p + min_len - 1
+        if cur and cur[0] == i and p <= cur[2] + 1:
+            cur[2] = max(cur[2], end)
+            cur[3] += 1
+        else:
+            if cur:
+                out.append(tuple(cur))
+            cur = [i, p, end, 1]
+    if cur:
+        out.append(tuple(cur))
+    return sorted(out)
+
+
+def test_hypothesis_twin(spark):
+    from hypothesis import given, settings, strategies as st
+
+    vocab = ["a", "b", "c", "d"]
+    doc = st.lists(st.sampled_from(vocab), min_size=1, max_size=30).map(
+        " ".join
+    )
+
+    @given(docs=st.lists(doc, min_size=1, max_size=5))
+    @settings(max_examples=8, deadline=None)
+    def run(docs):
+        rows = list(enumerate(docs))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in substring_dup_spans(df, min_len=4).collect()
+        )
+        assert got == _python_twin(rows, 4)
+
+    run()
