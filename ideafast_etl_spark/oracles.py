@@ -1902,3 +1902,56 @@ FROM documents, LATERAL unnest(generate_series(0, doc_id % 3)) AS g(j)
 WHERE doc_id < 200
 ORDER BY doc_id, entry_name
 """
+
+# Q9-shape twin: same surrogate cost (no partsupp in the fixture set),
+# decimal-exact profit.
+ORACLES["profit_by_nation_year"] = """
+SELECT n.n_name AS nation,
+  CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))
+         - CAST(0.1 AS DECIMAL(12,2))
+           * CAST(p.p_retailprice AS DECIMAL(12,2))
+           * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY nation, o_year
+"""
+
+# Q16-shape twin: lineitem pairs stand in for partsupp; NOT IN exclusion.
+ORACLES["supplier_count_by_part_attrs"] = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey AS p_partkey, l_suppkey AS suppkey FROM lineitem
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+  COUNT(DISTINCT pr.suppkey) AS supplier_cnt
+FROM pairs pr
+JOIN part p USING (p_partkey)
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+  AND pr.suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+# Q20-shape twin: grouped-HAVING semi-join chain.
+ORACLES["promo_supplier_candidates"] = """
+WITH heavy AS (
+  SELECT l_suppkey AS s_suppkey
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE 'small%'
+    AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l.l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(80 AS DECIMAL(12,2))
+)
+SELECT s.s_name, n.n_name AS nation, s.s_acctbal
+FROM supplier s
+JOIN heavy USING (s_suppkey)
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY s.s_name
+"""

@@ -3107,3 +3107,101 @@ def zip_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "entry_name")
     )
+
+
+@register("profit_by_nation_year")
+def profit_by_nation_year_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 SHAPE (product-type profit measure): 5-way join
+    lineitem⋈part(LIKE filter)⋈supplier⋈nation⋈orders, grouped by nation
+    and order year, decimal-exact profit. The fixture set has no partsupp
+    table, so supply cost is surrogated as 10% of retail price x quantity
+    — the plan shape (LIKE-filtered dimension, two broadcast dims, one
+    fact shuffle, partial aggs) is the point; documented divergence."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    qty = F.col("l_quantity").cast(_DEC)
+    retail = F.col("p_retailprice").cast(_DEC)
+    one = F.lit(1).cast(_DEC)
+    tenth = F.lit(0.1).cast(_DEC)
+    profit = price * (one - disc) - tenth * retail * qty
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register("supplier_count_by_part_attrs")
+def supplier_count_by_part_attrs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 SHAPE (parts/supplier relationship): distinct-supplier
+    count per (brand, type, size) over negated predicates (<> brand,
+    NOT LIKE type) and a NOT-IN supplier exclusion subquery (anti-join).
+    lineitem's (partkey, suppkey) pairs stand in for partsupp (absent
+    from the fixture set); the exclusion predicate is s_acctbal < 1500
+    (the fixture supplier table has no comment column). Shapes: one
+    anti-join, one distinct count keyed on bounded part attrs."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).distinct()
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin([3, 9, 14, 19, 23, 36, 45, 49])
+    )
+    excluded = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1500
+    ).select(F.col("s_suppkey").alias("suppkey"))
+    return (
+        li.join(F.broadcast(part), "p_partkey")
+        .join(excluded, "suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("suppkey").alias("supplier_cnt"))
+    )
+
+
+@register("promo_supplier_candidates")
+def promo_supplier_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 SHAPE (potential part promotion): suppliers who shipped
+    more than 80 units of 'small%' parts during 1995, as a semi-join
+    chain part(prefix LIKE) → lineitem(date range, per-supplier qty
+    HAVING) → supplier ⋈ nation. The availqty comparison of real Q20
+    needs partsupp (absent); the shipped-quantity threshold keeps the
+    grouped-HAVING-feeds-semi-join plan shape."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__qty"))
+        .filter(F.col("__qty") > F.lit(80).cast(_DEC))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(heavy, "s_suppkey", "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_name"), F.col("n_name").alias("nation"),
+            F.col("s_acctbal"),
+        )
+        .orderBy("s_name")
+    )
