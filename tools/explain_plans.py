@@ -113,6 +113,12 @@ EXPECTATIONS: dict[str, list[str]] = {
     # waterfill: data-sized work is ONE keyed agg; windows run over the
     # bounded source table only
     "token_budget_mix": ["partial_sum", "Window", "!BatchEvalPython"],
+    # Q9 shape: LIKE-filtered part dim broadcasts; fact shuffles once
+    "profit_by_nation_year": ["BroadcastHashJoin", "partial_sum", "PushedFilters"],
+    # Q16 shape: NOT-IN exclusion compiles to an anti join, never a loop
+    "supplier_count_by_part_attrs": ["LeftAnti", "HashAggregate", "!CartesianProduct"],
+    # Q20 shape: grouped-HAVING feeds a semi join
+    "promo_supplier_candidates": ["LeftSemi", "HashAggregate", "!BroadcastNestedLoopJoin"],
 }
 
 
