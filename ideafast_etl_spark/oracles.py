@@ -1955,3 +1955,22 @@ JOIN heavy USING (s_suppkey)
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 ORDER BY s.s_name
 """
+
+# WARC manifest replay: record fields are deterministic per doc; the
+# response payload is the document text itself, so its byte length and
+# sha256 replay in SQL (both engines hash UTF-8 bytes).
+ORACLES["warc_manifest"] = """
+SELECT doc_id, CAST(0 AS INT) AS rec_idx, 'warcinfo' AS warc_type,
+  '' AS target_uri, 'application/warc-fields' AS content_type,
+  CAST(23 AS BIGINT) AS content_length,
+  sha256('software: spark-graft' || chr(13) || chr(10)) AS payload_sha256
+FROM documents WHERE doc_id < 200
+UNION ALL
+SELECT doc_id, CAST(1 AS INT) AS rec_idx, 'response' AS warc_type,
+  'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+  'text/plain' AS content_type,
+  CAST(strlen(text) AS BIGINT) AS content_length,
+  sha256(text) AS payload_sha256
+FROM documents WHERE doc_id < 200
+ORDER BY doc_id, rec_idx
+"""

@@ -3205,3 +3205,51 @@ def promo_supplier_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_name")
     )
+
+
+@register("warc_manifest")
+def warc_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC archive manifest scan (§2.13 — the Common Crawl ingestion
+    leg): per-doc archives (a warcinfo record + a response record whose
+    payload is the document's UTF-8 text; even docs use per-record gzip
+    members, the .warc.gz convention — stdlib zlib decompresses them for
+    real) parsed by `operators/warc.py`, emitting record type/URI/lengths
+    and payload sha256. The oracle replays every field including the
+    sha256 of the text payload."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .operators.warc import encode_warc, warc_manifest
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                i = int(r["doc_id"])
+                recs = [
+                    ("warcinfo", "", "application/warc-fields",
+                     b"software: spark-graft\r\n"),
+                    ("response", f"http://corpus.example/doc/{i}",
+                     "text/plain", str(r["text"]).encode("utf-8")),
+                ]
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "content": encode_warc(
+                            recs, gzip_members=bool(i % 2 == 0)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    archives = docs.mapInPandas(_make, schema="doc_id long, content binary")
+    return warc_manifest(archives, id_col="doc_id").orderBy(
+        "doc_id", "rec_idx"
+    )
