@@ -105,6 +105,8 @@ EXPECTATIONS: dict[str, list[str]] = {
     "webm_stream_info": ["MapInPandas"],
     "ogg_stream_info": ["MapInPandas"],
     "tiff_decode_features": ["MapInPandas"],
+    "zip_manifest": ["MapInPandas"],
+    "warc_manifest": ["MapInPandas"],
     # DSIR: both fitted distributions are D-row broadcasts; the corpus side
     # is explode + keyed aggs + broadcast joins — no data-sized shuffle join
     "dsir_selection": ["partial_count", "HashAggregate", "!CartesianProduct", "!BatchEvalPython"],
