@@ -1974,3 +1974,134 @@ SELECT doc_id, CAST(1 AS INT) AS rec_idx, 'response' AS warc_type,
 FROM documents WHERE doc_id < 200
 ORDER BY doc_id, rec_idx
 """
+
+
+# --- corpus-cleaning heuristics (operators/cleaning.py) ---------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_STOP_HITS = " + ".join(
+    rf"(CASE WHEN regexp_matches(lower(text), '\b{w}\b') THEN 1 ELSE 0 END)"
+    for w in _GOPHER_STOPS
+)
+
+ORACLES["gopher_quality"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS w,
+    string_split(text, chr(10)) AS ln
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS words,
+    round(CASE WHEN len(w) > 0
+      THEN length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(w)::DOUBLE
+      ELSE 0.0 END, 6) AS mean_word_len,
+    round(CASE WHEN len(w) > 0
+      THEN len(regexp_extract_all(text, '[#]|[.][.][.]'))::DOUBLE / len(w)::DOUBLE
+      ELSE 0.0 END, 6) AS symbol_ratio,
+    round(len(list_filter(ln, l -> regexp_matches(l, '^[ \\t]*[-*\u2022]')))::DOUBLE
+      / len(ln)::DOUBLE, 6) AS bullet_frac,
+    round(len(list_filter(ln, l -> regexp_matches(l, '([.][.][.]|\u2026)[ \\t]*$')))::DOUBLE
+      / len(ln)::DOUBLE, 6) AS ellipsis_frac,
+    round(CASE WHEN len(w) > 0
+      THEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(w)::DOUBLE
+      ELSE 0.0 END, 6) AS alpha_frac,
+    CAST({_STOP_HITS} AS BIGINT) AS stop_hits
+  FROM base)
+SELECT *,
+  (words BETWEEN 50 AND 100000
+   AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND symbol_ratio <= 0.1
+   AND bullet_frac <= 0.9
+   AND ellipsis_frac <= 0.3
+   AND alpha_frac >= 0.8
+   AND stop_hits >= 2) AS keep
+FROM sig
+ORDER BY doc_id
+"""
+
+ORACLES["c4_line_filter"] = """
+WITH base AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ln FROM documents),
+k AS (
+  SELECT doc_id, text, ln,
+    list_filter(ln, l ->
+      regexp_matches(l, '[.!?]"?[ \\t]*$')
+      AND length(trim(l)) > 0
+      AND len(string_split_regex(trim(l), '\\s+')) >= 5
+      AND NOT contains(lower(l), 'javascript')
+      AND NOT contains(l, '{')) AS kept
+  FROM base)
+SELECT doc_id,
+  CAST(len(ln) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5,
+  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')) AS keep_doc
+FROM k
+ORDER BY doc_id
+"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_IP = r"\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\b"
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+ORACLES["pii_redaction"] = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+          '{_PII_IP}', '<IP>', 'g'),
+        '{_PII_SSN}', '<SSN>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g')
+  ) AS redacted_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+ORACLES["line_dedup_first_wins"] = """
+WITH l AS (
+  SELECT doc_id,
+    unnest(string_split(text, chr(10))) AS line,
+    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM documents),
+nb AS (
+  SELECT doc_id, pos, line,
+    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM l WHERE length(trim(line)) > 0),
+kept AS (
+  SELECT doc_id, pos, line FROM nb WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, line FROM l WHERE length(trim(line)) = 0)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_kept,
+  md5(string_agg(line, chr(10) ORDER BY pos)) AS text_md5
+FROM kept
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+ORACLES["doc_chunks"] = """
+WITH b AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents),
+s AS (
+  SELECT doc_id, w, len(w) AS n,
+    unnest(generate_series(0, len(w) - 1, 48)) AS start
+  FROM b WHERE len(w) > 0)
+SELECT doc_id,
+  CAST(start // 48 AS BIGINT) AS chunk_id,
+  CAST(least(64, n - start) AS BIGINT) AS n_words,
+  md5(array_to_string(w[start + 1 : start + 64], ' ')) AS chunk_md5
+FROM s
+ORDER BY doc_id, chunk_id
+"""

@@ -3253,3 +3253,59 @@ def warc_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_manifest(archives, id_col="doc_id").orderBy(
         "doc_id", "rec_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-cleaning heuristics (Gopher / C4 / PII) — operators/cleaning.py
+# ---------------------------------------------------------------------------
+
+
+@register("gopher_quality")
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 A1.1): the seven
+    signals plus the conjunctive keep flag, all JVM column expressions
+    (pure projection, zero shuffles — scales linearly at 100 TB)."""
+    from .operators.cleaning import gopher_quality as _gq
+
+    return _gq(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register("c4_line_filter")
+def c4_line_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): retained-line
+    counts, cleaned-text md5, and the document keep flag. Array
+    higher-order functions only — no explode, no shuffle."""
+    from .operators.cleaning import c4_clean
+
+    return c4_clean(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register("pii_redaction")
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: email/IPv4/SSN/phone counts + redacted-text md5 under a
+    fixed-order regexp_replace chain (identical bytes in both engines)."""
+    from .operators.cleaning import pii_redaction as _pii
+
+    return _pii(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register("line_dedup_first_wins")
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup: global first occurrence wins
+    (ordered by doc_id, position); blank lines bypass the dedup so the
+    shuffle has no degenerate hot key."""
+    from .operators.cleaning import line_dedup
+
+    return line_dedup(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register("doc_chunks")
+def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (RAG / context packing): 64-word windows
+    every 48 words via sequence+slice — shuffle-free, explode after the
+    per-doc starts are computed."""
+    from .operators.cleaning import doc_chunks
+
+    return doc_chunks(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "chunk_id"
+    )
