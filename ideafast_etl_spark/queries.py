@@ -3309,3 +3309,16 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_chunks(_t(spark, sf_dir, "documents")).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+@register("embedding_topk_pq")
+def embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou et al. 2011): m subspace
+    codebooks + integer lookup-table scoring — the compressed-index scale
+    path for similarity search (recall < 1 → rows-only check; exact twin
+    is embedding_topk)."""
+    from .operators.pq import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, queries_df, k=5)
