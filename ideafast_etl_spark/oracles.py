@@ -2105,3 +2105,25 @@ SELECT doc_id,
 FROM s
 ORDER BY doc_id, chunk_id
 """
+
+
+ORACLES["order_value_percentiles"] = """
+SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["order_status_pivot"] = """
+SELECT o_orderpriority,
+  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -3322,3 +3322,46 @@ def embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return pq_topk(emb, queries_df, k=5)
+
+
+@register("order_value_percentiles")
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles (p50/p90/p99, linear interpolation)
+    of order value per priority class — Spark's exact `percentile`
+    aggregate (sort-based, JVM) vs DuckDB's quantile_cont. Money is
+    summed nowhere: percentiles are order statistics, so cross-engine
+    float drift can't accumulate; round(…,4) guards the interpolation
+    ulp."""
+    orders = _t(spark, sf_dir, "orders")
+    pct = F.percentile(F.col("o_totalprice"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(pct.getItem(0), 4).alias("p50"),
+            F.round(pct.getItem(1), 4).alias("p90"),
+            F.round(pct.getItem(2), 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register("order_status_pivot")
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts per priority pivoted over
+    o_orderstatus values — Spark's groupBy().pivot() with an explicit
+    value list (no extra distinct-values job) compiling to a single
+    hash-agg pass of conditional counts."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
