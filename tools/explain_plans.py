@@ -121,6 +121,17 @@ EXPECTATIONS: dict[str, list[str]] = {
     "supplier_count_by_part_attrs": ["LeftAnti", "HashAggregate", "!CartesianProduct"],
     # Q20 shape: grouped-HAVING feeds a semi join
     "promo_supplier_candidates": ["LeftSemi", "HashAggregate", "!BroadcastNestedLoopJoin"],
+    # Gopher/C4/PII heuristics: pure JVM projections over (doc_id, text) —
+    # no Python, no data shuffle beyond the presentation sort
+    "gopher_quality": ["!BatchEvalPython", "!ArrowEvalPython", "Batched: true", "ReadSchema: struct<doc_id:bigint,text:string>"],
+    "c4_line_filter": ["!BatchEvalPython", "!ArrowEvalPython", "Batched: true", "ReadSchema: struct<doc_id:bigint,text:string>"],
+    "pii_redaction": ["!BatchEvalPython", "!ArrowEvalPython", "Batched: true", "ReadSchema: struct<doc_id:bigint,text:string>"],
+    # cross-doc line dedup: ONE window keyed by the line content + doc regroup
+    "line_dedup_first_wins": ["Window", "!BatchEvalPython", "!CartesianProduct"],
+    # chunking: Generate (explode) AFTER per-doc starts — no shuffle, no Python
+    "doc_chunks": ["Generate", "!BatchEvalPython", "Batched: true"],
+    # PQ ADC: codebook/table joins broadcast; scoring is keyed agg, no loops
+    "embedding_topk_pq": ["BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython"],
 }
 
 
