@@ -1,0 +1,118 @@
+"""Distributed graph centrality — deterministic fixed-point PageRank.
+
+Web-graph centrality is a first-class LLM-corpus curation signal (Common
+Crawl ranks hosts by centrality; CCNet/RefinedWeb use it as a quality
+prior). This implements the classic unnormalised PageRank iteration
+
+    rank' = 0.15 + 0.85 * sum(rank_src / outdeg_src)
+
+Pregel-style over DataFrames: each iteration is one equi-join of the rank
+relation to the edge list (keyed by src) plus one aggregation keyed by dst
+— the standard distributed formulation, linear per iteration in |E|.
+
+Determinism discipline (shared with clustering/pq): ranks are FIXED-POINT
+longs (scale 10^9); per-edge contributions use integer floor division
+``rank // outdeg`` and the damping factor applies as ``(85 * x) // 100``.
+Integer sums are exactly associative, so ranks are bit-identical under any
+partitioning — and expressible in ANSI SQL, so the DuckDB oracle replays
+every iteration with unrolled CTEs and must match exactly.
+
+Dangling nodes (no out-edges) absorb rank but redistribute none — the
+classic simplification of the original PageRank paper's random-surfer
+model; both engines share it, so the oracle still matches bit-for-bit.
+
+At 100 TB: the rank relation is O(|V|) and re-shuffles per iteration on
+the node key; the edge list shuffles once per iteration on src (or zero
+times if pre-bucketed by src — see operators/bucketing.py). The per-
+iteration ``localCheckpoint`` truncates lineage so the plan stays one
+iteration deep regardless of iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000  # fixed-point scale for exact rank sums
+PR_DAMPING_NUM = 85  # damping = 0.85 as an integer ratio
+PR_DAMPING_DEN = 100
+PR_ITERS = 5
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list. Returns (node, irank, rank):
+    the fixed-point long rank and its float rendering rounded to 6.
+
+    ``edges`` should be pre-deduplicated; parallel edges count once if the
+    caller distincts, multiple times otherwise (both deterministic).
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = (PR_DAMPING_DEN - PR_DAMPING_NUM) * PR_SCALE // PR_DAMPING_DEN
+    ranks = nodes.withColumn("irank", F.lit(PR_SCALE).cast("long"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outdeg, "src")
+            .select(
+                "dst",
+                # exact integral division (both positive) — no float detour
+                F.expr("irank div outdeg").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .withColumn("__c", F.coalesce(F.col("contrib"), F.lit(0).cast("long")))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} AS BIGINT)"
+                    f" + (({PR_DAMPING_NUM} * __c) div {PR_DAMPING_DEN})"
+                ).alias("irank"),
+            )
+            .localCheckpoint(eager=True)  # |V| rows: truncate lineage
+        )
+    return ranks.select(
+        "node",
+        "irank",
+        F.round(F.col("irank") / PR_SCALE, 6).alias("rank"),
+    )
+
+
+def purchase_graph_edges(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Undirected customer–supplier purchase graph from the TPC-H-ish
+    fixtures: an edge per distinct (customer, supplier) pair that shares
+    an order line, both directions, with the two key spaces disambiguated
+    as ``2*custkey`` / ``2*suppkey + 1``."""
+    pairs = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))

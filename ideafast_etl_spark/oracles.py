@@ -2127,3 +2127,61 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    scale, base = 1_000_000_000, 150_000_000
+    its = ["it0 AS (SELECT node, CAST(%d AS BIGINT) AS irank FROM nodes)" % scale]
+    for i in range(iters):
+        its.append(f"""it{i + 1} AS (
+  SELECT n.node,
+    CAST({base} + ((85 * COALESCE(x.contrib, 0)) // 100) AS BIGINT) AS irank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum(r.irank // d.outdeg) AS contrib
+    FROM it{i} r JOIN edges e ON r.node = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) x ON x.dst = n.node)""")
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+{",".join(its)}
+SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey,
+  irank,
+  ((irank + 500) // 1000) / 1000000.0 AS rank
+FROM it{iters}
+WHERE node % 2 = 1
+ORDER BY irank DESC, s_suppkey
+LIMIT 25
+"""
+
+
+ORACLES["supplier_pagerank"] = _pagerank_sql()
+
+ORACLES["event_funnel"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p
+ORDER BY stage
+"""

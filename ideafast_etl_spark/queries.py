@@ -3365,3 +3365,69 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register("supplier_pagerank")
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-point PageRank (5 Pregel-style iterations) over
+    the undirected customer–supplier purchase graph; top suppliers by
+    centrality. Integer rank arithmetic → the oracle replays every
+    iteration with unrolled CTEs and matches bit-for-bit."""
+    from .operators.graph import PR_SCALE, pagerank, purchase_graph_edges
+
+    edges = purchase_graph_edges(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+    pr = pagerank(edges, iters=5)
+    return (
+        pr.filter(F.col("node") % 2 == 1)
+        .select(
+            F.expr("(node - 1) div 2").alias("s_suppkey"),
+            "irank",
+            # 9 → 6 decimals in integer space (half-up) so both engines
+            # round the same exact integer, not a drifting double
+            (F.expr("(irank + 500) div 1000") / F.lit(1_000_000.0)).alias("rank"),
+        )
+        .orderBy(F.desc("irank"), "s_suppkey")
+        .limit(25)
+    )
+
+
+@register("event_funnel")
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis over the event stream: users who viewed,
+    then clicked strictly after their first view, then purchased strictly
+    after that first qualifying click. Three keyed min-aggregations +
+    equi-joins — no windows over the full stream, no per-user sort."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        ).select("stage", "n_users")
+
+    return (
+        stage("1_view", v)
+        .unionByName(stage("2_click_after_view", c))
+        .unionByName(stage("3_purchase_after_click", p))
+        .orderBy("stage")
+    )

@@ -1,0 +1,68 @@
+"""Fixed-point PageRank (operators/graph.py): hand-computed tiny graph,
+dangling-node semantics, repartition determinism, python twin."""
+
+from pyspark.sql import functions as F
+
+from ideafast_etl_spark.operators.graph import (
+    PR_SCALE,
+    pagerank,
+    purchase_graph_edges,
+)
+
+
+def _twin(edges, iters):
+    """Pure-python replica of the fixed-point iteration."""
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: PR_SCALE for n in nodes}
+    base = 15 * PR_SCALE // 100
+    for _ in range(iters):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] // out[s]
+        rank = {n: base + (85 * contrib[n]) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_twin(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["irank"] for r in pagerank(df, iters=4).collect()}
+    assert got == _twin(edges, 4)
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star: everyone points at node 0
+    edges = [(i, 0) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = pagerank(df, iters=3).orderBy(F.desc("irank")).collect()
+    assert rows[0]["node"] == 0
+    # spokes are dangling-equal
+    assert len({r["irank"] for r in rows[1:]}) == 1
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    edges = [(i % 7, (i * 3) % 7) for i in range(30) if i % 7 != (i * 3) % 7]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(map(tuple, pagerank(df, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(11), iters=3).collect()))
+    assert a == b
+
+
+def test_purchase_graph_is_bidirectional_and_disjoint(spark):
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 20)], ["o_orderkey", "o_custkey"]
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 5), (1, 6), (2, 5)], ["l_orderkey", "l_suppkey"]
+    )
+    e = purchase_graph_edges(orders, lineitem).collect()
+    pairs = {(r["src"], r["dst"]) for r in e}
+    # 3 distinct (cust, supp) pairs, both directions
+    assert len(pairs) == 6
+    # customer ids even, supplier ids odd
+    for s, d in pairs:
+        assert (s % 2) != (d % 2)
+    assert (20, 11) in pairs and (11, 20) in pairs  # cust 10*2, supp 5*2+1
