@@ -1,0 +1,82 @@
+"""Scale-safe exact global ranking.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY collapses the
+whole relation into ONE window partition — the classic local[N]-passes /
+cluster-dies pattern. This module computes the identical dense 1-based
+global rank distributively:
+
+  1. ``repartitionByRange`` on the order keys (disjoint key ranges per
+     partition, Spark's sampled range partitioner);
+  2. per-partition counts — a ``spark_partition_id`` aggregate whose
+     result is ONE ROW PER PARTITION (bounded by the partition count,
+     never by the data), collected and turned into cumulative offsets;
+  3. within-partition ``row_number`` (bounded partitions) + offset.
+
+The result is deterministic regardless of where the sampled range
+boundaries land, because ranks derive from the total key order, not the
+partitioning — provided the order keys are a total order (include a
+unique tie-breaker column, e.g. the primary key).
+
+Reference analog: the reference never ranks globally (Mongo cursors are
+paginated); this is infrastructure for the corpus-relative selection ops
+(CCNet perplexity terciles, curriculum ordering) that need a total order
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add an exact 1-based global rank under ``order`` (must be a total
+    order: include a unique key as the last sort column)."""
+    np_ = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(np_, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    parted = parted.localCheckpoint(eager=True)  # stabilise sampled ranges
+    sizes = (
+        parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    ).collect()  # one row per partition — bounded by np_, not by data
+    offsets = {}
+    acc = 0
+    for r in sorted(sizes, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["__n"]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        parted.withColumn("__rn", F.row_number().over(w))
+        .withColumn(rank_col, (off[F.col("__pid")] + F.col("__rn")).cast("long"))
+        .drop("__pid", "__rn")
+    )
+
+
+def rank_buckets(
+    ranked: DataFrame,
+    total: int,
+    n_buckets: int,
+    rank_col: str = "rank",
+    bucket_col: str = "bucket",
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """Equal-by-rank buckets: ``bucket = (n_buckets * (rank-1)) div total``
+    (0-based), optionally mapped to labels. A pure column expression —
+    mirrored verbatim by the SQL oracle, no engine-native NTILE semantics
+    to match."""
+    b = F.expr(f"({n_buckets} * ({rank_col} - 1)) div {total}").cast("int")
+    if labels is not None:
+        if len(labels) != n_buckets:
+            raise ValueError("labels must match n_buckets")
+        expr = F.element_at(F.array(*[F.lit(l) for l in labels]), b + 1)
+        return ranked.withColumn(bucket_col, expr)
+    return ranked.withColumn(bucket_col, b)

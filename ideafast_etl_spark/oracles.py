@@ -2185,3 +2185,30 @@ UNION ALL
 SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p
 ORDER BY stage
 """
+
+
+ORACLES["ccnet_perplexity_buckets"] = f"""
+WITH kn AS ({ORACLES["kneser_ney_perplexity"]}),
+r AS (
+  SELECT doc_id, perplexity,
+    row_number() OVER (ORDER BY perplexity, doc_id) AS rank,
+    count(*) OVER () AS n
+  FROM kn)
+SELECT doc_id, perplexity, CAST(rank AS BIGINT) AS rank,
+  ['head', 'middle', 'tail'][CAST((3 * (rank - 1)) // n AS INT) + 1] AS bucket
+FROM r
+ORDER BY rank
+"""
+
+ORACLES["per_lang_sample"] = """
+WITH h AS (
+  SELECT doc_id, lang, sha256(CAST(doc_id AS VARCHAR)) AS pick_hash
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY pick_hash, doc_id) AS pick_rank
+  FROM h)
+SELECT doc_id, lang, pick_hash, CAST(pick_rank AS BIGINT) AS pick_rank
+FROM r WHERE pick_rank <= 20
+ORDER BY lang, pick_rank
+"""

@@ -3431,3 +3431,44 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("3_purchase_after_click", p))
         .orderBy("stage")
     )
+
+
+@register("ccnet_perplexity_buckets")
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus partitioning (Wenzek et al. 2020): rank every
+    document by LM perplexity and split into head/middle/tail terciles.
+    The global rank is computed scale-safely (range repartition +
+    per-partition offsets — operators/ranking.py), never a single-
+    partition window; the bucket rule is integer arithmetic mirrored
+    verbatim by the oracle."""
+    from .operators.lm import score_kn_perplexity, train_ngram_lm
+    from .operators.ranking import global_rank, rank_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    nc, cc, v = train_ngram_lm(docs, n=2)
+    scored = score_kn_perplexity(docs, nc, cc, v, n=2)
+    total = scored.count()
+    ranked = global_rank(
+        scored.select("doc_id", "perplexity"),
+        [F.asc("perplexity"), F.asc("doc_id")],
+    )
+    return rank_buckets(
+        ranked, total, 3, labels=["head", "middle", "tail"]
+    ).orderBy("rank")
+
+
+@register("per_lang_sample")
+def per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum top-k sample: k=20 docs per language,
+    selected by sha256 order (stable across engines, runs, and layouts —
+    no RNG). The window partitions by lang, so no global sort and no
+    single-partition stage."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.sha2(F.col("doc_id").cast("string"), 256)
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", h.alias("pick_hash"))
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= 20)
+        .orderBy("lang", "pick_rank")
+    )
