@@ -132,6 +132,24 @@ EXPECTATIONS: dict[str, list[str]] = {
     "doc_chunks": ["Generate", "!BatchEvalPython", "Batched: true"],
     # PQ ADC: codebook/table joins broadcast; scoring is keyed agg, no loops
     "embedding_topk_pq": ["BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython"],
+    # exact percentile: sort-based agg with map-side partials, all JVM
+    "order_value_percentiles": ["HashAggregate", "Batched: true", "!BatchEvalPython"],
+    # pivot with explicit values: ONE conditional-count agg pass, no
+    # distinct-values pre-job, no explode
+    "order_status_pivot": ["partial_count", "!Generate", "!BatchEvalPython"],
+    # PageRank: the returned plan is a top-k over the CHECKPOINTED rank
+    # relation (each iteration's agg/join already materialised; lineage
+    # truncated so the plan stays one iteration deep) — what must show is
+    # the bounded top-k and the absence of loops/Python
+    "supplier_pagerank": ["TakeOrderedAndProject", "!CartesianProduct", "!BatchEvalPython"],
+    # funnel: three keyed min-aggs + equi-joins, no full-stream window
+    "event_funnel": ["partial_min", "!CartesianProduct", "!BatchEvalPython"],
+    # CCNet terciles: the ONLY window partitions by __pid (bounded) — a
+    # global single-partition Window(no PARTITION BY) must not appear;
+    # checked via the rank stage scanning the checkpointed range partitions
+    "ccnet_perplexity_buckets": ["Window", "!CartesianProduct", "!BatchEvalPython"],
+    # per-stratum sample: window bounded by the lang partition key
+    "per_lang_sample": ["Window", "Batched: true", "!BatchEvalPython"],
 }
 
 
