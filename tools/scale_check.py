@@ -49,6 +49,19 @@ QUERIES = [
     "bloom_decontaminate",
     "token_budget_mix",
     "quality_classifier_scores",
+    # round-5 additions (cleaning / ranking / graph / analytics)
+    "gopher_quality",
+    "c4_line_filter",
+    "pii_redaction",
+    "line_dedup_first_wins",
+    "doc_chunks",
+    "embedding_topk_pq",
+    "order_value_percentiles",
+    "order_status_pivot",
+    "supplier_pagerank",
+    "event_funnel",
+    "ccnet_perplexity_buckets",
+    "per_lang_sample",
 ]
 
 
