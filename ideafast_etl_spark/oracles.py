@@ -2212,3 +2212,147 @@ SELECT doc_id, lang, pick_hash, CAST(pick_rank AS BIGINT) AS pick_rank
 FROM r WHERE pick_rank <= 20
 ORDER BY lang, pick_rank
 """
+
+
+def _lsh_topk_sql(dim: int = 64, n_planes: int = 16, band_bits: int = 8, k: int = 5) -> str:
+    """Exact algorithm replay of similarity.lsh_topk: the hyperplanes are a
+    deterministic affine sequence, so the signature/banding/candidate-join/
+    rerank pipeline is fully SQL-expressible — this converts the LSH path
+    from a rows-only check to a full differential oracle."""
+    from .operators.similarity import _hyperplane
+
+    sig_terms = []
+    for i in range(n_planes):
+        plane = "[" + ", ".join(repr(v) for v in _hyperplane(dim, i)) + "]"
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(v, {plane}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    n_bands = n_planes // band_bits
+    bands = "[" + ", ".join(str(b) for b in range(n_bands)) + "]"
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, ({sig}) AS sig FROM e),
+banded AS (
+  SELECT vec_id, band, (sig >> (band * {band_bits})) & {mask} AS band_key
+  FROM sigs, unnest({bands}) AS t(band)),
+cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded c
+  JOIN banded q USING (band, band_key)
+  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qe.v, ce.v)
+          / (sqrt(list_dot_product(qe.v, qe.v))
+             * sqrt(list_dot_product(ce.v, ce.v))), 6) AS cosine_sim
+  FROM cands
+  JOIN e qe ON qe.vec_id = query_id
+  JOIN e ce ON ce.vec_id = neighbor_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+ORACLES["embedding_topk_lsh"] = _lsh_topk_sql()
+
+
+def _kmeans_cte(k: int = 8, iters: int = 4) -> str:
+    """CTE chain replaying clustering.kmeans_assign EXACTLY: fixed-point
+    quantisation, integer dot products, HALF-rounded centroid updates,
+    quantised renormalisation — every float op in the same order as the
+    Spark expression tree, every cross-row sum an exact integer. The final
+    CTE ``assign`` holds (id, cid, s) with s the integer similarity sum."""
+    S, S2 = 1_000_000, 1_000_000_000_000
+    parts = [f"""e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nrm AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nf FROM e),
+pts AS (
+  SELECT vec_id AS id,
+    generate_subscripts(v, 1) - 1 AS pos,
+    CAST(round((unnest(v) / nf) * {S}) AS BIGINT) AS ival
+  FROM nrm WHERE nf > 0),
+seeds AS (
+  SELECT vec_id, CAST(rn - 1 AS INT) AS cid
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings)
+  WHERE rn <= {k}),
+cent0 AS (
+  SELECT s.cid, p.pos, p.ival AS icval
+  FROM pts p JOIN seeds s ON p.id = s.vec_id)"""]
+    for j in range(1, iters + 1):
+        parts.append(f"""sims{j} AS (
+  SELECT p.id, c.cid, sum(p.ival * c.icval) AS s
+  FROM pts p JOIN cent{j - 1} c ON p.pos = c.pos
+  GROUP BY p.id, c.cid),
+best{j} AS (
+  SELECT id, cid FROM (
+    SELECT id, cid, row_number() OVER (
+      PARTITION BY id ORDER BY CAST(s AS DOUBLE) / {S2} DESC, cid) AS rn
+    FROM sims{j})
+  WHERE rn = 1),
+sums{j} AS (
+  SELECT b.cid, p.pos, sum(p.ival) AS s, count(*) AS n
+  FROM pts p JOIN best{j} b ON p.id = b.id
+  GROUP BY b.cid, p.pos),
+im{j} AS (
+  SELECT cid, pos,
+    CAST(round((CAST(s AS DOUBLE) / (n * {S})) * {S}) AS BIGINT) AS imean
+  FROM sums{j}),
+cent{j} AS (
+  SELECT cid, pos,
+    CAST(round((imean / (cn * {S})) * {S}) AS BIGINT) AS icval
+  FROM (
+    SELECT cid, pos, imean,
+      sqrt(CAST(sum(imean * imean) OVER (PARTITION BY cid) AS DOUBLE)) / {S} AS cn
+    FROM im{j})
+  WHERE cn > 0)""")
+    parts.append(f"""assign AS (
+  SELECT id, cid, s FROM (
+    SELECT id, cid, s, row_number() OVER (
+      PARTITION BY id ORDER BY CAST(s AS DOUBLE) / {S2} DESC, cid) AS rn
+    FROM (
+      SELECT p.id, c.cid, sum(p.ival * c.icval) AS s
+      FROM pts p JOIN cent{iters} c ON p.pos = c.pos
+      GROUP BY p.id, c.cid))
+  WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+ORACLES["kmeans_embeddings"] = f"""
+WITH {_kmeans_cte(8, 4)}
+SELECT id AS vec_id, CAST(cid AS INT) AS cluster_id,
+  round(CAST(s AS DOUBLE) / 1000000000000, 6) AS sim
+FROM assign
+ORDER BY vec_id
+"""
+
+ORACLES["semantic_dedup"] = f"""
+WITH {_kmeans_cte(8, 4)},
+blocks AS (
+  SELECT id, cid,
+    (row_number() OVER (PARTITION BY cid ORDER BY id) - 1) // 4096 AS blk
+  FROM assign),
+pair_sims AS (
+  SELECT ba.cid, ba.id AS id_a, bb.id AS id_b,
+    CAST(sum(pa.ival * pb.ival) AS DOUBLE) / 1000000000000 AS sim
+  FROM blocks ba
+  JOIN blocks bb ON ba.cid = bb.cid AND ba.blk = bb.blk AND ba.id < bb.id
+  JOIN pts pa ON pa.id = ba.id
+  JOIN pts pb ON pb.id = bb.id AND pb.pos = pa.pos
+  GROUP BY ba.cid, ba.id, bb.id),
+dups AS (
+  SELECT DISTINCT id_b FROM pair_sims WHERE sim >= 0.9)
+SELECT a.id AS vec_id, CAST(a.cid AS INT) AS cluster_id,
+  (d.id_b IS NULL) AS keep
+FROM assign a LEFT JOIN dups d ON a.id = d.id_b
+ORDER BY vec_id
+"""

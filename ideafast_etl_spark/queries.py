@@ -2001,12 +2001,11 @@ def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("kmeans_embeddings")
 def kmeans_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distributed spherical k-means over the embeddings
-    table (`operators/clustering.py`) — iterative algorithm, rows-only
-    contract (no SQL oracle can express the iteration); exactness is
-    carried by the bit-exact numpy twin in tests/test_clustering.py.
-    Every cross-row sum is fixed-point, so the result is identical under
-    any partitioning — the property that makes an iterative algorithm
-    auditable at cluster scale."""
+    table (`operators/clustering.py`). Every cross-row sum is fixed-point,
+    so the result is identical under any partitioning — which makes even
+    the ITERATION differentially checkable: the oracle unrolls all four
+    k-means iterations as SQL CTEs and matches bit-for-bit (plus the
+    bit-exact numpy twin in tests/test_clustering.py)."""
     from .operators.clustering import kmeans_assign
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2016,10 +2015,10 @@ def kmeans_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("semantic_dedup")
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means blocking + within-cluster
-    cosine near-dup removal, keeping each group's lowest id. Rows-only
-    contract (depends on the iterative clustering); semantics pinned by
-    tests/test_clustering.py. The pairwise stage is an equi-self-join on
-    cluster_id — cost tracks the largest cluster, never n²."""
+    cosine near-dup removal, keeping each group's lowest id. Fully
+    oracle-verified: the unrolled-CTE k-means oracle feeds the same
+    blocked pairwise join in SQL. The pairwise stage is an equi-self-join
+    on cluster_id — cost tracks the largest cluster, never n²."""
     from .operators.clustering import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
