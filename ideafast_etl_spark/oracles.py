@@ -2356,3 +2356,72 @@ SELECT a.id AS vec_id, CAST(a.cid AS INT) AS cluster_id,
 FROM assign a LEFT JOIN dups d ON a.id = d.id_b
 ORDER BY vec_id
 """
+
+
+def _pq_topk_sql(m: int = 4, k_cb: int = 16, iters: int = 4, k: int = 5) -> str:
+    """Exact replay of operators/pq.py pq_topk: per-subspace codebook
+    training (L2 argmin over fixed-point ints), encoding, and ADC scoring,
+    all unrolled as CTEs — same fixed-point discipline as the k-means
+    oracle, so the iterative PQ path gets a full value-hash check."""
+    S, S2 = 1_000_000, 1_000_000_000_000
+    parts = [f"""e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nrm AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nf, len(v) AS dim
+  FROM e),
+pts AS (
+  SELECT vec_id AS id,
+    (generate_subscripts(v, 1) - 1) // (dim // {m}) AS sub,
+    (generate_subscripts(v, 1) - 1) % (dim // {m}) AS spos,
+    CAST(round((unnest(v) / nf) * {S}) AS BIGINT) AS ival
+  FROM nrm WHERE nf > 0),
+seeds AS (
+  SELECT vec_id, CAST(rn - 1 AS INT) AS cid
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings)
+  WHERE rn <= {k_cb}),
+cent0 AS (
+  SELECT p.sub, s.cid, p.spos, p.ival AS icval
+  FROM pts p JOIN seeds s ON p.id = s.vec_id)"""]
+    assign = """(
+  SELECT id, sub, cid FROM (
+    SELECT d.id, d.sub, d.cid, row_number() OVER (
+      PARTITION BY d.id, d.sub ORDER BY d.d2 ASC, d.cid ASC) AS rn
+    FROM (
+      SELECT p.id, p.sub, c.cid,
+        sum((p.ival - c.icval) * (p.ival - c.icval)) AS d2
+      FROM pts p JOIN cent{prev} c ON p.sub = c.sub AND p.spos = c.spos
+      GROUP BY p.id, p.sub, c.cid) d)
+  WHERE rn = 1)"""
+    for j in range(1, iters + 1):
+        parts.append(f"""best{j} AS {assign.format(prev=j - 1)},
+cent{j} AS (
+  SELECT p.sub, b.cid, p.spos,
+    CAST(round(CAST(sum(p.ival) AS DOUBLE) / count(*)) AS BIGINT) AS icval
+  FROM pts p JOIN best{j} b ON p.id = b.id AND p.sub = b.sub
+  GROUP BY p.sub, b.cid, p.spos)""")
+    parts.append(f"""codes AS {assign.format(prev=iters)},
+qtab AS (
+  SELECT p.id AS qid, p.sub, c.cid, sum(p.ival * c.icval) AS ip
+  FROM pts p JOIN cent{iters} c ON p.sub = c.sub AND p.spos = c.spos
+  WHERE p.id < 5
+  GROUP BY p.id, p.sub, c.cid),
+scored AS (
+  SELECT t.qid AS query_id, co.id AS neighbor_id,
+    round(CAST(sum(t.ip) AS DOUBLE) / {S2}, 6) AS approx_sim
+  FROM codes co JOIN qtab t ON t.sub = co.sub AND t.cid = co.cid
+  WHERE co.id != t.qid
+  GROUP BY t.qid, co.id)""")
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY approx_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
+ORACLES["embedding_topk_pq"] = _pq_topk_sql()

@@ -3314,8 +3314,10 @@ def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (Jégou et al. 2011): m subspace
     codebooks + integer lookup-table scoring — the compressed-index scale
-    path for similarity search (recall < 1 → rows-only check; exact twin
-    is embedding_topk)."""
+    path for similarity search. Approximate vs embedding_topk (recall <
+    1), but FULLY oracle-verified: the fixed-point training iterations,
+    encoding, and ADC tables are unrolled as SQL CTEs and match
+    bit-for-bit."""
     from .operators.pq import pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
