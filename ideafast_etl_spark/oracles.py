@@ -2425,3 +2425,44 @@ SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= {k}
 
 
 ORACLES["embedding_topk_pq"] = _pq_topk_sql()
+
+
+ORACLES["tpch_q2_min_cost_supplier"] = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+               / sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4)
+      AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+scoped AS (
+  SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, u.unit_cost, s.s_suppkey
+  FROM unit u
+  JOIN part p ON u.l_partkey = p.p_partkey AND p.p_brand = 'Brand#1'
+  JOIN supplier s ON u.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE')
+SELECT p_partkey, p_name, s_name, n_name, unit_cost
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY p_partkey ORDER BY unit_cost ASC, s_suppkey ASC) AS rn
+  FROM scoped)
+WHERE rn = 1
+ORDER BY p_partkey
+"""
+
+ORACLES["tpch_q11_important_stock"] = """
+WITH scoped AS (
+  SELECT l.l_partkey, l.l_extendedprice
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'),
+per_part AS (
+  SELECT l_partkey,
+    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_d
+  FROM scoped GROUP BY l_partkey)
+SELECT l_partkey, CAST(value_d AS DOUBLE) AS value
+FROM per_part
+WHERE value_d > (SELECT sum(value_d) FROM per_part) * 0.001
+ORDER BY value DESC, l_partkey
+"""

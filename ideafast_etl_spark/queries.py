@@ -3473,3 +3473,78 @@ def per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick_rank") <= 20)
         .orderBy("lang", "pick_rank")
     )
+
+
+@register("tpch_q2_min_cost_supplier")
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape within the fixture schema (no partsupp table —
+    lineitem is the part↔supplier link): for each BRAND#1 part, the
+    supplier selling it at the lowest average unit price inside one
+    region. The correlated min-subquery compiles to a window over the
+    part key — one shuffle, no self-join (same rewrite the reference's
+    lifecycle 'first match wins' used, J4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    unit = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(_DEC))
+                / F.sum(F.col("l_quantity").cast(_DEC))
+            ).alias("unit_cost_d")
+        )
+        .withColumn("unit_cost", F.round(F.col("unit_cost_d").cast("double"), 4))
+        .drop("unit_cost_d")
+    )
+    scoped = (
+        unit.join(part, unit.l_partkey == part.p_partkey)
+        .join(supp, unit.l_suppkey == supp.s_suppkey)
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("unit_cost"), F.asc("s_suppkey")
+    )
+    return (
+        scoped.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name", "unit_cost"
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register("tpch_q11_important_stock")
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part revenue share vs a scalar threshold
+    (0.1% of the regional total) — the grouped-agg + scalar-subquery
+    pattern. The 1-row total broadcasts; the fact shuffles once on the
+    part key; money stays DECIMAL until the final cast."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    scoped = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    per_part = scoped.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("value_d")
+    )
+    total = per_part.agg(
+        F.sum(F.col("value_d")).alias("total_d")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_d") > F.col("total_d") * 0.001)
+        .select(
+            "l_partkey",
+            F.col("value_d").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+    )
