@@ -59,3 +59,68 @@ def dedup_with_ttl(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def funnel_track(
+    stream: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful streaming funnel: per-user progression through ``stages``
+    with strictly-increasing event times, emitting one row per stage
+    advance. The streaming counterpart of the batch ``event_funnel``
+    query — identical results when events arrive in time order (the
+    ingest contract; out-of-order arrivals only ever UNDER-count, never
+    corrupt state).
+
+    State per user is two scalars (stage index + last transition time),
+    so at 100 TB the state store is O(active users), independent of
+    event volume. Output: (user_col, stage, stage_name, ts).
+    """
+    out_schema = f"{user_col} long, stage int, stage_name string, {ts_col} timestamp"
+    state_schema = "stage int, last_us long"
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        stage, last_us = state.get if state.exists else (0, -1)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0 or stage >= len(stages):
+            state.update((stage, last_us))
+            return
+        pdf = pdf.sort_values(ts_col, kind="mergesort", ignore_index=True)
+        us = (pdf[ts_col].astype("int64") // 1000) * 1000  # ns -> us grid
+        rows = []
+        for i in range(len(pdf)):
+            if stage >= len(stages):
+                break
+            t = int(us.iloc[i])
+            if pdf[type_col].iloc[i] == stages[stage] and (
+                stage == 0 or t > last_us
+            ):
+                rows.append(
+                    {
+                        user_col: key[0],
+                        "stage": stage + 1,
+                        "stage_name": stages[stage],
+                        ts_col: pdf[ts_col].iloc[i],
+                    }
+                )
+                last_us = t
+                stage += 1
+        state.update((stage, last_us))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
