@@ -2466,3 +2466,33 @@ FROM per_part
 WHERE value_d > (SELECT sum(value_d) FROM per_part) * 0.001
 ORDER BY value DESC, l_partkey
 """
+
+
+ORACLES["purchase_attribution"] = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+ORDER BY p.event_id
+"""
+
+ORACLES["cohort_retention"] = """
+WITH s AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+act AS (
+  SELECT DISTINCT e.user_id, s.cohort_w, date_trunc('week', e.ts) AS act_w
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE date_trunc('week', e.ts) >= s.cohort_w)
+SELECT CAST(cohort_w AS TIMESTAMP) AS cohort_week,
+  CAST(date_diff('day', CAST(cohort_w AS DATE), CAST(act_w AS DATE)) // 7
+       AS BIGINT) AS week_offset,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM act
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""

@@ -3548,3 +3548,69 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("value"), "l_partkey")
     )
+
+
+@register("purchase_attribution")
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributed to the same user's
+    most recent click at-or-before it (the as-of join again, this time
+    event-to-event). Clicks are first reduced to one per (user, instant)
+    so the as-of winner is unambiguous in both engines."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return (
+        asof_join(
+            purchases,
+            clicks,
+            on="user_id",
+            left_ts="ts",
+            right_ts="click_ts",
+            payload_cols=("click_id", "click_ts"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register("cohort_retention")
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by signup week, counted in
+    each later activity week. Two keyed aggs + one equi-join — the
+    classic product-analytics rollup, all JVM date arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_w"))
+    )
+    act = (
+        ev.join(s, "user_id")
+        .select(
+            "user_id",
+            F.col("cohort_w"),
+            F.date_trunc("week", F.col("ts")).alias("act_w"),
+        )
+        .filter(F.col("act_w") >= F.col("cohort_w"))
+        .distinct()
+    )
+    return (
+        act.groupBy(
+            F.col("cohort_w").alias("cohort_week"),  # timestamp (driver canon)
+            (
+                F.datediff(F.col("act_w").cast("date"), F.col("cohort_w").cast("date"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
