@@ -150,6 +150,14 @@ EXPECTATIONS: dict[str, list[str]] = {
     "ccnet_perplexity_buckets": ["Window", "!CartesianProduct", "!BatchEvalPython"],
     # per-stratum sample: window bounded by the lang partition key
     "per_lang_sample": ["Window", "Batched: true", "!BatchEvalPython"],
+    # Q2 shape: correlated min rewritten as a part-key window; dims broadcast
+    "tpch_q2_min_cost_supplier": ["Window", "BroadcastHashJoin", "!CartesianProduct"],
+    # Q11 shape: the only BNLJ is the 1-row total scalar broadcast
+    "tpch_q11_important_stock": ["partial_sum", "!CartesianProduct", "!BatchEvalPython"],
+    # as-of attribution: union-tag + user-partitioned forward-fill window
+    "purchase_attribution": ["Window", "!CartesianProduct", "!BatchEvalPython"],
+    # cohort matrix: keyed aggs + equi-join, JVM date math only
+    "cohort_retention": ["HashAggregate", "!CartesianProduct", "!BatchEvalPython"],
 }
 
 
