@@ -272,3 +272,36 @@ def doc_chunks(
             ).alias("chunk_md5"),
         )
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    compression-style quality signal (low entropy = repetitive/degenerate
+    text, the RefinedWeb/MassiveText heuristic family).
+
+    Determinism: each histogram term ``p·log2(p)`` quantises to a 1e-6
+    fixed-point long BEFORE summation (REPRO.md patterns 1/7), so the
+    cross-row sum is an order-free exact integer — no float fold, no
+    sort, bit-identical under any partitioning and in the SQL oracle.
+
+    Plan: one (doc, char) hash agg + a doc-partitioned window + one
+    doc-keyed agg — two shuffles on uniform keys, all JVM.
+    """
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), "")).alias("ch")
+    )
+    hist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    p = F.col("cnt").cast("double") / n.cast("double")
+    term = F.round(p * F.log2(p) * F.lit(1_000_000.0)).cast("long")
+    return (
+        hist.withColumn("term", term)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_chars"),
+            F.count(F.lit(1)).alias("uniq_chars"),
+            F.round(
+                -F.sum("term").cast("double") / F.lit(1_000_000.0), 6
+            ).alias("entropy"),
+        )
+    )

@@ -2496,3 +2496,25 @@ FROM act
 GROUP BY 1, 2
 ORDER BY cohort_week, week_offset
 """
+
+
+ORACLES["char_entropy"] = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+hist AS (
+  SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY doc_id, ch),
+terms AS (
+  SELECT doc_id, cnt,
+    CAST(round(
+      (CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY doc_id) AS DOUBLE))
+      * log2(CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY doc_id) AS DOUBLE))
+      * 1000000.0) AS BIGINT) AS term
+  FROM hist)
+SELECT doc_id,
+  CAST(sum(cnt) AS BIGINT) AS n_chars,
+  CAST(count(*) AS BIGINT) AS uniq_chars,
+  round(-CAST(sum(term) AS DOUBLE) / 1000000.0, 6) AS entropy
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -3614,3 +3614,13 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register("char_entropy")
+def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per doc (compression-style quality
+    signal): histogram terms quantise to fixed-point longs before the
+    order-free integer sum — entropy becomes oracle-exact."""
+    from .operators.cleaning import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -166,3 +166,21 @@ def test_cleaning_matches_duckdb_twin_on_crafted_docs(spark):
         assert got.shape == want.shape, name
         for c in got.columns:
             assert list(got[c]) == list(want[c]), (name, c)
+
+
+def test_char_entropy_values(spark):
+    import math
+
+    from ideafast_etl_spark.operators.cleaning import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r.asDict() for r in char_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["uniq_chars"] == 1
+    assert abs(out[2]["entropy"] - 1.0) < 1e-6  # two equi-probable chars
+    assert abs(out[3]["entropy"] - 2.0) < 1e-6  # four equi-probable chars
+    # empty text splits to [''] -> one symbol, entropy 0
+    assert out[4]["entropy"] == 0.0 and out[4]["n_chars"] == 1
+    # repetitive text scores below diverse text of the same length
+    assert out[1]["entropy"] < out[3]["entropy"]

@@ -55,6 +55,7 @@ def test_cleaning_ops_match_oracle_on_random_docs(spark):
         ("pii_redaction", cleaning.pii_redaction),
         ("line_dedup_first_wins", cleaning.line_dedup),
         ("doc_chunks", cleaning.doc_chunks),
+        ("char_entropy", cleaning.char_entropy),
     ]:
         got = fn(df).toPandas()
         want = con.execute(sqls[name]).df()
