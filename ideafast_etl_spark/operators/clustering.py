@@ -92,19 +92,19 @@ def derive_k(n: int, target_cluster_size: int = DEFAULT_TARGET_CLUSTER_SIZE) -> 
     return max(1, -(-n // max(1, target_cluster_size)))
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int | None = None,
     iters: int = 5,
     target_cluster_size: int = DEFAULT_TARGET_CLUSTER_SIZE,
-) -> DataFrame:
-    """Deterministic spherical k-means. Returns (id_col, cluster_id, sim):
-    every input vector with nonzero norm, its 0-based cluster, and its
-    cosine to the final centroid. ``k=None`` (default) derives k from the
-    corpus size via :func:`derive_k` — one count job, then k scales with
-    n so cluster sizes stay bounded as the corpus grows."""
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic spherical k-means, returning BOTH the assignment
+    (id_col, cluster_id, sim) and the final quantised centroid relation
+    (cid, pos, icval) — the latter feeds coarse-quantizer composites
+    (IVF-PQ residual encoding). Same arithmetic as ever: fixed-point
+    sums, data-derived seeds, bit-identical under any partitioning."""
     if k is None:
         k = derive_k(df.count(), target_cluster_size)
     pts = _pos_exploded(df, id_col, vec_col)
@@ -184,7 +184,7 @@ def kmeans_assign(
             ).alias("sim")
         )
     )
-    return (
+    assign = (
         sims.withColumn(
             "rn",
             F.row_number().over(
@@ -200,6 +200,24 @@ def kmeans_assign(
             F.round(F.col("sim"), 6).alias("sim"),
         )
     )
+    return assign, cent
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int | None = None,
+    iters: int = 5,
+    target_cluster_size: int = DEFAULT_TARGET_CLUSTER_SIZE,
+) -> DataFrame:
+    """Deterministic spherical k-means. Returns (id_col, cluster_id, sim):
+    every input vector with nonzero norm, its 0-based cluster, and its
+    cosine to the final centroid. ``k=None`` (default) derives k from the
+    corpus size via :func:`derive_k` — one count job, then k scales with
+    n so cluster sizes stay bounded as the corpus grows."""
+    assign, _ = kmeans_fit(df, vec_col, id_col, k, iters, target_cluster_size)
+    return assign
 
 
 def cluster_sizes(assign: DataFrame) -> DataFrame:

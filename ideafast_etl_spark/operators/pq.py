@@ -91,6 +91,16 @@ def pq_train(
             "cid", F.row_number().over(Window.orderBy("__id")) - F.lit(1)
         )
     )
+    return train_from_pts(pts, seed_ids, iters)
+
+
+def train_from_pts(
+    pts: DataFrame, seed_ids: DataFrame, iters: int
+) -> DataFrame:
+    """Codebook training over a pre-built (id, sub, spos, ival) relation —
+    shared by raw-vector PQ and residual IVF-PQ (operators/ivfpq.py).
+    ``seed_ids`` is (__id, cid); the seeds' subvectors initialise every
+    subspace's codebook."""
     cent = (
         pts.join(F.broadcast(seed_ids), "__id")
         .select("sub", "cid", "spos", F.col("ival").alias("icval"))

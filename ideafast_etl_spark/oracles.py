@@ -2518,3 +2518,102 @@ FROM terms
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def _ivfpq_sql(
+    n_cells: int = 8,
+    coarse_iters: int = 4,
+    m: int = 4,
+    k_codes: int = 16,
+    pq_iters: int = 3,
+    n_probe: int = 2,
+    k: int = 5,
+) -> str:
+    """Replay of operators/ivfpq.py: the coarse k-means CTEs feed integer
+    residual encoding, unrolled PQ codebook training on the residuals,
+    probe ranking, and the q·c + ADC score — all exact integers until the
+    final division (REPRO.md pattern 8, composed)."""
+    S2 = 1_000_000_000_000
+    parts = [_kmeans_cte(n_cells, coarse_iters)]
+    parts.append(f"""dims AS (
+  SELECT (max(pos) + 1) // {m} AS subdim FROM pts),
+rpts AS (
+  SELECT p.id, CAST(p.pos // d.subdim AS INT) AS sub,
+    p.pos % d.subdim AS spos, p.ival - c.icval AS ival
+  FROM pts p
+  JOIN assign a ON p.id = a.id
+  JOIN cent{coarse_iters} c ON c.cid = a.cid AND c.pos = p.pos,
+  dims d),
+pseeds AS (
+  SELECT vec_id, CAST(rn - 1 AS INT) AS cid
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings)
+  WHERE rn <= {k_codes}),
+pcent0 AS (
+  SELECT r.sub, s.cid, r.spos, r.ival AS icval
+  FROM rpts r JOIN pseeds s ON r.id = s.vec_id)""")
+    passign = """(
+  SELECT id, sub, cid FROM (
+    SELECT d.id, d.sub, d.cid, row_number() OVER (
+      PARTITION BY d.id, d.sub ORDER BY d.d2 ASC, d.cid ASC) AS rn
+    FROM (
+      SELECT r.id, r.sub, c.cid,
+        sum((r.ival - c.icval) * (r.ival - c.icval)) AS d2
+      FROM rpts r JOIN pcent{prev} c ON r.sub = c.sub AND r.spos = c.spos
+      GROUP BY r.id, r.sub, c.cid) d)
+  WHERE rn = 1)"""
+    for j in range(1, pq_iters + 1):
+        parts.append(f"""pbest{j} AS {passign.format(prev=j - 1)},
+pcent{j} AS (
+  SELECT r.sub, b.cid, r.spos,
+    CAST(round(CAST(sum(r.ival) AS DOUBLE) / count(*)) AS BIGINT) AS icval
+  FROM rpts r JOIN pbest{j} b ON r.id = b.id AND r.sub = b.sub
+  GROUP BY r.sub, b.cid, r.spos)""")
+    parts.append(f"""pcodes AS {passign.format(prev=pq_iters)},
+qcell AS (
+  SELECT p.id AS qid, c.cid AS cell, sum(p.ival * c.icval) AS qc
+  FROM pts p JOIN cent{coarse_iters} c ON c.pos = p.pos
+  WHERE p.id < 5
+  GROUP BY p.id, c.cid),
+probed AS (
+  SELECT qid, cell, qc FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY qc DESC, cell ASC) AS rn
+    FROM qcell)
+  WHERE rn <= {n_probe}),
+qsub AS (
+  SELECT p.id AS qid, CAST(p.pos // d.subdim AS INT) AS sub,
+    p.pos % d.subdim AS spos, p.ival
+  FROM pts p, dims d WHERE p.id < 5),
+tab AS (
+  SELECT q.qid, q.sub, c.cid, sum(q.ival * c.icval) AS ip
+  FROM qsub q JOIN pcent{pq_iters} c ON q.sub = c.sub AND q.spos = c.spos
+  GROUP BY q.qid, q.sub, c.cid),
+cands AS (
+  SELECT pr.qid, pr.qc, a.id
+  FROM probed pr JOIN assign a ON a.cid = pr.cell
+  WHERE a.id != pr.qid),
+adc AS (
+  SELECT cn.qid, cn.id, cn.qc, sum(t.ip) AS adc
+  FROM cands cn
+  JOIN pcodes pc ON pc.id = cn.id
+  JOIN tab t ON t.qid = cn.qid AND t.sub = pc.sub AND t.cid = pc.cid
+  GROUP BY cn.qid, cn.id, cn.qc),
+scored AS (
+  SELECT qid AS query_id, id AS neighbor_id,
+    round(CAST(qc + adc AS DOUBLE) / {S2}, 6) AS approx_sim
+  FROM adc),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY approx_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
+ORACLES["embedding_topk_ivfpq"] = _ivfpq_sql()

@@ -3624,3 +3624,17 @@ def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cleaning import char_entropy
 
     return char_entropy(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register("embedding_topk_ivfpq")
+def embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (coarse k-means cells + product-quantized residuals + ADC):
+    the composite index structure real vector stores run. Approximate
+    (probes 2 of 8 cells), yet FULLY oracle-verified — coarse training,
+    residual codebooks, probing, and ADC scores are all fixed-point and
+    unrolled as SQL CTEs."""
+    from .operators.ivfpq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(emb, queries_df, k=5)
