@@ -158,6 +158,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     "purchase_attribution": ["Window", "!CartesianProduct", "!BatchEvalPython"],
     # cohort matrix: keyed aggs + equi-join, JVM date math only
     "cohort_retention": ["HashAggregate", "!CartesianProduct", "!BatchEvalPython"],
+    # entropy: (doc,char) hash agg + doc window + doc agg — all JVM
+    "char_entropy": ["partial_count", "Window", "!BatchEvalPython"],
+    # IVF-PQ: ADC scoring joins broadcast the codebook/table; no loops
+    "embedding_topk_ivfpq": ["BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython"],
 }
 
 
