@@ -36,7 +36,7 @@ stopword discovery, vocab heavy hitters for tokenizer training).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -143,4 +143,79 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("freq"), F.first("total").alias("__t"))
         .filter(F.col("freq") * inv_phi >= F.col("__t"))
         .drop("__t")
+    )
+
+
+# --- KMV (k-minimum-values) distinct sketch --------------------------------
+
+KMV_K = 256
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key: Column | str,
+    k: int = KMV_K,
+    group_col: str | None = None,
+) -> DataFrame:
+    """KMV / bottom-k cardinality sketch (Bar-Yossef et al. 2002; the
+    theta-sketch family): hash every key with sha256, keep the k smallest
+    DISTINCT hash values, estimate distinct = (k-1) / h_k where h_k is the
+    k-th smallest hash normalised to (0, 1).
+
+    Unlike HLL, this is engine-independent arithmetic on sha256 values —
+    deterministic, mergeable (union of bottom-k sets → bottom-k), and
+    EXACTLY replayable by the SQL oracle. When fewer than k distinct keys
+    exist the sketch degenerates to the exact count.
+
+    Scale shape: distinct → per-group bottom-k. Ungrouped, the bottom-k is
+    ``ORDER BY hash LIMIT k`` which compiles to TakeOrderedAndProject — a
+    per-partition partial top-k, only k rows ever reach the driver side of
+    the exchange. Grouped, it is a window row_number bounded by the group
+    key. Output: (group?, n_seen_k, est_distinct).
+    """
+    keyc = F.col(key) if isinstance(key, str) else key
+    # uniform in (0, 1]: first 15 hex chars -> 60-bit integer, +1 so 0 is
+    # excluded (division by h_k is then always defined)
+    h = (
+        F.conv(F.substring(F.sha2(keyc.cast("string"), 256), 1, 15), 16, 10)
+        .cast("long")
+        + 1
+    )
+    scale = float(1 << 60)
+    if group_col is None:
+        bottom = df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+        return bottom.agg(
+            F.count(F.lit(1)).alias("n_seen_k"),
+            F.round(
+                F.when(
+                    F.count(F.lit(1)) < k,
+                    F.count(F.lit(1)).cast("double"),
+                ).otherwise(
+                    (F.lit(float(k - 1)))
+                    / (F.max("h").cast("double") / F.lit(scale))
+                ),
+                4,
+            ).alias("est_distinct"),
+        )
+    w = Window.partitionBy(group_col).orderBy("h")
+    bottom = (
+        df.select(F.col(group_col), h.alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    return (
+        bottom.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_seen_k"),
+            F.round(
+                F.when(
+                    F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+                ).otherwise(
+                    F.lit(float(k - 1))
+                    / (F.max("h").cast("double") / F.lit(scale))
+                ),
+                4,
+            ).alias("est_distinct"),
+        )
     )

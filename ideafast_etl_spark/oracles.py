@@ -2617,3 +2617,23 @@ SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= {k}
 
 
 ORACLES["embedding_topk_ivfpq"] = _ivfpq_sql()
+
+
+ORACLES["kmv_distinct_users"] = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+    CAST(concat('0x', substring(sha256(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS hv
+  FROM events),
+bottom AS (
+  SELECT event_type, hv,
+    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_seen_k,
+  round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        ELSE 63.0 / (CAST(max(hv) AS DOUBLE) / 1152921504606846976.0) END,
+        4) AS est_distinct
+FROM bottom WHERE rn <= 64
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -3638,3 +3638,16 @@ def embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return ivfpq_topk(emb, queries_df, k=5)
+
+
+@register("kmv_distinct_users")
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k cardinality sketch per event type: engine-independent
+    sha256 arithmetic (unlike HLL), mergeable, and oracle-EXACT — the
+    estimate is a pure function of the k smallest distinct hashes."""
+    from .operators.sketch import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", k=64, group_col="event_type").orderBy(
+        "event_type"
+    )

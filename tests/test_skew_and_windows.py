@@ -169,3 +169,29 @@ def test_approx_percentile_within_rank_error_bound(spark):
     ).first()
     # values are the permuted 0..n-1, so value == rank; allowed rank error n/acc
     assert abs(row["approx"] - row["exact"]) <= n / acc + 1
+
+
+def test_kmv_estimate_accuracy_and_exact_degeneration(spark):
+    from pyspark.sql import functions as F
+
+    from ideafast_etl_spark.operators.sketch import kmv_distinct
+
+    # 10k distinct keys, k=256 -> relative error ~ 1/sqrt(k) ~ 6%
+    df = spark.range(50_000).select((F.col("id") % 10_000).alias("u"))
+    est = kmv_distinct(df, "u", k=256).first()["est_distinct"]
+    assert abs(est - 10_000) / 10_000 < 0.2
+    # fewer than k distinct -> exact
+    small = spark.range(100).select((F.col("id") % 40).alias("u"))
+    r = kmv_distinct(small, "u", k=256).first()
+    assert r["est_distinct"] == 40.0 and r["n_seen_k"] == 40
+
+
+def test_kmv_deterministic_and_mergeable_by_construction(spark):
+    from pyspark.sql import functions as F
+
+    from ideafast_etl_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(5_000).select((F.col("id") % 999).alias("u"))
+    a = kmv_distinct(df, "u", k=128).first()["est_distinct"]
+    b = kmv_distinct(df.repartition(17), "u", k=128).first()["est_distinct"]
+    assert a == b
