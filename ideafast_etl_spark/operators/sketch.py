@@ -219,3 +219,75 @@ def kmv_distinct(
             ).alias("est_distinct"),
         )
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    key: Column | str,
+    label: Column | str,
+    label_a: str,
+    label_b: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Theta-sketch-style set operations on two KMV sketches: estimate
+    |A|, |B|, |A∪B| and |A∩B| for the key-sets of two label values,
+    WITHOUT an exact distinct join. Method (theta-sketch union/intersect,
+    Dasgupta et al. 2016): θ = min(θ_A, θ_B) where θ_X is the k-th
+    smallest distinct hash of X (or the max-hash sentinel when |X| < k);
+    every hash below θ is a uniform sample of the union, so counts below
+    θ scaled by S/θ estimate the true cardinalities. Deterministic sha256
+    arithmetic end to end — fully oracle-replayable.
+
+    Output: one row (n_a_sample, n_b_sample, est_a, est_b, est_union,
+    est_intersection).
+    """
+    keyc = F.col(key) if isinstance(key, str) else key
+    lab = F.col(label) if isinstance(label, str) else label
+    scale = float(1 << 60)
+    sentinel = (1 << 60) + 1
+    h = (
+        F.conv(F.substring(F.sha2(keyc.cast("string"), 256), 1, 15), 16, 10)
+        .cast("long")
+        + 1
+    )
+    hashes = (
+        df.filter(lab.isin(label_a, label_b))
+        .select(lab.alias("__lab"), h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("__lab").orderBy("h")
+    ranked = hashes.withColumn("rn", F.row_number().over(w))
+    # θ per side: k-th smallest hash, or sentinel when the side has < k
+    thetas = (
+        ranked.groupBy("__lab")
+        .agg(
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "__lab",
+            F.coalesce(F.col("kth"), F.lit(sentinel)).alias("theta"),
+        )
+    )
+    theta = thetas.agg(F.min("theta").alias("theta"))  # 1 row
+    below = ranked.crossJoin(F.broadcast(theta)).filter(
+        F.col("h") < F.col("theta")
+    )
+    # pivot the sample: which sides saw each hash below θ
+    sides = below.groupBy("h", "theta").agg(
+        F.max(F.when(F.col("__lab") == label_a, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("__lab") == label_b, 1).otherwise(0)).alias("in_b"),
+    )
+    factor = F.when(
+        F.col("theta") > F.lit(1 << 60), F.lit(1.0)
+    ).otherwise(F.col("theta").cast("double") / F.lit(scale))
+    return sides.groupBy("theta").agg(
+        F.sum("in_a").alias("n_a_sample"),
+        F.sum("in_b").alias("n_b_sample"),
+        F.round((F.sum("in_a") / factor), 4).alias("est_a"),
+        F.round((F.sum("in_b") / factor), 4).alias("est_b"),
+        F.round((F.count(F.lit(1)) / factor), 4).alias("est_union"),
+        F.round((F.sum(F.col("in_a") * F.col("in_b")) / factor), 4).alias(
+            "est_intersection"
+        ),
+    ).drop("theta")

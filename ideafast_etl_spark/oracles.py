@@ -2637,3 +2637,39 @@ FROM bottom WHERE rn <= 64
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+ORACLES["kmv_click_purchase_overlap"] = """
+WITH hashes AS (
+  SELECT DISTINCT event_type AS lab,
+    CAST(concat('0x', substring(sha256(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS h
+  FROM events WHERE event_type IN ('click', 'purchase')),
+ranked AS (
+  SELECT lab, h, row_number() OVER (PARTITION BY lab ORDER BY h) AS rn
+  FROM hashes),
+thetas AS (
+  SELECT lab, coalesce(max(CASE WHEN rn = 64 THEN h END),
+                       1152921504606846977) AS theta
+  FROM ranked GROUP BY lab),
+theta AS (SELECT min(theta) AS theta FROM thetas),
+below AS (
+  SELECT r.lab, r.h, t.theta FROM ranked r, theta t WHERE r.h < t.theta),
+sides AS (
+  SELECT h, theta,
+    max(CASE WHEN lab = 'click' THEN 1 ELSE 0 END) AS in_a,
+    max(CASE WHEN lab = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM below GROUP BY h, theta)
+SELECT
+  CAST(sum(in_a) AS BIGINT) AS n_a_sample,
+  CAST(sum(in_b) AS BIGINT) AS n_b_sample,
+  round(sum(in_a) / (CASE WHEN theta > 1152921504606846976 THEN 1.0
+        ELSE CAST(theta AS DOUBLE) / 1152921504606846976.0 END), 4) AS est_a,
+  round(sum(in_b) / (CASE WHEN theta > 1152921504606846976 THEN 1.0
+        ELSE CAST(theta AS DOUBLE) / 1152921504606846976.0 END), 4) AS est_b,
+  round(count(*) / (CASE WHEN theta > 1152921504606846976 THEN 1.0
+        ELSE CAST(theta AS DOUBLE) / 1152921504606846976.0 END), 4) AS est_union,
+  round(sum(in_a * in_b) / (CASE WHEN theta > 1152921504606846976 THEN 1.0
+        ELSE CAST(theta AS DOUBLE) / 1152921504606846976.0 END), 4) AS est_intersection
+FROM sides
+GROUP BY theta
+"""

@@ -3651,3 +3651,16 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, "user_id", k=64, group_col="event_type").orderBy(
         "event_type"
     )
+
+
+@register("kmv_click_purchase_overlap")
+def kmv_click_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations on KMV sketches: estimated distinct
+    click-users, purchase-users, their union and intersection — no exact
+    distinct join, deterministic sha256 arithmetic, oracle-exact."""
+    from .operators.sketch import kmv_set_ops
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_set_ops(
+        ev, "user_id", "event_type", "click", "purchase", k=64
+    )

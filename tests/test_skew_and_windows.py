@@ -195,3 +195,27 @@ def test_kmv_deterministic_and_mergeable_by_construction(spark):
     a = kmv_distinct(df, "u", k=128).first()["est_distinct"]
     b = kmv_distinct(df.repartition(17), "u", k=128).first()["est_distinct"]
     assert a == b
+
+
+def test_kmv_set_ops_accuracy(spark):
+    from pyspark.sql import functions as F
+
+    from ideafast_etl_spark.operators.sketch import kmv_set_ops
+
+    # A = users 0..5999 ("a"), B = users 4000..9999 ("b"): |A∩B| = 2000
+    a = spark.range(6_000).select(F.col("id").alias("u"), F.lit("a").alias("g"))
+    b = spark.range(4_000, 10_000).select(
+        F.col("id").alias("u"), F.lit("b").alias("g")
+    )
+    r = kmv_set_ops(a.unionByName(b), "u", "g", "a", "b", k=512).first()
+    assert abs(r["est_a"] - 6_000) / 6_000 < 0.15
+    assert abs(r["est_b"] - 6_000) / 6_000 < 0.15
+    assert abs(r["est_union"] - 10_000) / 10_000 < 0.15
+    assert abs(r["est_intersection"] - 2_000) / 2_000 < 0.3
+    # small sides degenerate to exact
+    sa = spark.range(30).select(F.col("id").alias("u"), F.lit("a").alias("g"))
+    sb = spark.range(20, 50).select(F.col("id").alias("u"), F.lit("b").alias("g"))
+    r2 = kmv_set_ops(sa.unionByName(sb), "u", "g", "a", "b", k=512).first()
+    assert (r2["est_a"], r2["est_b"], r2["est_union"], r2["est_intersection"]) == (
+        30.0, 30.0, 50.0, 10.0,
+    )
