@@ -197,12 +197,8 @@ def kmv_distinct(
                 4,
             ).alias("est_distinct"),
         )
-    w = Window.partitionBy(group_col).orderBy("h")
-    bottom = (
-        df.select(F.col(group_col), h.alias("h"))
-        .distinct()
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+    bottom = _bottom_k(
+        df.select(F.col(group_col), h.alias("h")).distinct(), [group_col], k
     )
     return (
         bottom.groupBy(group_col)
@@ -219,6 +215,30 @@ def kmv_distinct(
             ).alias("est_distinct"),
         )
     )
+
+
+def _bottom_k(hashes: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Two-phase bottom-k per group: per-(group, physical-partition) prune
+    to k rows first (window bounded by the PARTITION size, not the group
+    size), then the final rank over at most k x n_partitions survivors.
+    Result is identical to a direct per-group rank — any global bottom-k
+    element is in its partition's bottom-k — but no stage ever sorts a
+    whole group in one task. Adds ``rn`` (1-based rank within group)."""
+    pre = (
+        hashes.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__prn",
+            F.row_number().over(
+                Window.partitionBy(*group_cols, "__pid").orderBy("h")
+            ),
+        )
+        .filter(F.col("__prn") <= k)
+        .drop("__pid", "__prn")
+    )
+    return pre.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(*group_cols).orderBy("h")),
+    ).filter(F.col("rn") <= k)
 
 
 def kmv_set_ops(
@@ -255,8 +275,7 @@ def kmv_set_ops(
         .select(lab.alias("__lab"), h.alias("h"))
         .distinct()
     )
-    w = Window.partitionBy("__lab").orderBy("h")
-    ranked = hashes.withColumn("rn", F.row_number().over(w))
+    ranked = _bottom_k(hashes, ["__lab"], k)
     # θ per side: k-th smallest hash, or sentinel when the side has < k
     thetas = (
         ranked.groupBy("__lab")
