@@ -80,3 +80,37 @@ def rank_buckets(
         expr = F.element_at(F.array(*[F.lit(l) for l in labels]), b + 1)
         return ranked.withColumn(bucket_col, expr)
     return ranked.withColumn(bucket_col, b)
+
+
+def bounded_topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k per group without sorting a whole group in one task: rank
+    within (group, physical partition) first — bounded by the partition
+    size — keep k, then rank the <= k x n_partitions survivors per group.
+    Identical to a direct per-group row_number()<=k for any total order
+    (any group-global top-k row is in its partition's top-k)."""
+    pre = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__prn",
+            F.row_number().over(
+                Window.partitionBy(*group_cols, "__pid").orderBy(*order)
+            ),
+        )
+        .filter(F.col("__prn") <= k)
+        .drop("__pid", "__prn")
+    )
+    return (
+        pre.withColumn(
+            rank_col,
+            F.row_number().over(
+                Window.partitionBy(*group_cols).orderBy(*order)
+            ),
+        )
+        .filter(F.col(rank_col) <= k)
+    )

@@ -3462,17 +3462,22 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum top-k sample: k=20 docs per language,
     selected by sha256 order (stable across engines, runs, and layouts —
-    no RNG). The window partitions by lang, so no global sort and no
-    single-partition stage."""
+    no RNG). Two-phase bounded top-k: no task ever sorts a whole
+    language, only its own partition's slice."""
+    from .operators.ranking import bounded_topk_per_group
+
     docs = _t(spark, sf_dir, "documents")
     h = F.sha2(F.col("doc_id").cast("string"), 256)
-    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
-    return (
-        docs.select("doc_id", "lang", h.alias("pick_hash"))
-        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("pick_rank") <= 20)
-        .orderBy("lang", "pick_rank")
+    picked = bounded_topk_per_group(
+        docs.select("doc_id", "lang", h.alias("pick_hash")),
+        ["lang"],
+        [F.asc("pick_hash"), F.asc("doc_id")],
+        20,
+        rank_col="pick_rank",
     )
+    return picked.withColumn(
+        "pick_rank", F.col("pick_rank").cast("long")
+    ).orderBy("lang", "pick_rank")
 
 
 @register("tpch_q2_min_cost_supplier")

@@ -64,3 +64,32 @@ def test_rank_buckets_label_arity_checked(spark):
     df = spark.createDataFrame([(1,)], ["rank"])
     with pytest.raises(ValueError):
         rank_buckets(df, 1, 3, labels=["only-two", "labels"])
+
+
+def test_bounded_topk_equals_direct_window(spark):
+    from ideafast_etl_spark.operators.ranking import bounded_topk_per_group
+
+    df = spark.range(400).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") * 31 % 97).alias("score"),
+        F.col("id"),
+    )
+    order = [F.asc("score"), F.asc("id")]
+    got = sorted(
+        map(
+            tuple,
+            bounded_topk_per_group(
+                df.repartition(7), ["g"], order, 5
+            ).collect(),
+        )
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .collect(),
+        )
+    )
+    assert got == want
