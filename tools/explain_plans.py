@@ -162,6 +162,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     "char_entropy": ["partial_count", "Window", "!BatchEvalPython"],
     # IVF-PQ: ADC scoring joins broadcast the codebook/table; no loops
     "embedding_topk_ivfpq": ["BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython"],
+    # KMV sketches: two-phase bottom-k windows (partition-bounded), all JVM;
+    # the only BNLJ in set-ops is the 1-row theta scalar broadcast
+    "kmv_distinct_users": ["Window", "partial_count", "!BatchEvalPython"],
+    "kmv_click_purchase_overlap": ["Window", "!CartesianProduct", "!BatchEvalPython"],
 }
 
 
