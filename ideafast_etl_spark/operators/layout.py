@@ -75,3 +75,60 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def optimize_table(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    zorder: tuple[str, str, tuple[float, float], tuple[float, float]] | None = None,
+    min_files_to_compact: int = 4,
+) -> dict:
+    """OPTIMIZE for a plain-parquet table directory: compact small files to
+    ~``target_file_mb`` outputs, optionally Z-order-clustering on two
+    columns, then atomically swap the directory (write to ``<path>.__opt__``,
+    rename old → ``<path>.__old__``, new → ``path``, delete old). The swap
+    window is two renames — the same pointer-swap discipline as the state
+    store's snapshot commit (state/store.py).
+
+    Returns {files_before, files_after, bytes, skipped}. No-ops (skipped)
+    when the table already has fewer than ``min_files_to_compact`` files.
+    At cluster scale, target sizing per file keeps row groups aligned with
+    ``spark.sql.files.maxPartitionBytes`` so scans map 1:1 to tasks.
+    """
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") or f.endswith(".snappy.parquet")
+    ]
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    if len(files) < min_files_to_compact:
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": total,
+            "skipped": True,
+        }
+    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp, old = path + ".__opt__", path + ".__old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if zorder is not None:
+        x_col, y_col, x_range, y_range = zorder
+        zorder_write(df, tmp, x_col, y_col, x_range, y_range, n_files=n_files)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return {
+        "files_before": len(files),
+        "files_after": after,
+        "bytes": total,
+        "skipped": False,
+    }
