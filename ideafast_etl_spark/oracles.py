@@ -2673,3 +2673,38 @@ SELECT
 FROM sides
 GROUP BY theta
 """
+
+
+ORACLES["event_value_histogram"] = """
+SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+  CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, bin
+"""
+
+ORACLES["price_quantity_regression"] = """
+WITH q AS (
+  SELECT l_returnflag,
+    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT l_returnflag,
+    CAST(count(*) AS BIGINT) AS n,
+    sum(x) AS sx, sum(y) AS sy,
+    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM q GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+  round((CAST(sy AS DOUBLE)
+         - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+           * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE) / 100.0, 4) AS intercept,
+  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+        6) AS r
+FROM m
+ORDER BY l_returnflag
+"""

@@ -3669,3 +3669,62 @@ def kmv_click_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(
         ev, "user_id", "event_type", "click", "purchase", k=64
     )
+
+
+@register("event_value_histogram")
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type: integer bin ids
+    from floor arithmetic (no width_bucket engine differences), one hash
+    agg with map-side partials."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / 5.0).cast("long")
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
+@register("price_quantity_regression")
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS + Pearson correlation of extended price on quantity
+    per return flag — all five moments are EXACT integer sums (values
+    quantised to cents), so slope/intercept/r are identical double
+    expressions over identical integers in both engines (no engine
+    corr()/covar() with order-dependent co-moment updates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # cents-quantised, then DECIMAL moments: the products n*sxy etc. exceed
+    # int64 at scale; DECIMAL(38,0) keeps them exact (mirrors the oracle's
+    # HUGEINT sums), cast to double only after the exact combination
+    x = F.round(F.col("l_quantity") * 100).cast("long").cast("decimal(19,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long").cast("decimal(19,0)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    d38 = "decimal(38,0)"
+    n = F.col("n").cast(d38)
+    sx, sy = F.col("sx").cast(d38), F.col("sy").cast(d38)
+    sxy, sxx, syy = (
+        F.col("sxy").cast(d38),
+        F.col("sxx").cast(d38),
+        F.col("syy").cast(d38),
+    )
+    cov_n = (n * sxy - sx * sy).cast("double")
+    var_x = (n * sxx - sx * sx).cast("double")
+    var_y = (n * syy - sy * sy).cast("double")
+    slope = cov_n / var_x
+    return agg.select(
+        "l_returnflag",
+        F.col("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (sy.cast("double") - slope * sx.cast("double")) / n.cast("double") / 100.0,
+            4,
+        ).alias("intercept"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("r"),
+    ).orderBy("l_returnflag")
