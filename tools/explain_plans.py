@@ -166,6 +166,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     # the only BNLJ in set-ops is the 1-row theta scalar broadcast
     "kmv_distinct_users": ["Window", "partial_count", "!BatchEvalPython"],
     "kmv_click_purchase_overlap": ["Window", "!CartesianProduct", "!BatchEvalPython"],
+    # histogram: ONE hash agg with map-side partials over floor bins
+    "event_value_histogram": ["partial_count", "Batched: true", "!BatchEvalPython"],
+    # OLS: five exact decimal moments in one partial/final agg pass
+    "price_quantity_regression": ["partial_sum", "HashAggregate", "!BatchEvalPython"],
 }
 
 
