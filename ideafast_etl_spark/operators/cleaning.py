@@ -199,7 +199,9 @@ def pii_redaction(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", *counts, F.md5(pii_redact_col(col)).alias("redacted_md5"))
 
 
-def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def line_dedup(
+    docs: DataFrame, text_col: str = "text", with_text: bool = False
+) -> DataFrame:
     """C4-style cross-document line dedup: a line that appears in multiple
     documents is kept only at its first global occurrence (ordered by
     ``(doc_id, position)``); blank lines are never deduped (they would be a
@@ -228,17 +230,19 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
         kept.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "line"))
-                        ),
-                        lambda s: s["line"],
-                    ),
-                    "\n",
-                )
-            ).alias("text_md5"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("__text"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            F.md5("__text").alias("text_md5"),
+            *([F.col("__text").alias("text")] if with_text else []),
         )
     )
 

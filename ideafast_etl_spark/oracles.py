@@ -734,16 +734,23 @@ FROM documents
 """
 
 
-def _quality_sql() -> str:
-    wc = r"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
-    sw_hits = f"len(regexp_extract_all(lower(text), '{_STOP_RE}'))"
+def _quality_score_expr(col: str = "text") -> str:
+    """The quality_score column expression (functions/text.py twin) over an
+    arbitrary text column — shared by quality_filter and the corpus-prep
+    pipeline oracle."""
+    wc = rf"CASE WHEN length(trim({col})) = 0 THEN 0 ELSE len(string_split_regex(trim({col}), '\s+')) END"
+    sw_hits = f"len(regexp_extract_all(lower({col}), '{_STOP_RE}'))"
     sw = f"(CASE WHEN ({wc}) = 0 THEN 0.0 ELSE ({sw_hits})::DOUBLE / ({wc})::DOUBLE END)"
-    pr = f"(CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '{_PUNCT_RE}'))::DOUBLE / length(text)::DOUBLE END)"
-    score = (
-        f"(CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 0.4 ELSE 0.0 END)"
+    pr = f"(CASE WHEN length({col}) = 0 THEN 0.0 ELSE len(regexp_extract_all({col}, '{_PUNCT_RE}'))::DOUBLE / length({col})::DOUBLE END)"
+    return (
+        f"(CASE WHEN length({col}) BETWEEN 200 AND 20000 THEN 0.4 ELSE 0.0 END)"
         f" + (CASE WHEN {sw} > 0.05 THEN 0.4 ELSE {sw} * 8 END)"
         f" + (CASE WHEN {pr} < 0.1 THEN 0.2 ELSE greatest(0.0, 0.2 - ({pr} - 0.1)) END)"
     )
+
+
+def _quality_sql() -> str:
+    score = _quality_score_expr()
     return f"""
 SELECT doc_id, lang, round({score}, 4) AS quality
 FROM documents
@@ -2708,3 +2715,63 @@ SELECT l_returnflag, n,
 FROM m
 ORDER BY l_returnflag
 """
+
+
+def _corpus_prep_sql() -> str:
+    toks = "CAST(len(regexp_extract_all({c}, '" + TOKEN_REGEX + "')) AS BIGINT)"
+    q = _quality_score_expr("text")
+    return f"""
+WITH l0 AS (
+  SELECT doc_id,
+    unnest(string_split(text, chr(10))) AS line,
+    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM documents),
+nb AS (
+  SELECT doc_id, pos, line,
+    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM l0 WHERE length(trim(line)) > 0),
+kept AS (
+  SELECT doc_id, pos, line FROM nb WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, line FROM l0 WHERE length(trim(line)) = 0),
+d1 AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id),
+d2 AS (
+  SELECT doc_id, text FROM d1 WHERE round({q}, 4) >= 0.6),
+d3 AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+          '{_PII_IP}', '<IP>', 'g'),
+        '{_PII_SSN}', '<SSN>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g') AS text
+  FROM d2),
+d4 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (
+      PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM d3)
+  WHERE rn = 1)
+SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+  coalesce(sum({toks.format(c='text')}), 0)::BIGINT AS n_tokens FROM documents
+UNION ALL
+SELECT '1_line_dedup', CAST(count(*) AS BIGINT),
+  coalesce(sum({toks.format(c='text')}), 0)::BIGINT FROM d1
+UNION ALL
+SELECT '2_quality', CAST(count(*) AS BIGINT),
+  coalesce(sum({toks.format(c='text')}), 0)::BIGINT FROM d2
+UNION ALL
+SELECT '3_pii_redacted', CAST(count(*) AS BIGINT),
+  coalesce(sum({toks.format(c='text')}), 0)::BIGINT FROM d3
+UNION ALL
+SELECT '4_exact_dedup', CAST(count(*) AS BIGINT),
+  coalesce(sum({toks.format(c='text')}), 0)::BIGINT FROM d4
+ORDER BY stage
+"""
+
+
+ORACLES["corpus_prep_e2e"] = _corpus_prep_sql()

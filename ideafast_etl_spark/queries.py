@@ -3728,3 +3728,14 @@ def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("r"),
     ).orderBy("l_returnflag")
+
+
+@register("corpus_prep_e2e")
+def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-prep pipeline (pipeline/corpus.py): raw → line
+    dedup → quality gate → PII redaction → exact dedup, with per-stage
+    document and token accounting. Every stage is an already-verified
+    operator, and the composed oracle replays the whole chain."""
+    from .pipeline.corpus import corpus_prep_stages
+
+    return corpus_prep_stages(_t(spark, sf_dir, "documents"))
