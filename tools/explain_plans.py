@@ -170,6 +170,8 @@ EXPECTATIONS: dict[str, list[str]] = {
     "event_value_histogram": ["partial_count", "Batched: true", "!BatchEvalPython"],
     # OLS: five exact decimal moments in one partial/final agg pass
     "price_quantity_regression": ["partial_sum", "HashAggregate", "!BatchEvalPython"],
+    # corpus e2e: line-content + dedup-hash windows, five tiny stage aggs
+    "corpus_prep_e2e": ["Window", "!CartesianProduct", "!BatchEvalPython"],
 }
 
 

@@ -62,6 +62,13 @@ QUERIES = [
     "event_funnel",
     "ccnet_perplexity_buckets",
     "per_lang_sample",
+    "embedding_topk_ivfpq",
+    "char_entropy",
+    "kmv_distinct_users",
+    "kmv_click_purchase_overlap",
+    "event_value_histogram",
+    "price_quantity_regression",
+    "corpus_prep_e2e",
 ]
 
 
