@@ -54,13 +54,14 @@ def pagerank(
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
-    )
+    ).persist()  # scanned once per iteration — never recomputed from source
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     base = (PR_DAMPING_DEN - PR_DAMPING_NUM) * PR_SCALE // PR_DAMPING_DEN
     ranks = nodes.withColumn("irank", F.lit(PR_SCALE).cast("long"))
     for _ in range(iters):
@@ -87,11 +88,15 @@ def pagerank(
             )
             .localCheckpoint(eager=True)  # |V| rows: truncate lineage
         )
-    return ranks.select(
+    out = ranks.select(
         "node",
         "irank",
         F.round(F.col("irank") / PR_SCALE, 6).alias("rank"),
     )
+    # ranks is checkpointed each iteration, so the cached inputs can go
+    for c in (e, nodes, outdeg):
+        c.unpersist()
+    return out
 
 
 def purchase_graph_edges(
