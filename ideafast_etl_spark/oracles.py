@@ -2043,7 +2043,8 @@ k AS (
 SELECT doc_id,
   CAST(len(ln) AS BIGINT) AS n_lines,
   CAST(len(kept) AS BIGINT) AS n_kept,
-  md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5,
+  CASE WHEN text IS NULL THEN NULL
+       ELSE md5(coalesce(array_to_string(kept, chr(10)), '')) END AS clean_md5,
   (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')) AS keep_doc
 FROM k
 ORDER BY doc_id

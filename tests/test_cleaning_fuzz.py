@@ -44,6 +44,7 @@ def test_cleaning_ops_match_oracle_on_random_docs(spark):
         (1002, "a" * 5 + "é" * 5),
         (1003, "- " * 50),
         (1004, "mail a@b.co or 1.2.3.4 via 111-22-3333 at 555-123-4567."),
+        (1005, None),  # NULL text: engines must agree on propagation/drops
     ]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     con = duckdb.connect()
@@ -63,9 +64,19 @@ def test_cleaning_ops_match_oracle_on_random_docs(spark):
         got = got.reindex(cols, axis=1).sort_values(by=cols, ignore_index=True)
         want = want.reindex(cols, axis=1).sort_values(by=cols, ignore_index=True)
         assert got.shape == want.shape, name
+        def same(a, b):
+            def isnull(v):
+                return v is None or v != v  # None or NaN
+
+            if isnull(a) and isnull(b):  # both NULL (engines agree)
+                return True
+            return a == b
+
         for c in cols:
             ga, wa = list(got[c]), list(want[c])
             mism = [
-                (i, a, b) for i, (a, b) in enumerate(zip(ga, wa)) if a != b
+                (i, a, b)
+                for i, (a, b) in enumerate(zip(ga, wa))
+                if not same(a, b)
             ][:3]
             assert not mism, (name, c, mism)
