@@ -208,22 +208,33 @@ def line_dedup(
     degenerate hot key — a single shuffle partition receiving every empty
     line in a 100 TB corpus).
 
-    Plan shape: posexplode -> [blank lines bypass] -> window partitioned by
-    the line *content* (the shuffle key is the line itself, so partitioning
-    is uniform for natural text) -> re-group by doc_id. Two shuffles total,
-    both on keys with bounded skew. Documents whose every line is a duplicate
-    disappear from the output (same as the oracle's GROUP BY over kept rows).
+    Plan shape: posexplode -> [blank lines bypass] -> ``groupBy(line)`` with
+    a ``min(struct(doc_id, pos))`` aggregate (struct comparison is
+    lexicographic by field order, so the min IS the first global occurrence)
+    -> re-group by doc_id. Two shuffles total. The keyed *aggregation* —
+    not a row_number window — is what survives boilerplate skew: common
+    lines ('Home', copyright footers, nav text) are exactly what C4 dedup
+    targets, and a window partitioned by content would funnel each such
+    line's millions of copies into a single task. Partial (map-side)
+    aggregation collapses every copy within a task to one candidate row
+    before the shuffle, so the hot key crosses the wire once per upstream
+    partition. Documents whose every line is a duplicate disappear from
+    the output (same as the oracle's GROUP BY over kept rows).
     """
     lines = docs.select(
         "doc_id", F.posexplode(_lines(F.col(text_col))).alias("pos", "line")
     )
     blank = F.length(F.trim(F.col("line"))) == 0
-    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    first = F.min(F.struct("doc_id", "pos")).alias("__first")
     nonblank_kept = (
         lines.filter(~blank)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("line")
+        .agg(first)
+        .select(
+            F.col("__first.doc_id").alias("doc_id"),
+            F.col("__first.pos").alias("pos"),
+            "line",
+        )
     )
     kept = lines.filter(blank).unionByName(nonblank_kept)
     return (

@@ -86,10 +86,25 @@ def optimize_table(
 ) -> dict:
     """OPTIMIZE for a plain-parquet table directory: compact small files to
     ~``target_file_mb`` outputs, optionally Z-order-clustering on two
-    columns, then atomically swap the directory (write to ``<path>.__opt__``,
-    rename old → ``<path>.__old__``, new → ``path``, delete old). The swap
-    window is two renames — the same pointer-swap discipline as the state
-    store's snapshot commit (state/store.py).
+    columns, then swap the directory (write to ``<path>.__opt__``, rename
+    old → ``<path>.__old__``, new → ``path``, validate, delete old).
+
+    NOT atomic: the swap is two ``os.rename`` calls, so there is a window
+    in which ``path`` does not exist and a concurrent reader errors. A
+    crash inside that window strands the data in ``<path>.__old__``; the
+    next ``optimize_table`` call on the same path detects exactly that
+    state (old present, path absent) and rolls it back before doing
+    anything else, so the op is crash-*recoverable* rather than atomic.
+    ``.__old__`` is kept until the new directory is validated (non-empty
+    parquet listing) — a bad write can always be rolled back. Directory
+    -rename atomicity is the best a filesystem path can offer; true
+    atomic swap needs a versioned pointer (the state store's
+    ``_CURRENT`` commit, state/store.py) or a table format (Delta/Iceberg).
+
+    Scope: driver-local POSIX paths only (``os.listdir``/``shutil``). On
+    object stores or HDFS this maintenance op belongs to the catalog layer
+    (Delta OPTIMIZE / Iceberg rewrite_data_files); the Spark-side plan
+    (read → repartition/Z-order → write) is identical there.
 
     Returns {files_before, files_after, bytes, skipped}. No-ops (skipped)
     when the table already has fewer than ``min_files_to_compact`` files.
@@ -98,6 +113,10 @@ def optimize_table(
     """
     import os
     import shutil
+
+    old = path + ".__old__"
+    if os.path.isdir(old) and not os.path.exists(path):
+        os.rename(old, path)  # roll back a swap interrupted between renames
 
     files = [
         f
@@ -114,18 +133,24 @@ def optimize_table(
         }
     n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    tmp, old = path + ".__opt__", path + ".__old__"
+    tmp = path + ".__opt__"
     shutil.rmtree(tmp, ignore_errors=True)
     if zorder is not None:
         x_col, y_col, x_range, y_range = zorder
         zorder_write(df, tmp, x_col, y_col, x_range, y_range, n_files=n_files)
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+        raise RuntimeError(f"compaction produced no parquet files in {tmp}")
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(old)
     after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    if after == 0:  # pragma: no cover - second validation, defence in depth
+        os.rename(path, tmp)
+        os.rename(old, path)
+        raise RuntimeError("swap validation failed; original table restored")
+    shutil.rmtree(old)  # only after the new directory validated
     return {
         "files_before": len(files),
         "files_after": after,

@@ -15,7 +15,17 @@ global rank distributively:
 The result is deterministic regardless of where the sampled range
 boundaries land, because ranks derive from the total key order, not the
 partitioning — provided the order keys are a total order (include a
-unique tie-breaker column, e.g. the primary key).
+unique tie-breaker column, e.g. the primary key). The offsets travel as
+a tiny broadcast DataFrame joined on ``__pid`` (one row per partition),
+NOT as an inline ``create_map`` literal — with thousands of range
+partitions a 2xN literal inflates the expression tree and codegen.
+
+Skew caveat: the range partitioner splits on *sampled key boundaries*,
+so a single order-key value duplicated millions of times (why the total
+-order contract matters) would straddle boundaries nondeterministically
+and, with the tie-breaker omitted, both break determinism and funnel
+that key's rows into few tasks. With a unique tie-breaker the key space
+is continuous and partitions stay balanced.
 
 Reference analog: the reference never ranks globally (Mongo cursors are
 paginated); this is infrastructure for the corpus-relative selection ops
@@ -45,19 +55,20 @@ def global_rank(
     sizes = (
         parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     ).collect()  # one row per partition — bounded by np_, not by data
-    offsets = {}
+    rows = []
     acc = 0
     for r in sorted(sizes, key=lambda r: r["__pid"]):
-        offsets[r["__pid"]] = acc
+        rows.append((r["__pid"], acc))
         acc += r["__n"]
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    offsets = df.sparkSession.createDataFrame(
+        rows or [(0, 0)], "__pid int, __off long"
     )
     w = Window.partitionBy("__pid").orderBy(*order)
     return (
         parted.withColumn("__rn", F.row_number().over(w))
-        .withColumn(rank_col, (off[F.col("__pid")] + F.col("__rn")).cast("long"))
-        .drop("__pid", "__rn")
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__pid", "__rn", "__off")
     )
 
 

@@ -67,6 +67,7 @@ def funnel_track(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Stateful streaming funnel: per-user progression through ``stages``
     with strictly-increasing event times, emitting one row per stage
@@ -75,9 +76,15 @@ def funnel_track(
     ingest contract; out-of-order arrivals only ever UNDER-count, never
     corrupt state).
 
-    State per user is two scalars (stage index + last transition time),
-    so at 100 TB the state store is O(active users), independent of
-    event volume. Output: (user_col, stage, stage_name, ts).
+    State per user is two scalars (stage index + last transition time).
+    With ``ttl_ms`` unset the state store grows O(all users ever seen) —
+    completed and long-inactive users are never evicted. Pass a
+    processing-time ``ttl_ms`` (refreshed on every batch that touches the
+    user) to bound it to O(users active within the TTL), the same
+    discipline as ``dedup_with_ttl``. The trade: a user evicted mid- (or
+    post-) funnel who later returns restarts at stage 0, so early stages
+    can be re-emitted — size the TTL to the funnel's real completion
+    horizon. Output: (user_col, stage, stage_name, ts).
     """
     out_schema = f"{user_col} long, stage int, stage_name string, {ts_col} timestamp"
     state_schema = "stage int, last_us long"
@@ -85,13 +92,15 @@ def funnel_track(
     def _fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        if state.hasTimedOut:
             state.remove()
             return
         stage, last_us = state.get if state.exists else (0, -1)
         pdf = pd.concat(list(pdfs), ignore_index=True)
         if len(pdf) == 0 or stage >= len(stages):
             state.update((stage, last_us))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             return
         pdf = pdf.sort_values(ts_col, kind="mergesort", ignore_index=True)
         us = (pdf[ts_col].astype("int64") // 1000) * 1000  # ns -> us grid
@@ -114,6 +123,8 @@ def funnel_track(
                 last_us = t
                 stage += 1
         state.update((stage, last_us))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if rows:
             yield pd.DataFrame(rows)
 
@@ -122,5 +133,9 @@ def funnel_track(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

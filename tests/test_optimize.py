@@ -48,3 +48,18 @@ def test_zorder_variant_clusters(spark, tmp_path):
     assert got.count() == 20_000
     # clustered layout: a selective x-filter reads fine and results match
     assert got.filter(F.col("x") < 10).count() == df.filter(F.col("x") < 10).count()
+
+
+def test_interrupted_swap_rolls_back(spark, tmp_path):
+    """A crash between the two swap renames leaves data in .__old__ and no
+    table dir; the next call must roll back and then compact normally."""
+    import os
+
+    p = str(tmp_path / "crash")
+    spark.range(5_000).repartition(20).write.parquet(p)
+    before = sorted(map(tuple, spark.read.parquet(p).collect()))
+    os.rename(p, p + ".__old__")  # simulate crash after rename #1
+    stats = optimize_table(spark, p, target_file_mb=128)
+    assert stats["skipped"] is False and stats["files_before"] == 20
+    assert sorted(map(tuple, spark.read.parquet(p).collect())) == before
+    assert not glob.glob(str(tmp_path / "crash.__*"))

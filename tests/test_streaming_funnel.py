@@ -136,3 +136,30 @@ def test_funnel_matches_batch_query_on_fixture_slice(spark):
             ).toPandas()["n"]
         )
     assert got == want
+
+
+def test_funnel_ttl_same_results_when_not_expired(spark, tmp_path):
+    """ttl_ms switches on ProcessingTimeTimeout; with a TTL far beyond the
+    run, output is identical to the NoTimeout path."""
+    d = str(tmp_path / "ev_ttl")
+    _write(spark, d, [
+        (1, _ts(1), 1, "view"),
+        (2, _ts(2), 1, "click"),
+        (3, _ts(3), 1, "purchase"),
+        (4, _ts(4), 2, "view"),
+    ])
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ).parquet(d)
+    q = (
+        funnel_track(stream, STAGES, ttl_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("funnel_ttl")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        map(tuple, spark.sql("select user_id, stage from funnel_ttl").collect())
+    )
+    assert rows == [(1, 1), (1, 2), (1, 3), (2, 1)]
