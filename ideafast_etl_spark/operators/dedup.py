@@ -242,15 +242,22 @@ def minhash_near_dup_pairs(
     (MEMORY_AND_DISK; at cluster scale, checkpoint to storage instead)."""
     sh = shingle_rows(_spread(df, id_col), text_col, id_col).persist()
     try:
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-        sig = sh.select(
+        # ONE aggregation computes the shingle count AND all 32 signature
+        # mins: the per-doc exchange is then identical under the banding
+        # branch and both size-lookup branches, so Spark's ReusedExchange
+        # materialises the shuffle once instead of re-aggregating the (big)
+        # shingle relation per branch.
+        per_doc = sh.select(
             F.col(id_col), _shingle_hash(F.col("shingle")).alias("h")
         ).groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_sh"),
             *[
                 F.min((a * F.col("h") + b) % MERSENNE31).alias(f"mh{i}")
                 for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
             ]
         )
+        sizes = per_doc.select(id_col, "n_sh")
+        sig = per_doc
         bands = F.array(
             *[
                 F.struct(

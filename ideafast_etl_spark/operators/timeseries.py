@@ -1,0 +1,175 @@
+"""Time-series resampling: gap-fill (LOCF) and linear interpolation.
+
+Hypertable-style operators Spark lacks natively: regularise an irregular
+per-key event stream onto a fixed time grid, then fill the holes. The
+reference's day-window bucketing (G1, ideafast_etl/utils.py group-by-day
+cut-off logic) is the degenerate one-bucket-per-day case of this; these
+generalise it to arbitrary steps with forward-fill and interpolation.
+
+Plan shape (all built-in expressions, no UDFs):
+
+  1. bucket observed rows to the grid step and aggregate per (key, bucket)
+     — ONE shuffle on a uniform composite key; the value aggregate is a
+     fixed-point (×1e6 bigint) sum so the per-bucket mean is
+     order-independent and hash-matches the DuckDB oracle;
+  2. per-key span (min/max bucket) — a tiny second aggregate over the
+     already-bucketed relation (rows ∝ buckets, not events);
+  3. grid generation via ``sequence(b0, b1, step)`` + explode — grid rows
+     are bounded by span/step per key, never by event volume;
+  4. left-join grid←observed on (key, bucket);
+  5. LOCF/interpolation via ``last(..., ignorenulls)`` /
+     ``first(..., ignorenulls)`` windows over the GRID (bounded by
+     span/step), not over raw events — the property that keeps the sort
+     cheap at 100 TB.
+
+A key spanning years at a fine step emits span/step grid rows; that is the
+operator's contract (same as TimescaleDB ``time_bucket_gapfill``), and the
+per-key window cost tracks the grid, not the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Q = 1_000_000  # fixed-point scale for cross-engine-exact value means
+
+
+def resample_gapfill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+    trunc_unit: str = "hour",
+) -> DataFrame:
+    """Resample ``events`` onto a per-key regular grid of ``step`` buckets
+    spanning [min(ts), max(ts)] per key, with three fill columns:
+
+    - ``v_obs``: per-bucket mean of observed values (NULL in gaps);
+    - ``v_locf``: last observation carried forward;
+    - ``v_interp``: linear interpolation between the surrounding observed
+      buckets (observed buckets keep their own value; leading/trailing
+      edges fall back to LOCF / next observation).
+
+    Output: (key_col, bucket_ts, n_obs, v_obs, v_locf, v_interp), floats
+    rounded to 6 decimals. Every float is derived by a SINGLE double
+    division of exact integers (quantized sums, counts, epoch deltas,
+    composed in decimal(38,0)) — naive ``prev + (next-prev)*frac`` double
+    arithmetic differs by 1 ulp across engines (FMA contraction) and
+    flips the 6-decimal rounding; the rational form is the repo's
+    fixed-point discipline (REPRO.md) applied to interpolation.
+    """
+    bucket = F.date_trunc(trunc_unit, F.col(ts_col))
+    qv = F.round(F.col(value_col) * Q).cast("long")
+    obs = (
+        events.select(F.col(key_col), bucket.alias("bucket"), qv.alias("qv"))
+        .groupBy(key_col, "bucket")
+        .agg(F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n_obs"))
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = span.select(
+        F.col(key_col),
+        F.explode(F.expr(f"sequence(b0, b1, interval {step})")).alias("bucket"),
+    )
+    j = grid.join(obs, [key_col, "bucket"], "left")
+    t = F.col("bucket").cast("long")
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    # carry the exact integer state (quantized sum, count, epoch) through
+    # the fill windows, not the float mean — every output float is then
+    # an exact-integer rounding divided by Q. Rounding to 6 decimals with
+    # engine round() is NOT cross-engine-safe (exact .5 rationals flip:
+    # Spark HALF_UP vs DuckDB's double rounding); with Q = 1e6 the
+    # 6-decimal rounding of a/(b*Q) is exactly half-up(a/b)/Q, and
+    # half-up(a/b) for positive exact integers is (2a+b) div (2b) —
+    # computed with integer div on both engines, no float ties anywhere.
+    obs_state = F.when(
+        F.col("n_obs").isNotNull(), F.struct(F.col("sq"), F.col("n_obs"), t.alias("t"))
+    )
+    p = F.last(obs_state, ignorenulls=True).over(wp)
+    n = F.first(obs_state, ignorenulls=True).over(wn)
+    d38 = "decimal(38,0)"
+    flat = j.select(
+        F.col(key_col),
+        "bucket",
+        "sq",
+        "n_obs",
+        t.alias("t"),
+        p["sq"].alias("p_sq"),
+        p["n_obs"].alias("p_n"),
+        p["t"].alias("p_t"),
+        n["sq"].alias("nx_sq"),
+        n["n_obs"].alias("nx_n"),
+        n["t"].alias("nx_t"),
+    ).withColumn(
+        # gap interpolation as a rational of exact integers (micro-units):
+        #   N/D = [p_sq*nx_n*(nx_t-t) + nx_sq*p_n*(t-p_t)] / [p_n*nx_n*(nx_t-p_t)]
+        "__num",
+        F.col("p_sq").cast(d38) * F.col("nx_n").cast(d38) * (F.col("nx_t") - t).cast(d38)
+        + F.col("nx_sq").cast(d38) * F.col("p_n").cast(d38) * (t - F.col("p_t")).cast(d38),
+    ).withColumn(
+        "__den",
+        F.col("p_n").cast(d38) * F.col("nx_n").cast(d38) * (F.col("nx_t") - F.col("p_t")).cast(d38),
+    )
+    half_up = lambda a, b: F.expr(f"({a} * 2 + {b}) div ({b} * 2)")  # noqa: E731
+    q = F.lit(float(Q))
+    micro_interp = (
+        F.when(F.col("n_obs").isNotNull(), half_up("sq", "n_obs"))
+        .when(F.col("p_n").isNotNull() & F.col("nx_n").isNotNull(), half_up("__num", "__den"))
+        .when(F.col("p_n").isNotNull(), half_up("p_sq", "p_n"))
+        .otherwise(half_up("nx_sq", "nx_n"))
+    )
+    return flat.select(
+        F.col(key_col),
+        F.col("bucket").alias("bucket_ts"),
+        F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+        (half_up("sq", "n_obs").cast("double") / q).alias("v_obs"),
+        (half_up("p_sq", "p_n").cast("double") / q).alias("v_locf"),
+        (micro_interp.cast("double") / q).alias("v_interp"),
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    count (previous type → type) adjacencies ordered by (ts, tie), plus
+    each transition's share of its source state's outgoing edges.
+
+    One shuffle on the key for the lag window (per-key sort bounded by
+    per-key activity), then a keyed count aggregation; the share is an
+    integer-derived double division (deterministic cross-engine). The
+    reference's lifecycle rungs (F1-F7 NULL-chains, filters.py) are the
+    business version of exactly these state transitions.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    pairs = (
+        events.withColumn("prev_type", F.lag(type_col).over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col(type_col).alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wsrc).cast("double"), 6
+        ).alias("share"),
+    )

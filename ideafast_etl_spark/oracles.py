@@ -2776,3 +2776,93 @@ ORDER BY stage
 
 
 ORACLES["corpus_prep_e2e"] = _corpus_prep_sql()
+
+
+ORACLES["timeseries_gapfill"] = """
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         SUM(CAST(round(value * 1e6) AS BIGINT)) AS sq,
+         COUNT(*) AS n_obs
+  FROM events
+  WHERE user_id % 20 = 0
+  GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM obs GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM span
+), j AS (
+  SELECT g.user_id, g.bucket, o.sq, o.n_obs,
+         CAST(epoch(g.bucket) AS BIGINT) AS t
+  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+), w AS (
+  SELECT *,
+    last_value(sq IGNORE NULLS) OVER wp AS p_sq,
+    last_value(n_obs IGNORE NULLS) OVER wp AS p_n,
+    last_value(CASE WHEN n_obs IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS p_t,
+    first_value(sq IGNORE NULLS) OVER wn AS nx_sq,
+    first_value(n_obs IGNORE NULLS) OVER wn AS nx_n,
+    first_value(CASE WHEN n_obs IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nx_t
+  FROM j
+  WINDOW
+    wp AS (PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+, r AS (
+  -- exact-integer half-up rounding to micro-units: (2a + b) // (2b);
+  -- no float round() anywhere (cross-engine .5 ties flip otherwise)
+  SELECT *,
+    (2 * CAST(p_sq AS HUGEINT) * nx_n * (nx_t - t)
+     + 2 * CAST(nx_sq AS HUGEINT) * p_n * (t - p_t)
+     + CAST(p_n AS HUGEINT) * nx_n * (nx_t - p_t))
+    // (2 * CAST(p_n AS HUGEINT) * nx_n * (nx_t - p_t)) AS mi_gap
+  FROM w
+)
+SELECT user_id,
+       bucket AS bucket_ts,
+       coalesce(n_obs, 0) AS n_obs,
+       CAST((2 * sq + n_obs) // (2 * n_obs) AS DOUBLE) / 1e6 AS v_obs,
+       CAST((2 * p_sq + p_n) // (2 * p_n) AS DOUBLE) / 1e6 AS v_locf,
+       CAST(CASE
+         WHEN n_obs IS NOT NULL THEN (2 * sq + n_obs) // (2 * n_obs)
+         WHEN p_n IS NOT NULL AND nx_n IS NOT NULL THEN mi_gap
+         WHEN p_n IS NOT NULL THEN (2 * p_sq + p_n) // (2 * p_n)
+         ELSE (2 * nx_sq + nx_n) // (2 * nx_n)
+       END AS DOUBLE) / 1e6 AS v_interp
+FROM r
+"""
+
+
+ORACLES["event_transition_matrix"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS share
+FROM pairs
+"""
+
+
+ORACLES["fuzzy_name_pairs"] = """
+WITH base AS (
+  SELECT concat(split_part(p_name, ' ', 1), '#',
+                CAST(length(p_name) // 4 AS VARCHAR)) AS blk,
+         p_partkey AS id, p_name AS name
+  FROM part
+)
+SELECT l.id AS id_a, r.id AS id_b,
+       l.name AS name_a, r.name AS name_b,
+       levenshtein(l.name, r.name) AS dist
+FROM base l JOIN base r ON l.blk = r.blk AND l.id < r.id
+WHERE levenshtein(l.name, r.name) <= 4
+"""

@@ -3739,3 +3739,44 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.corpus import corpus_prep_stages
 
     return corpus_prep_stages(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series resampling + entity resolution (operators/timeseries.py, entity.py)
+# ---------------------------------------------------------------------------
+
+
+@register("timeseries_gapfill")
+def timeseries_gapfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample (operators/timeseries.py): per-user hourly
+    grid over the event span with fixed-point-exact bucket means, LOCF and
+    linear interpolation. Windows run over the GRID (bounded by span/step),
+    never over raw events — the shape that holds at 100 TB. Generalises
+    the reference's G1 day-window bucketing (utils.py cut-off grouping)."""
+    from .operators.timeseries import resample_gapfill
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    return resample_gapfill(ev, "user_id", "ts", "value", step="1 hour")
+
+
+@register("event_transition_matrix")
+def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over per-user event sequences
+    (operators/timeseries.py::transition_counts): lag window on (ts,
+    event_id) then a keyed count + per-source share. The streaming funnel
+    (streaming/stateful.py) is the stateful online view of this matrix."""
+    from .operators.timeseries import transition_counts
+
+    return transition_counts(_t(spark, sf_dir, "events"))
+
+
+@register("fuzzy_name_pairs")
+def fuzzy_name_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (operators/entity.py): part-name pairs
+    within 4 edits, candidates from a first-token + length-band block so
+    the Levenshtein verify never goes all-pairs. The approximate
+    counterpart of the reference's exact-hash record identity (J1/X1)."""
+    from .operators.entity import blocked_fuzzy_pairs
+
+    parts = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return blocked_fuzzy_pairs(parts, "p_name", "p_partkey", max_dist=4)

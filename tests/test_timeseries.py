@@ -1,0 +1,89 @@
+"""Time-series resampling (operators/timeseries.py): grid construction,
+LOCF, linear interpolation, edge fallbacks, and the transition matrix."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ideafast_etl_spark.operators.timeseries import (
+    resample_gapfill,
+    transition_counts,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def _h(h):
+    return dt.datetime(2024, 3, 1, h)
+
+
+def test_gapfill_locf_and_interp(spark):
+    # user 1: obs at hour 0 (value 10) and hour 4 (value 30) -> 3-hour gap
+    df = _ev(spark, [(1, _h(0), 1, 10.0), (2, _h(4), 1, 30.0)])
+    out = {
+        r["bucket_ts"].hour: r.asDict()
+        for r in resample_gapfill(df, "user_id", "ts", "value").collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3, 4]  # full grid, gaps included
+    assert out[0]["v_obs"] == 10.0 and out[4]["v_obs"] == 30.0
+    assert out[2]["v_obs"] is None and out[2]["n_obs"] == 0
+    # LOCF carries 10.0 through the gap
+    assert [out[h]["v_locf"] for h in range(5)] == [10.0, 10.0, 10.0, 10.0, 30.0]
+    # linear interpolation: 10 + (30-10) * h/4
+    assert [out[h]["v_interp"] for h in range(5)] == [10.0, 15.0, 20.0, 25.0, 30.0]
+
+
+def test_gapfill_bucket_mean_and_leading_edge(spark):
+    # two obs in the same bucket average; a bucket before any obs has no
+    # LOCF and interp falls back to the next observation
+    df = _ev(
+        spark,
+        [
+            (1, _h(2), 7, 4.0),
+            (2, dt.datetime(2024, 3, 1, 2, 30), 7, 6.0),
+            (3, _h(0), 7, 1.0),
+        ],
+    )
+    out = {
+        r["bucket_ts"].hour: r.asDict()
+        for r in resample_gapfill(df, "user_id", "ts", "value").collect()
+    }
+    assert out[2]["v_obs"] == 5.0 and out[2]["n_obs"] == 2
+    assert out[1]["v_obs"] is None
+    assert out[1]["v_interp"] == 3.0  # midpoint of 1.0 and 5.0
+    assert out[0]["v_locf"] == 1.0
+
+
+def test_gapfill_grid_is_per_key(spark):
+    df = _ev(spark, [(1, _h(0), 1, 1.0), (2, _h(9), 1, 2.0), (3, _h(5), 2, 3.0)])
+    out = resample_gapfill(df, "user_id", "ts", "value")
+    n_by_key = {
+        r["user_id"]: r["n"]
+        for r in out.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert n_by_key == {1: 10, 2: 1}  # span/step + 1 per key, not global
+
+
+def test_transition_counts_shares(spark):
+    rows = [
+        (1, _h(0), 1, "view"),
+        (2, _h(1), 1, "click"),
+        (3, _h(2), 1, "view"),
+        (4, _h(0), 2, "view"),
+        (5, _h(1), 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["share"])
+        for r in transition_counts(df).collect()
+    }
+    assert out[("view", "click")] == (1, 0.5)
+    assert out[("view", "purchase")] == (1, 0.5)
+    assert out[("click", "view")] == (1, 1.0)
+    assert len(out) == 3  # no transition crosses users
