@@ -126,8 +126,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     "gopher_quality": ["!BatchEvalPython", "!ArrowEvalPython", "Batched: true", "ReadSchema: struct<doc_id:bigint,text:string>"],
     "c4_line_filter": ["!BatchEvalPython", "!ArrowEvalPython", "Batched: true", "ReadSchema: struct<doc_id:bigint,text:string>"],
     "pii_redaction": ["!BatchEvalPython", "!ArrowEvalPython", "Batched: true", "ReadSchema: struct<doc_id:bigint,text:string>"],
-    # cross-doc line dedup: ONE window keyed by the line content + doc regroup
-    "line_dedup_first_wins": ["Window", "!BatchEvalPython", "!CartesianProduct"],
+    # cross-doc line dedup: keyed min-struct AGGREGATION (map-side combine
+    # absorbs boilerplate hot lines), NOT a content-partitioned window
+    "line_dedup_first_wins": ["partial_min", "!Window", "!BatchEvalPython", "!CartesianProduct"],
     # chunking: Generate (explode) AFTER per-doc starts — no shuffle, no Python
     "doc_chunks": ["Generate", "!BatchEvalPython", "Batched: true"],
     # PQ ADC: codebook/table joins broadcast; scoring is keyed agg, no loops
@@ -170,8 +171,19 @@ EXPECTATIONS: dict[str, list[str]] = {
     "event_value_histogram": ["partial_count", "Batched: true", "!BatchEvalPython"],
     # OLS: five exact decimal moments in one partial/final agg pass
     "price_quantity_regression": ["partial_sum", "HashAggregate", "!BatchEvalPython"],
-    # corpus e2e: line-content + dedup-hash windows, five tiny stage aggs
-    "corpus_prep_e2e": ["Window", "!CartesianProduct", "!BatchEvalPython"],
+    # corpus e2e: keyed line/fingerprint aggs, five tiny stage aggs
+    "corpus_prep_e2e": ["partial_min", "!CartesianProduct", "!BatchEvalPython"],
+    # gap-fill: ONE (key,bucket) partial agg; fill windows run over the
+    # generated grid (Generate = sequence explode), everything JVM
+    "timeseries_gapfill": ["partial_sum", "Generate", "Window", "!BatchEvalPython", "!CartesianProduct"],
+    # transition matrix: per-key lag window then keyed partial count
+    "event_transition_matrix": ["Window", "partial_count", "!BatchEvalPython"],
+    # blocked fuzzy join: equi-join on the block key with the levenshtein
+    # verify inside the joined stage — never a nested loop / all-pairs
+    "fuzzy_name_pairs": ["levenshtein", "!BroadcastNestedLoopJoin", "!CartesianProduct", "!BatchEvalPython"],
+    # minhash: ONE per-doc aggregation (count + 32 mins) reused across the
+    # banding and both size branches — no second agg over the shingle set
+    "minhash_near_dup": ["partial_min", "!CartesianProduct", "!BatchEvalPython"],
 }
 
 
