@@ -1,0 +1,67 @@
+"""ANALYZE-style per-column table statistics.
+
+The stats a cost-based optimizer (and a pipeline operator choosing
+broadcast-vs-shuffle, salt counts, bucket counts) needs: row count,
+null count, distinct count, numeric min/max, string min/max — computed
+in ONE aggregation pass over the table and unpivoted to one row per
+column (the ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``
+surface, re-expressed as a plain query so it works on any DataFrame).
+
+``exact=False`` swaps exact ``count_distinct`` (which plans an Expand —
+one duplicated pass per distinct column) for HLL ``approx_count_distinct``
+— a single streaming pass, the only sane NDV at 100 TB. The exact
+variant exists for the differential oracle and for small dims.
+
+String min/max compare in binary UTF-8 order on both Spark and DuckDB
+(neither applies a locale collation by default), which is what makes the
+string extrema oracle-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def table_stats(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
+    """One row per column: (column, n, n_nulls, n_distinct, min_num,
+    max_num, min_str, max_str). Numeric extrema are NULL for string
+    columns and vice versa; ``n`` is the table row count (repeated per
+    row so each stat row is self-contained)."""
+    cols = columns or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    ndv = F.count_distinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        is_num = isinstance(schema[c], NumericType)
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"),
+            ndv(F.col(c)).alias(f"__ndv_{c}"),
+            (F.min(c).cast("double") if is_num else F.lit(None).cast("double")).alias(
+                f"__minn_{c}"
+            ),
+            (F.max(c).cast("double") if is_num else F.lit(None).cast("double")).alias(
+                f"__maxn_{c}"
+            ),
+            (F.lit(None).cast("string") if is_num else F.min(c).cast("string")).alias(
+                f"__mins_{c}"
+            ),
+            (F.lit(None).cast("string") if is_num else F.max(c).cast("string")).alias(
+                f"__maxs_{c}"
+            ),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __nulls_{c}, __ndv_{c}, __minn_{c}, __maxn_{c}, __mins_{c}, __maxs_{c}"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) as "
+        "(col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)",
+        "__n as n",
+    ).select(
+        "col_name", "n", "n_nulls", "n_distinct", "min_num", "max_num", "min_str", "max_str"
+    )

@@ -2866,3 +2866,38 @@ SELECT l.id AS id_a, r.id AS id_b,
 FROM base l JOIN base r ON l.blk = r.blk AND l.id < r.id
 WHERE levenshtein(l.name, r.name) <= 4
 """
+
+
+_STATS_COL_NUM = """
+SELECT '{c}' AS col_name, COUNT(*) AS n,
+       COUNT(*) FILTER ({c} IS NULL) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_num, CAST(MAX({c}) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM lineitem
+"""
+
+_STATS_COL_STR = """
+SELECT '{c}' AS col_name, COUNT(*) AS n,
+       COUNT(*) FILTER ({c} IS NULL) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       MIN({c}) AS min_str, MAX({c}) AS max_str
+FROM lineitem
+"""
+
+ORACLES["analyze_table_stats"] = " UNION ALL ".join(
+    [_STATS_COL_NUM.format(c=c) for c in ("l_orderkey", "l_quantity", "l_extendedprice")]
+    + [_STATS_COL_STR.format(c=c) for c in ("l_returnflag", "l_linestatus")]
+)
+
+
+ORACLES["incremental_revenue_mv"] = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""

@@ -3780,3 +3780,47 @@ def fuzzy_name_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     return blocked_fuzzy_pairs(parts, "p_name", "p_partkey", max_dist=4)
+
+
+@register("analyze_table_stats")
+def analyze_table_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (operators/stats.py): row/null/
+    distinct counts and typed extrema for CBO-grade metadata in ONE
+    aggregation pass, unpivoted to a row per column. The exact-NDV
+    variant (oracle-checkable); ``exact=False`` is the one-pass HLL path
+    for 100 TB."""
+    from .operators.stats import table_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return table_stats(
+        li,
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"],
+    )
+
+
+@register("incremental_revenue_mv")
+def incremental_revenue_mv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/mview.py):
+    the pricing-summary MV maintained as prev-state ⊕ delta-state (split
+    on a ship-date cutoff) instead of a full recompute. The oracle IS the
+    full recompute — the merge must be indistinguishable. Sums ride
+    DECIMAL so the merged totals are order-exact. Upgrades the
+    reference's per-run full worklist recompute (dags/dreem.py pollers)."""
+    from .operators.mview import agg_state, merge_states
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    qty = F.col("l_quantity").cast(_DEC)
+    cutoff = F.lit("1997-01-01").cast("date")
+    keys = ["l_returnflag", "l_linestatus"]
+    sums = {"revenue": rev, "sum_qty": qty}
+    prev = agg_state(li.filter(F.col("l_shipdate") < cutoff), keys, sums)
+    delta = agg_state(li.filter(F.col("l_shipdate") >= cutoff), keys, sums)
+    return merge_states(prev, delta, keys).select(
+        *keys,
+        "n",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+    )

@@ -184,6 +184,12 @@ EXPECTATIONS: dict[str, list[str]] = {
     # minhash: ONE per-doc aggregation (count + 32 mins) reused across the
     # banding and both size branches — no second agg over the shingle set
     "minhash_near_dup": ["partial_min", "!CartesianProduct", "!BatchEvalPython"],
+    # exact-NDV stats plan the multi-distinct Expand (documented cost of the
+    # oracle-checkable variant; exact=False is the one-pass HLL path)
+    "analyze_table_stats": ["Expand", "!BatchEvalPython", "Batched: true"],
+    # MV maintenance: two partial-agg states + a merge re-agg, all map-side
+    # combinable; no history rescan shape (no join back to raw rows)
+    "incremental_revenue_mv": ["partial_sum", "partial_count", "!CartesianProduct", "!BatchEvalPython"],
 }
 
 
