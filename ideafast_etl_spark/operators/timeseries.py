@@ -173,3 +173,55 @@ def transition_counts(
             F.col("n").cast("double") / F.sum("n").over(wsrc).cast("double"), 6
         ).alias("share"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per key over the LOCF step function
+    (TimescaleDB ``time_weight('LOCF')`` analog): each observation holds
+    its value until the next one, so
+
+      twa = Σ v_i · (t_{i+1} − t_i) / (t_last − t_first).
+
+    A plain arithmetic mean over-weights bursts of samples; the TWA is
+    the right summary for irregularly-sampled sensors (the reference's
+    wearable feeds, drm.py S2 assets, report at device-dependent rates).
+
+    One shuffle on the key; the lead window sorts per-key activity only.
+    Numerator and denominator are exact integers (micro-unit values ×
+    epoch-MICROsecond deltas — ``unix_micros``/``epoch_us``, so
+    sub-second timestamps lose nothing — composed in decimal(38,0)), so
+    the single output division is cross-engine deterministic. Keys with
+    one observation have no interval and return NULL.
+
+    Output: (key_col, n_obs, span_us, twa).
+    """
+    t = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy("t", tie_col)
+    qv = F.round(F.col(value_col) * Q).cast("long")
+    stepped = events.select(
+        F.col(key_col), F.col(tie_col), t.alias("t"), qv.alias("qv")
+    ).withColumn("dt", F.lead("t").over(w) - F.col("t"))
+    d38 = "decimal(38,0)"
+    agg = stepped.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum((F.col("qv").cast(d38) * F.col("dt").cast(d38))).alias("num"),
+        F.sum("dt").alias("span_us"),
+    )
+    # num is ~1e22: casting it to double before dividing costs a ulp that
+    # differs across engines — round the quotient to micro-units in exact
+    # integer arithmetic instead ((2a+b) div 2b half-up, as resample_gapfill)
+    micro = F.expr("(num * 2 + span_us) div (span_us * 2)")
+    return agg.select(
+        F.col(key_col),
+        "n_obs",
+        F.coalesce(F.col("span_us"), F.lit(0)).alias("span_us"),
+        F.when(F.col("span_us") > 0, micro.cast("double") / F.lit(float(Q))).alias(
+            "twa"
+        ),
+    )

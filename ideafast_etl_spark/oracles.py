@@ -2901,3 +2901,45 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+ORACLES["time_weighted_avg"] = """
+WITH s AS (
+  SELECT user_id,
+         epoch_us(ts) AS t,
+         CAST(round(value * 1e6) AS BIGINT) AS qv,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt
+  FROM events
+), a AS (
+  SELECT user_id, COUNT(*) AS n_obs,
+         SUM(CAST(qv AS HUGEINT) * dt) AS num,
+         CAST(SUM(dt) AS BIGINT) AS span_us
+  FROM s GROUP BY 1
+)
+SELECT user_id, n_obs, coalesce(span_us, 0) AS span_us,
+       CASE WHEN span_us > 0
+            THEN CAST((num * 2 + span_us) // (span_us * 2) AS DOUBLE) / 1e6
+       END AS twa
+FROM a
+"""
+
+
+ORACLES["event_anomaly_zscore"] = """
+WITH base AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 1e6) AS BIGINT) AS qv
+  FROM events
+), m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(qv AS HUGEINT)) AS sx,
+         SUM(CAST(qv AS HUGEINT) * qv) AS sxx
+  FROM base GROUP BY 1
+)
+SELECT event_id, b.event_type, value,
+       round(CAST(qv * m.n - m.sx AS DOUBLE)
+             / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)), 6) AS z
+FROM base b JOIN m USING (event_type)
+WHERE abs(CAST(qv * m.n - m.sx AS DOUBLE)
+          / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))) >= 2.5
+"""

@@ -3824,3 +3824,49 @@ def incremental_revenue_mv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue"),
         F.col("sum_qty").cast("double").alias("sum_qty"),
     )
+
+
+@register("time_weighted_avg")
+def time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (operators/timeseries.py): the LOCF
+    step-function integral over each user's event span — the correct
+    summary for irregularly-sampled sensor feeds (a plain mean
+    over-weights sample bursts). Exact micro-unit × epoch-micros integer
+    arithmetic; one output division."""
+    from .operators.timeseries import time_weighted_avg
+
+    return time_weighted_avg(_t(spark, sf_dir, "events"))
+
+
+@register("event_anomaly_zscore")
+def event_anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score anomalies per event type. The z reduces to
+    ``(qv·n − sx) / sqrt(n·sxx − sx²)`` over quantized integer moments —
+    numerator exact, denominator a single correctly-rounded sqrt of an
+    exact integer, so the score is bit-identical cross-engine (the
+    price_quantity_regression moment discipline applied to outlier
+    detection). Emits |z| ≥ 2.5 rows."""
+    ev = _t(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    qv = F.round(F.col("value") * 1_000_000).cast("long")
+    base = ev.select("event_id", "event_type", "value", qv.alias("qv"))
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qv").cast(d38)).alias("sx"),
+        F.sum(F.col("qv").cast(d38) * F.col("qv").cast(d38)).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n").cast(d38), F.col("sx"), F.col("sxx")
+    z = (F.col("qv").cast(d38) * n - sx).cast("double") / F.sqrt(
+        (n * sxx - sx * sx).cast("double")
+    )
+    return (
+        base.join(F.broadcast(m), "event_type")
+        .withColumn("z_raw", z)
+        .filter(F.abs(F.col("z_raw")) >= 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("z_raw", 6).alias("z"),
+        )
+    )

@@ -87,3 +87,35 @@ def test_transition_counts_shares(spark):
     assert out[("view", "purchase")] == (1, 0.5)
     assert out[("click", "view")] == (1, 1.0)
     assert len(out) == 3  # no transition crosses users
+
+
+def test_time_weighted_avg_step_integral(spark):
+    from ideafast_etl_spark.operators.timeseries import time_weighted_avg
+
+    # 10 held for 1h, then 30 held for 3h; the last observation bounds the
+    # span but contributes no interval of its own
+    df = _ev(spark, [(1, _h(0), 1, 10.0), (2, _h(1), 1, 30.0), (3, _h(4), 1, 99.0)])
+    (r,) = time_weighted_avg(df).collect()
+    assert r["n_obs"] == 3
+    assert r["span_us"] == 4 * 3600 * 1_000_000
+    assert r["twa"] == 25.0  # (10*1 + 30*3) / 4
+
+
+def test_time_weighted_avg_single_obs_null(spark):
+    from ideafast_etl_spark.operators.timeseries import time_weighted_avg
+
+    (r,) = time_weighted_avg(_ev(spark, [(1, _h(0), 5, 7.0)])).collect()
+    assert r["twa"] is None and r["span_us"] == 0 and r["n_obs"] == 1
+
+
+def test_time_weighted_avg_vs_plain_mean(spark):
+    from ideafast_etl_spark.operators.timeseries import time_weighted_avg
+
+    # burst of samples at value 100 must NOT dominate: 0 held for 10h,
+    # then three rapid 100s in the last hour
+    rows = [(1, _h(0), 1, 0.0)] + [
+        (i + 2, dt.datetime(2024, 3, 1, 10, m), 1, 100.0) for i, m in enumerate((0, 20, 40))
+    ] + [(9, _h(11), 1, 100.0)]
+    (r,) = time_weighted_avg(_ev(spark, rows)).collect()
+    # plain mean of values = 60; TWA = (0*10h + 100*1h)/11h
+    assert abs(r["twa"] - 100.0 / 11.0) < 1e-6

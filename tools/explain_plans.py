@@ -190,6 +190,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     # MV maintenance: two partial-agg states + a merge re-agg, all map-side
     # combinable; no history rescan shape (no join back to raw rows)
     "incremental_revenue_mv": ["partial_sum", "partial_count", "!CartesianProduct", "!BatchEvalPython"],
+    # TWA: ONE lead window per key then a partial-combinable keyed agg
+    "time_weighted_avg": ["Window", "partial_sum", "!BatchEvalPython"],
+    # z-score: moments agg broadcasts back onto the events (bounded: one
+    # row per event type); scoring is pure JVM arithmetic
+    "event_anomaly_zscore": ["BroadcastHashJoin", "partial_sum", "!BatchEvalPython"],
 }
 
 
