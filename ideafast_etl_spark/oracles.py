@@ -2854,15 +2854,19 @@ FROM pairs
 
 
 ORACLES["fuzzy_name_pairs"] = """
-WITH base AS (
-  SELECT concat(split_part(p_name, ' ', 1), '#',
-                CAST(length(p_name) // 4 AS VARCHAR)) AS blk,
-         p_partkey AS id, p_name AS name
-  FROM part
+WITH grp AS (
+  SELECT p_name AS name, MIN(p_partkey) AS id, COUNT(*) AS n
+  FROM part GROUP BY 1
+), base AS (
+  SELECT concat(split_part(name, ' ', 1), '#',
+                CAST(length(name) // 4 AS VARCHAR)) AS blk,
+         id, name, n
+  FROM grp
 )
 SELECT l.id AS id_a, r.id AS id_b,
        l.name AS name_a, r.name AS name_b,
-       levenshtein(l.name, r.name) AS dist
+       levenshtein(l.name, r.name) AS dist,
+       l.n AS n_a, r.n AS n_b
 FROM base l JOIN base r ON l.blk = r.blk AND l.id < r.id
 WHERE levenshtein(l.name, r.name) <= 4
 """
@@ -2942,4 +2946,38 @@ SELECT event_id, b.event_type, value,
 FROM base b JOIN m USING (event_type)
 WHERE abs(CAST(qv * m.n - m.sx AS DOUBLE)
           / sqrt(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))) >= 2.5
+"""
+
+
+ORACLES["supplier_reachability"] = """
+WITH RECURSIVE edges AS (
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), r AS (
+  SELECT CAST(2 AS BIGINT) AS node, 0 AS hops
+  UNION
+  SELECT e.dst AS node, r.hops + 1 AS hops
+  FROM r JOIN edges e ON e.src = r.node
+  WHERE r.hops < 2
+)
+SELECT node, CAST(MIN(hops) AS INT) AS hops FROM r GROUP BY node
+"""
+
+
+ORACLES["value_equidepth_histogram"] = """
+WITH ranked AS (
+  SELECT value,
+         row_number() OVER (ORDER BY value, event_id) AS rnk,
+         COUNT(*) OVER () AS total
+  FROM events
+)
+SELECT CAST((10 * (rnk - 1)) // total AS INT) AS bucket,
+       COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+FROM ranked
+GROUP BY 1
 """

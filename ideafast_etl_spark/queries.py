@@ -3870,3 +3870,39 @@ def event_anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("z_raw", 6).alias("z"),
         )
     )
+
+
+@register("supplier_reachability")
+def supplier_reachability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS (operators/graph.py::bfs_hops) over the undirected
+    customer–supplier purchase graph from customer #1: per-iteration
+    frontier⋈edges + visited anti-join, hop labels exact integers. The
+    oracle replays it as a DuckDB depth-bounded recursive CTE with a
+    MIN(hops) rollup."""
+    from .operators.graph import bfs_hops, purchase_graph_edges
+
+    edges = purchase_graph_edges(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+    seeds = spark.createDataFrame([(2,)], "node long")  # customer 1 -> 2*1
+    return bfs_hops(edges, seeds, max_hops=2)
+
+
+@register("value_equidepth_histogram")
+def value_equidepth_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of event values — the CBO
+    selectivity structure equal-WIDTH bins can't provide on skewed data.
+    Exact global order via the distributed `global_rank` (no
+    single-partition window), integer bucket rule, per-bucket count and
+    min/max bounds."""
+    from .operators.ranking import global_rank, rank_buckets
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    total = ev.count()
+    ranked = global_rank(ev, [F.col("value"), F.col("event_id")])
+    b = rank_buckets(ranked, total, 10)
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

@@ -43,7 +43,7 @@ def test_length_band_prunes_giant_blocks(spark):
     assert out == []
     # with banding disabled they do meet (and fail only on distance)
     out2 = blocked_fuzzy_pairs(
-        df, "name", "id", max_dist=50, block=first_token_block(F.col("name"), None)
+        df, "name", "id", max_dist=50, block=lambda c: first_token_block(c, None)
     ).collect()
     assert len(out2) == 1
 
@@ -53,3 +53,15 @@ def test_distance_threshold_is_strict(spark):
     df = _names(spark, [(1, "alpha beta"), (2, "alpha bexo")])
     assert blocked_fuzzy_pairs(df, "name", "id", max_dist=1).collect() == []
     assert len(blocked_fuzzy_pairs(df, "name", "id", max_dist=2).collect()) == 1
+
+
+def test_exact_duplicates_collapse_before_fuzzy(spark):
+    # 5 identical copies of each of two near-names: NO within-group pairs
+    # (that is exact_dedup's job); ONE group-level pair with multiplicities
+    rows = [(i, "acme widget") for i in range(5)] + [
+        (10 + i, "acme widgey") for i in range(5)
+    ]
+    out = blocked_fuzzy_pairs(_names(spark, rows), "name", "id", max_dist=2).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r["id_a"], r["id_b"], r["dist"], r["n_a"], r["n_b"]) == (0, 10, 1, 5, 5)

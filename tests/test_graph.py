@@ -66,3 +66,25 @@ def test_purchase_graph_is_bidirectional_and_disjoint(spark):
     for s, d in pairs:
         assert (s % 2) != (d % 2)
     assert (20, 11) in pairs and (11, 20) in pairs  # cust 10*2, supp 5*2+1
+
+
+def test_bfs_hops_min_distance_and_cycles(spark):
+    from ideafast_etl_spark.operators.graph import bfs_hops
+
+    # 1->2->3->4 with a shortcut 1->3 and a back-edge 4->1 (cycle)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (4, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=5).collect()}
+    # min-hop wins (3 via the shortcut, not the long path); cycle terminates
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_hops_depth_cap(spark):
+    from ideafast_etl_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(6)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = bfs_hops(edges, seeds, max_hops=2)
+    assert {r["node"] for r in out.collect()} == {0, 1, 2}

@@ -195,6 +195,12 @@ EXPECTATIONS: dict[str, list[str]] = {
     # z-score: moments agg broadcasts back onto the events (bounded: one
     # row per event type); scoring is pure JVM arithmetic
     "event_anomaly_zscore": ["BroadcastHashJoin", "partial_sum", "!BatchEvalPython"],
+    # BFS: returned relation is the checkpointed visited union (lineage
+    # cut per iteration like pagerank); no loops or Python anywhere
+    "supplier_reachability": ["Union", "!CartesianProduct", "!BatchEvalPython"],
+    # equi-depth histogram: the only window partitions by __pid (bounded);
+    # final rollup is a keyed partial agg
+    "value_equidepth_histogram": ["Window", "partial_count", "!BatchEvalPython"],
 }
 
 

@@ -69,6 +69,14 @@ QUERIES = [
     "event_value_histogram",
     "price_quantity_regression",
     "corpus_prep_e2e",
+    # round-6 operators
+    "timeseries_gapfill",
+    "event_transition_matrix",
+    "fuzzy_name_pairs",
+    "time_weighted_avg",
+    "event_anomaly_zscore",
+    "analyze_table_stats",
+    "incremental_revenue_mv",
 ]
 
 
