@@ -35,6 +35,19 @@ from pyspark.sql import functions as F
 Q = 1_000_000  # fixed-point scale for cross-engine-exact value means
 
 
+def _half_up(a: str, b: str):
+    """Round-half-away-from-zero of a/b (b > 0) in pure integer
+    arithmetic: (2|a| + b) div (2b), sign reapplied. The abs/sign guard
+    matters because Spark's ``div`` truncates toward zero while DuckDB's
+    ``//`` floors — they agree only on non-negative operands, and sensor
+    values (hence quantized sums) can be negative."""
+    return F.expr(
+        f"CASE WHEN ({a}) < 0"
+        f" THEN -(((-({a})) * 2 + ({b})) div (({b}) * 2))"
+        f" ELSE ((({a}) * 2 + ({b})) div (({b}) * 2)) END"
+    )
+
+
 def resample_gapfill(
     events: DataFrame,
     key_col: str = "user_id",
@@ -122,7 +135,7 @@ def resample_gapfill(
         "__den",
         F.col("p_n").cast(d38) * F.col("nx_n").cast(d38) * (F.col("nx_t") - F.col("p_t")).cast(d38),
     )
-    half_up = lambda a, b: F.expr(f"({a} * 2 + {b}) div ({b} * 2)")  # noqa: E731
+    half_up = _half_up
     q = F.lit(float(Q))
     micro_interp = (
         F.when(F.col("n_obs").isNotNull(), half_up("sq", "n_obs"))
@@ -216,7 +229,7 @@ def time_weighted_avg(
     # num is ~1e22: casting it to double before dividing costs a ulp that
     # differs across engines — round the quotient to micro-units in exact
     # integer arithmetic instead ((2a+b) div 2b half-up, as resample_gapfill)
-    micro = F.expr("(num * 2 + span_us) div (span_us * 2)")
+    micro = _half_up("num", "span_us")
     return agg.select(
         F.col(key_col),
         "n_obs",

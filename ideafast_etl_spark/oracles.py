@@ -2778,6 +2778,16 @@ ORDER BY stage
 ORACLES["corpus_prep_e2e"] = _corpus_prep_sql()
 
 
+def _sql_half_up(a: str, b: str) -> str:
+    """DuckDB twin of timeseries._half_up: round-half-away-from-zero of
+    a/b (b > 0) in integer arithmetic, sign-safe under `//` flooring."""
+    return (
+        f"(CASE WHEN ({a}) < 0"
+        f" THEN -(((-({a})) * 2 + ({b})) // (({b}) * 2))"
+        f" ELSE ((({a}) * 2 + ({b})) // (({b}) * 2)) END)"
+    )
+
+
 ORACLES["timeseries_gapfill"] = """
 WITH obs AS (
   SELECT user_id, date_trunc('hour', ts) AS bucket,
@@ -2811,28 +2821,33 @@ WITH obs AS (
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 , r AS (
-  -- exact-integer half-up rounding to micro-units: (2a + b) // (2b);
-  -- no float round() anywhere (cross-engine .5 ties flip otherwise)
+  -- exact-integer half-up (away-from-zero) rounding to micro-units:
+  -- sign(a) * ((2|a| + b) // (2b)); no float round() anywhere
+  -- (cross-engine .5 ties flip otherwise), and the abs/sign guard keeps
+  -- negative quantized sums exact (// floors, Spark's div truncates)
   SELECT *,
-    (2 * CAST(p_sq AS HUGEINT) * nx_n * (nx_t - t)
-     + 2 * CAST(nx_sq AS HUGEINT) * p_n * (t - p_t)
-     + CAST(p_n AS HUGEINT) * nx_n * (nx_t - p_t))
-    // (2 * CAST(p_n AS HUGEINT) * nx_n * (nx_t - p_t)) AS mi_gap
+    CAST(p_sq AS HUGEINT) * nx_n * (nx_t - t)
+      + CAST(nx_sq AS HUGEINT) * p_n * (t - p_t) AS gap_num,
+    CAST(p_n AS HUGEINT) * nx_n * (nx_t - p_t) AS gap_den
   FROM w
 )
 SELECT user_id,
        bucket AS bucket_ts,
        coalesce(n_obs, 0) AS n_obs,
-       CAST((2 * sq + n_obs) // (2 * n_obs) AS DOUBLE) / 1e6 AS v_obs,
-       CAST((2 * p_sq + p_n) // (2 * p_n) AS DOUBLE) / 1e6 AS v_locf,
+       CAST(__HU_OBS__ AS DOUBLE) / 1e6 AS v_obs,
+       CAST(__HU_LOCF__ AS DOUBLE) / 1e6 AS v_locf,
        CAST(CASE
-         WHEN n_obs IS NOT NULL THEN (2 * sq + n_obs) // (2 * n_obs)
-         WHEN p_n IS NOT NULL AND nx_n IS NOT NULL THEN mi_gap
-         WHEN p_n IS NOT NULL THEN (2 * p_sq + p_n) // (2 * p_n)
-         ELSE (2 * nx_sq + nx_n) // (2 * nx_n)
+         WHEN n_obs IS NOT NULL THEN __HU_OBS__
+         WHEN p_n IS NOT NULL AND nx_n IS NOT NULL THEN __HU_GAP__
+         WHEN p_n IS NOT NULL THEN __HU_LOCF__
+         ELSE __HU_NX__
        END AS DOUBLE) / 1e6 AS v_interp
 FROM r
-"""
+""".replace("__HU_OBS__", _sql_half_up("sq", "n_obs")).replace(
+    "__HU_LOCF__", _sql_half_up("p_sq", "p_n")
+).replace("__HU_NX__", _sql_half_up("nx_sq", "nx_n")).replace(
+    "__HU_GAP__", _sql_half_up("gap_num", "gap_den")
+)
 
 
 ORACLES["event_transition_matrix"] = """
@@ -2923,10 +2938,10 @@ WITH s AS (
 )
 SELECT user_id, n_obs, coalesce(span_us, 0) AS span_us,
        CASE WHEN span_us > 0
-            THEN CAST((num * 2 + span_us) // (span_us * 2) AS DOUBLE) / 1e6
+            THEN CAST(__HU_TWA__ AS DOUBLE) / 1e6
        END AS twa
 FROM a
-"""
+""".replace("__HU_TWA__", _sql_half_up("num", "span_us"))
 
 
 ORACLES["event_anomaly_zscore"] = """
