@@ -391,7 +391,7 @@ ORDER BY numwait DESC, s_name
 LIMIT 50
 """
 
-ORACLES["doc_chunks"] = """
+ORACLES["doc_char_chunks"] = """
 SELECT doc_id,
   CAST(s / 150 AS BIGINT) AS chunk_idx,
   substr(text, s + 1, 200) AS chunk_text,

@@ -789,8 +789,8 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_chunks")
-def doc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("doc_char_chunks")
+def doc_char_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (§2.13 training-data ops): fixed
     200-char windows at stride 150 (25% overlap) — the retrieval/context
     preprocessing shape. Pure JVM: sequence() + explode generates chunk

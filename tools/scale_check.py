@@ -77,6 +77,8 @@ QUERIES = [
     "event_anomaly_zscore",
     "analyze_table_stats",
     "incremental_revenue_mv",
+    "supplier_reachability",
+    "value_equidepth_histogram",
 ]
 
 
