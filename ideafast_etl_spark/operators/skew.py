@@ -66,3 +66,45 @@ def salted_skew_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return salted_facts.join(exploded_dim, on=[key, "_salt"]).drop("_salt")
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Shuffle-key skew diagnosis: the top-k hottest keys with their share
+    of all rows and their ratio to a perfectly uniform key. This is the
+    observability half of the salting tooling above — run it BEFORE
+    choosing n_salts or enabling AQE skew-join thresholds; a hot key with
+    ratio 50x means one reducer does 50x the median work.
+
+    Plan: one keyed partial/final count, then the two-phase bounded top-k
+    (rank within physical partition first, global rank over the <= k x P
+    survivors — operators/ranking.py) so NO single-partition window ever
+    sees the full distinct-key relation, which at 100 TB is billions of
+    rows. Shares are integer-derived double divisions.
+    Output: (rank, key, cnt, share, uniform_ratio).
+    """
+    from .ranking import bounded_topk_per_group
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("nkeys")
+    )
+    top = bounded_topk_per_group(
+        counts, [], [F.col("cnt").desc(), F.col("key").asc()], top_k
+    )
+    return top.crossJoin(F.broadcast(totals)).select(
+        "rank",
+        F.col("key").cast("string").alias("key"),
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("total").cast("double"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.col("cnt").cast("double") * F.col("nkeys").cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("uniform_ratio"),
+    )

@@ -65,3 +65,22 @@ def table_stats(
     ).select(
         "col_name", "n", "n_nulls", "n_distinct", "min_num", "max_num", "min_str", "max_str"
     )
+
+
+def estimate_join_rows(
+    stats_a: DataFrame, col_a: str, stats_b: DataFrame, col_b: str
+) -> float:
+    """Textbook CBO equi-join cardinality estimate from two `table_stats`
+    outputs: |A ⋈ B| ≈ n_a · n_b / max(ndv_a, ndv_b) (uniformity +
+    containment assumptions, System R). NULL keys never match, so each
+    side's row count is reduced by its null count first. The two stats
+    rows are O(1) driver lookups — the estimate is for planning (salt
+    counts, broadcast decisions), not a data-sized job."""
+    ra = stats_a.filter(F.col("col_name") == col_a).first()
+    rb = stats_b.filter(F.col("col_name") == col_b).first()
+    if ra is None or rb is None:
+        raise ValueError("column not present in stats")
+    na = ra["n"] - ra["n_nulls"]
+    nb = rb["n"] - rb["n_nulls"]
+    ndv = max(ra["n_distinct"], rb["n_distinct"])
+    return float(na) * float(nb) / float(max(ndv, 1))

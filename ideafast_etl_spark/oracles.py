@@ -2996,3 +2996,22 @@ SELECT CAST((10 * (rnk - 1)) // total AS INT) AS bucket,
 FROM ranked
 GROUP BY 1
 """
+
+
+ORACLES["key_skew_report"] = """
+WITH counts AS (
+  SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS nkeys FROM counts
+), top AS (
+  SELECT key, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS INT) AS rank
+  FROM counts
+  QUALIFY rank <= 10
+)
+SELECT rank, CAST(key AS VARCHAR) AS key, cnt,
+       round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       round(CAST(cnt AS DOUBLE) * CAST(nkeys AS DOUBLE)
+             / CAST(total AS DOUBLE), 6) AS uniform_ratio
+FROM top, t
+"""

@@ -3906,3 +3906,15 @@ def value_equidepth_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+@register("key_skew_report")
+def key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (operators/skew.py): hottest event keys
+    with share and uniform-ratio — the observability pass run before
+    choosing salt counts / AQE skew thresholds. Top-k via the two-phase
+    partition-bounded rank (no single-partition window over the distinct
+    -key relation)."""
+    from .operators.skew import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "events"), "user_id", top_k=10)

@@ -72,3 +72,13 @@ def test_table_stats_approx_path(spark):
     # HLL estimate lands near the true NDV on small exact-ish cardinalities
     assert abs(out["m"]["n_distinct"] - 37) <= 4
     assert out["id"]["n"] == 1000
+
+
+def test_estimate_join_rows(spark):
+    from ideafast_etl_spark.operators.stats import estimate_join_rows, table_stats
+
+    fact = spark.range(1000).select((F.col("id") % 50).alias("k"))
+    dim = spark.range(50).select(F.col("id").alias("k"))
+    est = estimate_join_rows(table_stats(fact), "k", table_stats(dim), "k")
+    true = fact.join(dim, "k").count()
+    assert est == true == 1000  # uniform keys: the estimate is exact

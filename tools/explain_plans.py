@@ -201,6 +201,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     # equi-depth histogram: the only window partitions by __pid (bounded);
     # final rollup is a keyed partial agg
     "value_equidepth_histogram": ["Window", "partial_count", "!BatchEvalPython"],
+    # skew report: keyed partial count + two-phase bounded top-k (the
+    # windows partition by __pid / the <= k x P survivors, never the full
+    # distinct-key relation)
+    "key_skew_report": ["partial_count", "Window", "!BatchEvalPython"],
 }
 
 
