@@ -238,3 +238,64 @@ def time_weighted_avg(
             "twa"
         ),
     )
+
+
+def cusum_drift(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """One-sided CUSUM upward-drift detection per key, window-only.
+
+    The textbook recursion S_i = max(0, S_{i-1} + (x_i - mean)) looks
+    inherently sequential, but has the closed form
+
+        S_i = P_i - min_{j<=i} P_j,   P = prefix sum of (x - mean)
+
+    so it is TWO stock window aggregates (running sum + running min) —
+    no recursion, no UDF, no state store. All arithmetic is exact
+    integers: deviations are scaled by the key's count n so the per-key
+    mean never becomes a float (d_i = qv_i·n − sx), making P and S exact
+    decimal(38,0) values; the reported drift magnitude divides out n·Q
+    once at the end. Emits rows where S exceeds ``threshold`` (in value
+    units).
+
+    Plan: one keyed moments agg joined back on the key (one row per key —
+    at 100 TB that relation is data-sized, so it rides a shuffle join
+    co-partitioned with the window shuffle, never a forced broadcast),
+    then the two windows over per-key event order. Reference analog: the
+    lifecycle rung F-chain flags records one at a time; this flags level
+    shifts in the stream itself.
+    """
+    d38 = "decimal(38,0)"
+    qv = F.round(F.col(value_col) * Q).cast("long")
+    base = events.select(
+        F.col(key_col), F.col(tie_col), F.col(ts_col), qv.alias("qv")
+    )
+    m = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("qv").cast(d38)).alias("sx")
+    )
+    j = base.join(m, key_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    dev = F.col("qv").cast(d38) * F.col("n").cast(d38) - F.col("sx")
+    p = F.sum(dev).over(run)
+    s = p - F.min(p).over(run)  # CUSUM closed form, exact integers
+    # S/n is the drift in micro-units: half-up it to an exact integer,
+    # then one division by Q renders the 6-decimal value
+    scaled = j.withColumn("__s", s).withColumn("__den", F.col("n").cast(d38))
+    # threshold in exact integers too: S/(n*Q) > h  <=>  S > h_micro*n
+    # with h_micro = round(h*Q) — no float comparison ambiguity at all
+    h_micro = int(round(threshold * Q))
+    out = scaled.filter(
+        F.col("__s") > F.lit(h_micro).cast(d38) * F.col("n").cast(d38)
+    )
+    return out.select(
+        F.col(key_col),
+        F.col(tie_col),
+        F.col(ts_col),
+        (_half_up("__s", "__den").cast("double") / F.lit(float(Q))).alias("drift"),
+    )

@@ -3015,3 +3015,31 @@ SELECT rank, CAST(key AS VARCHAR) AS key, cnt,
              / CAST(total AS DOUBLE), 6) AS uniform_ratio
 FROM top, t
 """
+
+
+ORACLES["cusum_drift"] = """
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 1e6) AS BIGINT) AS qv
+  FROM events
+), m AS (
+  SELECT user_id, COUNT(*) AS n, SUM(CAST(qv AS HUGEINT)) AS sx
+  FROM base GROUP BY 1
+), w AS (
+  SELECT b.user_id, b.event_id, b.ts, m.n,
+         SUM(CAST(b.qv AS HUGEINT) * m.n - m.sx) OVER pk AS p
+  FROM base b JOIN m USING (user_id)
+  WINDOW pk AS (PARTITION BY b.user_id ORDER BY b.ts, b.event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT user_id, event_id, ts, n,
+         p - MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cs
+  FROM w
+)
+SELECT user_id, event_id, ts,
+       CAST(__HU_CS__ AS DOUBLE) / 1e6 AS drift
+FROM s
+WHERE cs > CAST(100000000 AS HUGEINT) * n
+""".replace("__HU_CS__", _sql_half_up("cs", "n"))

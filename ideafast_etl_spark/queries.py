@@ -3918,3 +3918,15 @@ def key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.skew import key_skew_report
 
     return key_skew_report(_t(spark, sf_dir, "events"), "user_id", top_k=10)
+
+
+@register("cusum_drift")
+def cusum_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM upward-drift detection (operators/timeseries.py): the
+    sequential-looking recursion S_i = max(0, S_{i-1} + x_i - mean) in
+    its closed window form S = prefix_sum - running_min — two stock
+    windows, exact decimal(38) integers end-to-end, thresholds compared
+    in integers."""
+    from .operators.timeseries import cusum_drift
+
+    return cusum_drift(_t(spark, sf_dir, "events"), threshold=100.0)

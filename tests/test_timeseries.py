@@ -119,3 +119,25 @@ def test_time_weighted_avg_vs_plain_mean(spark):
     (r,) = time_weighted_avg(_ev(spark, rows)).collect()
     # plain mean of values = 60; TWA = (0*10h + 100*1h)/11h
     assert abs(r["twa"] - 100.0 / 11.0) < 1e-6
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    from ideafast_etl_spark.operators.timeseries import cusum_drift
+
+    vals = [10.0, 10.0, 10.0, 10.0, 50.0, 55.0, 60.0, 10.0, 65.0]
+    rows = [(i, _h(i), 1, v) for i, v in enumerate(vals)]
+    thr = 20.0
+    got = {
+        r["event_id"]: r["drift"]
+        for r in cusum_drift(_ev(spark, rows), threshold=thr).collect()
+    }
+    # python twin: the textbook recursion
+    mean = sum(vals) / len(vals)
+    s, want = 0.0, {}
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - mean))
+        if s > thr:
+            want[i] = s
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-5, (k, got[k], want[k])

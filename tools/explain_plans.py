@@ -205,6 +205,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # windows partition by __pid / the <= k x P survivors, never the full
     # distinct-key relation)
     "key_skew_report": ["partial_count", "Window", "!BatchEvalPython"],
+    # CUSUM: keyed moments agg + two running windows (prefix sum, running
+    # min) — the recursion's closed form, no Python, no state store
+    "cusum_drift": ["partial_sum", "Window", "!BatchEvalPython", "!CartesianProduct"],
 }
 
 
