@@ -3043,3 +3043,29 @@ SELECT user_id, event_id, ts,
 FROM s
 WHERE cs > CAST(100000000 AS HUGEINT) * n
 """.replace("__HU_CS__", _sql_half_up("cs", "n"))
+
+
+ORACLES["rolling_zscore_anomaly"] = """
+WITH base AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(round(value * 1e6) AS BIGINT) AS qv
+  FROM events
+), r AS (
+  SELECT *,
+    COUNT(*) OVER tw AS rn,
+    SUM(CAST(qv AS HUGEINT)) OVER tw AS rsum,
+    SUM(CAST(qv AS HUGEINT) * qv) OVER tw AS rss
+  FROM base
+  WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), s AS (
+  SELECT *, rn * rss - rsum * rsum AS varn,
+         CAST(qv * rn - rsum AS DOUBLE) AS znum
+  FROM r
+  WHERE rn = 24
+)
+SELECT event_id, user_id, ts, value,
+       round(znum / sqrt(CAST(varn AS DOUBLE)), 6) AS z
+FROM s
+WHERE varn > 0 AND abs(znum / sqrt(CAST(varn AS DOUBLE))) >= 3.0
+"""

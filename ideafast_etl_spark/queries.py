@@ -3930,3 +3930,38 @@ def cusum_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeseries import cusum_drift
 
     return cusum_drift(_t(spark, sf_dir, "events"), threshold=100.0)
+
+
+@register("rolling_zscore_anomaly")
+def rolling_zscore_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly per user: each event scored against its
+    own trailing-24-event window (current row excluded) — the LOCAL
+    complement of cusum_drift's global level-shift detector. Rolling
+    moments are exact integer window sums; z is one correctly-rounded
+    sqrt + one division (REPRO.md pattern 8). Only full windows score."""
+    ev = _t(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    k = 24
+    qv = F.round(F.col("value") * 1_000_000).cast("long")
+    base = ev.select("event_id", "user_id", "ts", "value", qv.alias("qv"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-k, -1)
+    )
+    rn = F.count(F.lit(1)).over(w)
+    rsum = F.sum(F.col("qv").cast(d38)).over(w)
+    rss = F.sum(F.col("qv").cast(d38) * F.col("qv").cast(d38)).over(w)
+    scored = base.withColumn("rn", rn).withColumn("rsum", rsum).withColumn("rss", rss)
+    varn = F.col("rn").cast(d38) * F.col("rss") - F.col("rsum") * F.col("rsum")
+    z = (F.col("qv").cast(d38) * F.col("rn").cast(d38) - F.col("rsum")).cast(
+        "double"
+    ) / F.sqrt(varn.cast("double"))
+    return (
+        scored.filter(F.col("rn") == k)
+        .withColumn("__v", varn)
+        .filter(F.col("__v") > 0)
+        .withColumn("z_raw", z)
+        .filter(F.abs(F.col("z_raw")) >= 3.0)
+        .select("event_id", "user_id", "ts", "value", F.round("z_raw", 6).alias("z"))
+    )

@@ -208,6 +208,8 @@ EXPECTATIONS: dict[str, list[str]] = {
     # CUSUM: keyed moments agg + two running windows (prefix sum, running
     # min) — the recursion's closed form, no Python, no state store
     "cusum_drift": ["partial_sum", "Window", "!BatchEvalPython", "!CartesianProduct"],
+    # rolling z: trailing-window integer moments in ONE window pass
+    "rolling_zscore_anomaly": ["Window", "!BatchEvalPython", "!CartesianProduct"],
 }
 
 
