@@ -19,7 +19,7 @@ string extrema oracle-safe.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -84,3 +84,64 @@ def estimate_join_rows(
     nb = rb["n"] - rb["n_nulls"]
     ndv = max(ra["n_distinct"], rb["n_distinct"])
     return float(na) * float(nb) / float(max(ndv, 1))
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current sample
+    of ``value_col`` — THE model/feature-monitoring drift metric
+    (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted). Equi-width
+    bins over [lo, hi) with clamped edges, Laplace add-one smoothing so
+    no bin is empty, and each ``(p−q)·ln(p/q)`` term quantised to a
+    1e-6 fixed-point long BEFORE summation (REPRO.md patterns 1/7 — the
+    char_entropy discipline), so the PSI is an order-free exact integer
+    sum despite ln() being engine-faithful only.
+
+    Plan: two keyed bin-count aggregates (map-side combinable) full-outer
+    merged on the bin id; the bounded bin relation (n_bins rows) does all
+    float work. Output: one row per bin (bin, n_ref, n_cur, psi_term)
+    plus the readers sum psi_term; use ``.agg(sum)`` for the scalar.
+    """
+    width = (hi - lo) / n_bins
+
+    def bins(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    a = bins(ref, "n_ref")
+    c = bins(cur, "n_cur")
+    grid = ref.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    merged = (
+        grid.join(a, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    ta = F.sum("n_ref").over(Window.partitionBy()) + n_bins
+    tc = F.sum("n_cur").over(Window.partitionBy()) + n_bins
+    p = (F.col("n_ref") + 1).cast("double") / ta.cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / tc.cast("double")
+    term_q = F.round((p - q) * F.log(p / q) * F.lit(1_000_000.0)).cast("long")
+    return merged.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (term_q.cast("double") / F.lit(1_000_000.0)).alias("psi_term"),
+    )

@@ -3069,3 +3069,47 @@ SELECT event_id, user_id, ts, value,
 FROM s
 WHERE varn > 0 AND abs(znum / sqrt(CAST(varn AS DOUBLE))) >= 3.0
 """
+
+
+ORACLES["value_distribution_drift"] = """
+WITH binned AS (
+  SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 25.0) AS INT), 0), 19) AS bin,
+         ts < TIMESTAMP '2024-07-01' AS is_ref
+  FROM events
+), a AS (
+  SELECT bin, COUNT(*) AS n_ref FROM binned WHERE is_ref GROUP BY 1
+), c AS (
+  SELECT bin, COUNT(*) AS n_cur FROM binned WHERE NOT is_ref GROUP BY 1
+), grid AS (
+  SELECT CAST(unnest(generate_series(0, 19)) AS INT) AS bin
+), merged AS (
+  SELECT g.bin, coalesce(a.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+  FROM grid g LEFT JOIN a USING (bin) LEFT JOIN c USING (bin)
+), t AS (
+  SELECT *,
+    CAST(SUM(n_ref) OVER () + 20 AS DOUBLE) AS ta,
+    CAST(SUM(n_cur) OVER () + 20 AS DOUBLE) AS tc
+  FROM merged
+)
+SELECT bin, n_ref, n_cur,
+  CAST(CAST(round(
+    (CAST(n_ref + 1 AS DOUBLE) / ta - CAST(n_cur + 1 AS DOUBLE) / tc)
+    * ln((CAST(n_ref + 1 AS DOUBLE) / ta) / (CAST(n_cur + 1 AS DOUBLE) / tc))
+    * 1e6) AS BIGINT) AS DOUBLE) / 1e6 AS psi_term
+FROM t
+"""
+
+
+ORACLES["event_gaps_report"] = """
+WITH s AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS t,
+         lead(ts) OVER pk AS next_ts,
+         lead(epoch_us(ts)) OVER pk AS next_t
+  FROM events
+  WINDOW pk AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, ts AS gap_start, next_ts AS gap_end,
+       (next_t - t) / 1e6 AS gap_s
+FROM s
+WHERE next_t - t > CAST(3600 AS BIGINT) * 1000000
+"""

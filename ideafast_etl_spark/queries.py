@@ -3965,3 +3965,48 @@ def rolling_zscore_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z_raw")) >= 3.0)
         .select("event_id", "user_id", "ts", "value", F.round("z_raw", 6).alias("z"))
     )
+
+
+@register("value_distribution_drift")
+def value_distribution_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift between the first and second half of the event stream
+    (operators/stats.py::distribution_drift): 20 equi-width value bins,
+    add-one smoothing, per-bin (p−q)·ln(p/q) terms quantised to fixed
+    point. The feature-monitoring op a 100 TB training pipeline runs
+    between data refreshes."""
+    from .operators.stats import distribution_drift
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-07-01").cast("timestamp")
+    return distribution_drift(
+        ev.filter(F.col("ts") < cutoff),
+        ev.filter(F.col("ts") >= cutoff),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        n_bins=20,
+    )
+
+
+@register("event_gaps_report")
+def event_gaps_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence/heartbeat gap report per user: consecutive-event intervals
+    exceeding one hour, from a single lead window over epoch-microsecond
+    integers. The batch form of wearable-feed outage detection (the
+    reference polls devices and has no way to see silence; this surfaces
+    it as data)."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        ev.select("user_id", "event_id", "ts", t.alias("t"))
+        .withColumn("next_t", F.lead("t").over(w))
+        .withColumn("next_ts", F.lead("ts").over(w))
+        .filter(F.col("next_t") - F.col("t") > 3600 * 1_000_000)
+    )
+    return g.select(
+        "user_id",
+        F.col("ts").alias("gap_start"),
+        F.col("next_ts").alias("gap_end"),
+        ((F.col("next_t") - F.col("t")) / F.lit(1_000_000.0)).alias("gap_s"),
+    )

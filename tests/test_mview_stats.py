@@ -82,3 +82,19 @@ def test_estimate_join_rows(spark):
     est = estimate_join_rows(table_stats(fact), "k", table_stats(dim), "k")
     true = fact.join(dim, "k").count()
     assert est == true == 1000  # uniform keys: the estimate is exact
+
+
+def test_distribution_drift_detects_shift(spark):
+    from ideafast_etl_spark.operators.stats import distribution_drift
+
+    ref = spark.range(2000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = spark.range(2000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = spark.range(2000).select(
+        ((F.col("id") % 100) * 0.2 + 80.0).alias("v")  # mass moves to [80,100)
+    )
+    def psi(cur):
+        rows = distribution_drift(ref, cur, "v", 0.0, 100.0, n_bins=10).collect()
+        assert len(rows) == 10
+        return sum(r["psi_term"] for r in rows)
+    assert abs(psi(same)) < 0.01          # identical -> stable
+    assert psi(shifted) > 0.25            # planted shift -> flagged

@@ -210,6 +210,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     "cusum_drift": ["partial_sum", "Window", "!BatchEvalPython", "!CartesianProduct"],
     # rolling z: trailing-window integer moments in ONE window pass
     "rolling_zscore_anomaly": ["Window", "!BatchEvalPython", "!CartesianProduct"],
+    # PSI drift: two keyed bin-count aggs; all float work on the 20-row
+    # bin relation
+    "value_distribution_drift": ["partial_count", "!BatchEvalPython", "!CartesianProduct"],
+    # gap report: one lead window per key over integer epochs
+    "event_gaps_report": ["Window", "!BatchEvalPython", "Batched: true"],
 }
 
 
