@@ -79,6 +79,11 @@ QUERIES = [
     "incremental_revenue_mv",
     "supplier_reachability",
     "value_equidepth_histogram",
+    "key_skew_report",
+    "cusum_drift",
+    "rolling_zscore_anomaly",
+    "value_distribution_drift",
+    "event_gaps_report",
 ]
 
 
