@@ -3113,3 +3113,31 @@ SELECT user_id, ts AS gap_start, next_ts AS gap_end,
 FROM s
 WHERE next_t - t > CAST(3600 AS BIGINT) * 1000000
 """
+
+
+ORACLES["funnel_latency_percentiles"] = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2, MIN(v.t1) AS t1
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3, MIN(c.t2) AS t2
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY 1
+), lat AS (
+  SELECT 'view_to_click' AS edge,
+         (epoch_us(t2) - epoch_us(t1)) / 1e6 AS lat_s FROM c
+  UNION ALL
+  SELECT 'click_to_purchase' AS edge,
+         (epoch_us(t3) - epoch_us(t2)) / 1e6 AS lat_s FROM p
+)
+SELECT edge, COUNT(*) AS n,
+       round(quantile_cont(lat_s, 0.5), 6) AS p50,
+       round(quantile_cont(lat_s, 0.9), 6) AS p90,
+       round(quantile_cont(lat_s, 0.99), 6) AS p99
+FROM lat GROUP BY edge
+"""

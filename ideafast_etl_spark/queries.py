@@ -4010,3 +4010,50 @@ def event_gaps_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_ts").alias("gap_end"),
         ((F.col("next_t") - F.col("t")) / F.lit(1_000_000.0)).alias("gap_s"),
     )
+
+
+@register("funnel_latency_percentiles")
+def funnel_latency_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel edge (view→click,
+    click→purchase): per-user first-transition timestamps via three keyed
+    min-aggregations (the event_funnel construction — no per-user sort),
+    then exact sort-based percentiles over integer second latencies."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+    lat_vc = c.select(
+        F.lit("view_to_click").alias("edge"),
+        ((F.unix_micros("t2") - F.unix_micros("t1")) / F.lit(1_000_000.0)).alias("lat_s"),
+    )
+    lat_cp = p.select(
+        F.lit("click_to_purchase").alias("edge"),
+        ((F.unix_micros("t3") - F.unix_micros("t2")) / F.lit(1_000_000.0)).alias("lat_s"),
+    )
+    pct = lambda q: F.round(F.expr(f"percentile(lat_s, {q})"), 6)  # noqa: E731
+    return (
+        lat_vc.unionByName(lat_cp)
+        .groupBy("edge")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pct(0.5).alias("p50"),
+            pct(0.9).alias("p90"),
+            pct(0.99).alias("p99"),
+        )
+    )

@@ -215,6 +215,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     "value_distribution_drift": ["partial_count", "!BatchEvalPython", "!CartesianProduct"],
     # gap report: one lead window per key over integer epochs
     "event_gaps_report": ["Window", "!BatchEvalPython", "Batched: true"],
+    # funnel latency: three keyed min-aggs + equi-joins, exact sort-based
+    # percentiles — no per-user windows or sorts
+    "funnel_latency_percentiles": ["partial_min", "!Window", "!CartesianProduct", "!BatchEvalPython"],
 }
 
 
