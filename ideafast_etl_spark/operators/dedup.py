@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import norm_text
+from ..plan_audit import checkpoints_enabled
 
 # Universal-hash family constants for minhash permutations:
 # h_i(x) = (A[i] * x + B[i]) mod MERSENNE31, over x = shingle hash mod MERSENNE31.
@@ -239,8 +240,15 @@ def minhash_near_dup_pairs(
          string itself (no 31-bit-collision risk vs the oracle), sizes from a
          per-doc count, |A∪B| = |A|+|B|−|A∩B|.
     The shingle-row relation feeds four branches, hence the persist
-    (MEMORY_AND_DISK; at cluster scale, checkpoint to storage instead)."""
-    sh = shingle_rows(_spread(df, id_col), text_col, id_col).persist()
+    (MEMORY_AND_DISK; at cluster scale, checkpoint to storage instead).
+    Under ``plan_audit.no_checkpoints()`` the persist/localCheckpoint pair
+    is skipped and the full lazy lineage is returned so ``.explain``
+    audits the real plan (the checkpointed form explains as only a
+    ``Scan ExistingRDD``)."""
+    do_ckpt = checkpoints_enabled()
+    sh = shingle_rows(_spread(df, id_col), text_col, id_col)
+    if do_ckpt:
+        sh = sh.persist()
     try:
         # ONE aggregation computes the shingle count AND all 32 signature
         # mins: the per-doc exchange is then identical under the banding
@@ -314,10 +322,13 @@ def minhash_near_dup_pairs(
             .filter(F.col("jaccard_sim") >= threshold)
             .select("id_a", "id_b", "jaccard_sim")
         )
+        if not do_ckpt:
+            return verified  # plan-audit path: full lineage, nothing cached
         # materialise (small result) before unpersisting the shingle cache
         out = verified.localCheckpoint(eager=True)
     finally:
-        sh.unpersist()
+        if do_ckpt:
+            sh.unpersist()
     return out
 
 

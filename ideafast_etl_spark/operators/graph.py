@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plan_audit import checkpoints_enabled
+
 PR_SCALE = 1_000_000_000  # fixed-point scale for exact rank sums
 PR_DAMPING_NUM = 85  # damping = 0.85 as an integer ratio
 PR_DAMPING_DEN = 100
@@ -140,15 +142,27 @@ def bfs_hops(
     trusted hosts k hops, as in Common Crawl seed-based crawls).
 
     ``seeds`` is a 1-column (node) DataFrame. The per-iteration
-    ``localCheckpoint`` truncates lineage exactly as ``pagerank`` does.
+    ``localCheckpoint`` truncates lineage exactly as ``pagerank`` does;
+    under ``plan_audit.no_checkpoints()`` the truncation (and the early
+    empty-frontier exit, which would force execution) is skipped so the
+    returned Union lineage is the real auditable plan.
     """
+    do_ckpt = checkpoints_enabled()
+
+    def _ck(d: DataFrame) -> DataFrame:
+        return d.localCheckpoint(eager=True) if do_ckpt else d
+
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
-    ).persist()
-    visited = seeds.select(
-        F.col(seeds.columns[0]).cast("long").alias("node")
-    ).distinct().withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
+    )
+    if do_ckpt:
+        e = e.persist()
+    visited = _ck(
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+    )
     frontier = visited.select("node")
     try:
         for i in range(1, max_hops + 1):
@@ -157,15 +171,15 @@ def bfs_hops(
                 .select(F.col("dst").alias("node"))
                 .distinct()
             )
-            new = (
+            new = _ck(
                 reached.join(visited.select("node"), "node", "left_anti")
                 .withColumn("hops", F.lit(i))
-                .localCheckpoint(eager=True)  # O(|V|) rows, lineage cut
-            )
-            if new.isEmpty():
+            )  # O(|V|) rows, lineage cut
+            if do_ckpt and new.isEmpty():
                 break
-            visited = visited.unionByName(new).localCheckpoint(eager=True)
+            visited = _ck(visited.unionByName(new))
             frontier = new.select("node")
     finally:
-        e.unpersist()
+        if do_ckpt:
+            e.unpersist()
     return visited

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plan_audit import checkpoints_enabled
+
 
 def waterfill_allocation(
     counts: DataFrame,
@@ -32,6 +34,7 @@ def waterfill_allocation(
     key_col: str = "source",
     tokens_col: str = "tokens",
     max_epochs: int = 4,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Allocate ``budget`` (a 1-row DataFrame with column ``budget``)
     across the rows of ``counts`` (key, tokens).
@@ -39,7 +42,15 @@ def waterfill_allocation(
     Returns (key, tokens, cap, allocation, epochs): ``allocation =
     min(cap, λ)`` at the waterfill level, ``epochs = allocation/tokens``.
     A budget above total capacity saturates every source (λ_m ≥ cap_n
-    falls out of the same prefix rule)."""
+    falls out of the same prefix rule).
+
+    ``ranked`` (the sorted/cumulated source table) is consumed by the
+    saturated-count aggregate, the level join, its uniform-fallback
+    branch, and the final projection; without materialization Spark
+    re-executes its window chain once per consumer. The relation is
+    bounded (sources, not documents), so ``localCheckpoint`` pins it in
+    one pass. Pass ``checkpoint=False`` only for plan audits that need
+    the un-truncated lineage (tools/explain_plans.py)."""
     base = counts.select(
         F.col(key_col),
         F.col(tokens_col),
@@ -57,9 +68,15 @@ def waterfill_allocation(
         .crossJoin(F.broadcast(budget))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
         .withColumn(
+            # guarded: the last row (idx == n) has divisor 0 — its λ_i is
+            # never consumed (feasibility requires idx < n) but checkpoint
+            # materialization evaluates every column, so NULL it explicitly
             "lam_i",
-            (F.col("budget") - F.col("cum_cap")).cast("double")
-            / (F.col("n") - F.col("idx")).cast("double"),
+            F.when(
+                F.col("idx") < F.col("n"),
+                (F.col("budget") - F.col("cum_cap")).cast("double")
+                / (F.col("n") - F.col("idx")).cast("double"),
+            ),
         )
         .withColumn(
             "feasible",
@@ -67,6 +84,8 @@ def waterfill_allocation(
             & (F.col("lam_i") >= F.col("cap").cast("double")),
         )
     )
+    if checkpoint and checkpoints_enabled():
+        ranked = ranked.localCheckpoint()
     m = ranked.groupBy().agg(
         F.max(F.when(F.col("feasible"), F.col("idx"))).alias("m")
     )

@@ -52,8 +52,21 @@ def merge_states(
     re-aggregation is O(groups in prev + groups in delta), independent of
     the row history behind ``prev``."""
     val_cols = [c for c in prev.columns if c not in keys]
-    if [c for c in delta.columns if c not in keys] != val_cols:
-        raise ValueError("prev/delta state schemas differ")
+    delta_vals = [c for c in delta.columns if c not in keys]
+    # set equality, not list equality: unionByName aligns by name, so a
+    # state produced with a different select order is still valid
+    if sorted(delta_vals) != sorted(val_cols):
+        raise ValueError(
+            f"prev/delta state schemas differ: {sorted(val_cols)} vs "
+            f"{sorted(delta_vals)}"
+        )
+    from pyspark.sql.types import NumericType
+
+    for side, label in ((prev, "prev"), (delta, "delta")):
+        types = {f.name: f.dataType for f in side.schema.fields}
+        bad = [c for c in val_cols if not isinstance(types[c], NumericType)]
+        if bad:
+            raise ValueError(f"non-summable {label} state columns: {bad}")
     merged = prev.unionByName(delta).groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in val_cols]
     )

@@ -24,46 +24,70 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
 
+def _qcol(name: str):
+    """Column reference by exact name — backtick-quoted so names containing
+    dots, spaces, quotes, or commas resolve as a single identifier instead
+    of being parsed as an expression."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def table_stats(
     df: DataFrame, columns: list[str] | None = None, exact: bool = True
 ) -> DataFrame:
     """One row per column: (column, n, n_nulls, n_distinct, min_num,
     max_num, min_str, max_str). Numeric extrema are NULL for string
     columns and vice versa; ``n`` is the table row count (repeated per
-    row so each stat row is self-contained)."""
+    row so each stat row is self-contained).
+
+    Internal agg slots are keyed by column POSITION (``__nulls_0`` …) and
+    the unpivot is a struct-array explode built with Column objects — no
+    raw name is ever interpolated into a SQL string, so arbitrary column
+    names (quotes, commas, spaces, reserved words) are safe.
+    """
     cols = columns or df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in schema]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
     ndv = F.count_distinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         is_num = isinstance(schema[c], NumericType)
+        src = _qcol(c)
         aggs += [
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"),
-            ndv(F.col(c)).alias(f"__ndv_{c}"),
-            (F.min(c).cast("double") if is_num else F.lit(None).cast("double")).alias(
-                f"__minn_{c}"
+            F.count(F.when(src.isNull(), 1)).alias(f"__nulls_{i}"),
+            ndv(src).alias(f"__ndv_{i}"),
+            (F.min(src).cast("double") if is_num else F.lit(None).cast("double")).alias(
+                f"__minn_{i}"
             ),
-            (F.max(c).cast("double") if is_num else F.lit(None).cast("double")).alias(
-                f"__maxn_{c}"
+            (F.max(src).cast("double") if is_num else F.lit(None).cast("double")).alias(
+                f"__maxn_{i}"
             ),
-            (F.lit(None).cast("string") if is_num else F.min(c).cast("string")).alias(
-                f"__mins_{c}"
+            (F.lit(None).cast("string") if is_num else F.min(src).cast("string")).alias(
+                f"__mins_{i}"
             ),
-            (F.lit(None).cast("string") if is_num else F.max(c).cast("string")).alias(
-                f"__maxs_{c}"
+            (F.lit(None).cast("string") if is_num else F.max(src).cast("string")).alias(
+                f"__maxs_{i}"
             ),
         ]
     one = df.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', __nulls_{c}, __ndv_{c}, __minn_{c}, __maxn_{c}, __mins_{c}, __maxs_{c}"
-        for c in cols
-    )
-    return one.selectExpr(
-        f"stack({len(cols)}, {stack}) as "
-        "(col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)",
-        "__n as n",
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__nulls_{i}").alias("n_nulls"),
+            F.col(f"__ndv_{i}").alias("n_distinct"),
+            F.col(f"__minn_{i}").alias("min_num"),
+            F.col(f"__maxn_{i}").alias("max_num"),
+            F.col(f"__mins_{i}").alias("min_str"),
+            F.col(f"__maxs_{i}").alias("max_str"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return one.select(
+        F.col("__n").alias("n"), F.explode(F.array(*rows)).alias("s")
     ).select(
-        "col_name", "n", "n_nulls", "n_distinct", "min_num", "max_num", "min_str", "max_str"
+        "s.col_name", "n", "s.n_nulls", "s.n_distinct",
+        "s.min_num", "s.max_num", "s.min_str", "s.max_str",
     )
 
 
@@ -108,6 +132,10 @@ def distribution_drift(
     float work. Output: one row per bin (bin, n_ref, n_cur, psi_term)
     plus the readers sum psi_term; use ``.agg(sum)`` for the scalar.
     """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
     width = (hi - lo) / n_bins
 
     def bins(df: DataFrame, out: str) -> DataFrame:

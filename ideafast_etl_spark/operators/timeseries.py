@@ -253,7 +253,12 @@ def cusum_drift(
     The textbook recursion S_i = max(0, S_{i-1} + (x_i - mean)) looks
     inherently sequential, but has the closed form
 
-        S_i = P_i - min_{j<=i} P_j,   P = prefix sum of (x - mean)
+        S_i = P_i - min(0, min_{j<=i} P_j),   P = prefix sum of (x - mean)
+
+    (the 0 floor is load-bearing: when every prefix sum is positive —
+    drift at the very start of the series — min_{j<=i} P_j is P_1 > 0
+    and omitting the floor would zero out the statistic exactly where
+    it should fire)
 
     so it is TWO stock window aggregates (running sum + running min) —
     no recursion, no UDF, no state store. All arithmetic is exact
@@ -283,7 +288,9 @@ def cusum_drift(
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     dev = F.col("qv").cast(d38) * F.col("n").cast(d38) - F.col("sx")
     p = F.sum(dev).over(run)
-    s = p - F.min(p).over(run)  # CUSUM closed form, exact integers
+    # CUSUM closed form, exact integers; the lit(0) floor handles the
+    # all-prefix-sums-positive (front-loaded drift) case
+    s = p - F.least(F.lit(0).cast(d38), F.min(p).over(run))
     # S/n is the drift in micro-units: half-up it to an exact integer,
     # then one division by Q renders the 6-decimal value
     scaled = j.withColumn("__s", s).withColumn("__den", F.col("n").cast(d38))
@@ -298,4 +305,78 @@ def cusum_drift(
         F.col(tie_col),
         F.col(ts_col),
         (_half_up("__s", "__den").cast("double") / F.lit(float(Q))).alias("drift"),
+    )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+    k: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly per key: each event scored against its own
+    trailing-``k``-event window (current row excluded) — the LOCAL
+    complement of ``cusum_drift``'s global level-shift detector. Rolling
+    moments are exact integer window sums (values quantised to micro
+    units); z is one correctly-rounded sqrt + one division. Only full
+    windows score. One window pass, no Python, no state store."""
+    d38 = "decimal(38,0)"
+    qv = F.round(F.col(value_col) * Q).cast("long")
+    base = events.select(tie_col, key_col, ts_col, value_col, qv.alias("qv"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tie_col)
+        .rowsBetween(-k, -1)
+    )
+    rn = F.count(F.lit(1)).over(w)
+    rsum = F.sum(F.col("qv").cast(d38)).over(w)
+    rss = F.sum(F.col("qv").cast(d38) * F.col("qv").cast(d38)).over(w)
+    scored = (
+        base.withColumn("rn", rn).withColumn("rsum", rsum).withColumn("rss", rss)
+    )
+    varn = F.col("rn").cast(d38) * F.col("rss") - F.col("rsum") * F.col("rsum")
+    z = (F.col("qv").cast(d38) * F.col("rn").cast(d38) - F.col("rsum")).cast(
+        "double"
+    ) / F.sqrt(varn.cast("double"))
+    return (
+        scored.filter(F.col("rn") == k)
+        .withColumn("__v", varn)
+        .filter(F.col("__v") > 0)
+        .withColumn("z_raw", z)
+        .filter(F.abs(F.col("z_raw")) >= z_threshold)
+        .select(
+            tie_col, key_col, ts_col, value_col, F.round("z_raw", 6).alias("z")
+        )
+    )
+
+
+def heartbeat_gaps(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    min_gap_s: int = 3600,
+) -> DataFrame:
+    """Silence/heartbeat gap report per key: consecutive-event intervals
+    exceeding ``min_gap_s`` seconds, from a single lead window over
+    epoch-microsecond integers. The batch form of wearable-feed outage
+    detection (the reference polls devices and has no way to see silence
+    — /root/reference/dags/dreem.py polls records, not their absence;
+    this surfaces silence as data)."""
+    t = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    g = (
+        events.select(key_col, tie_col, ts_col, t.alias("t"))
+        .withColumn("next_t", F.lead("t").over(w))
+        .withColumn("next_ts", F.lead(ts_col).over(w))
+        .filter(F.col("next_t") - F.col("t") > min_gap_s * 1_000_000)
+    )
+    return g.select(
+        key_col,
+        F.col(ts_col).alias("gap_start"),
+        F.col("next_ts").alias("gap_end"),
+        ((F.col("next_t") - F.col("t")) / F.lit(1_000_000.0)).alias("gap_s"),
     )

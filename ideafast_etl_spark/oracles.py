@@ -3033,8 +3033,9 @@ WITH base AS (
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), s AS (
   SELECT user_id, event_id, ts, n,
-         p - MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         p - LEAST(CAST(0 AS HUGEINT),
+                   MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
            AS cs
   FROM w
 )

@@ -3939,32 +3939,9 @@ def rolling_zscore_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of cusum_drift's global level-shift detector. Rolling
     moments are exact integer window sums; z is one correctly-rounded
     sqrt + one division (REPRO.md pattern 8). Only full windows score."""
-    ev = _t(spark, sf_dir, "events")
-    d38 = "decimal(38,0)"
-    k = 24
-    qv = F.round(F.col("value") * 1_000_000).cast("long")
-    base = ev.select("event_id", "user_id", "ts", "value", qv.alias("qv"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-k, -1)
-    )
-    rn = F.count(F.lit(1)).over(w)
-    rsum = F.sum(F.col("qv").cast(d38)).over(w)
-    rss = F.sum(F.col("qv").cast(d38) * F.col("qv").cast(d38)).over(w)
-    scored = base.withColumn("rn", rn).withColumn("rsum", rsum).withColumn("rss", rss)
-    varn = F.col("rn").cast(d38) * F.col("rss") - F.col("rsum") * F.col("rsum")
-    z = (F.col("qv").cast(d38) * F.col("rn").cast(d38) - F.col("rsum")).cast(
-        "double"
-    ) / F.sqrt(varn.cast("double"))
-    return (
-        scored.filter(F.col("rn") == k)
-        .withColumn("__v", varn)
-        .filter(F.col("__v") > 0)
-        .withColumn("z_raw", z)
-        .filter(F.abs(F.col("z_raw")) >= 3.0)
-        .select("event_id", "user_id", "ts", "value", F.round("z_raw", 6).alias("z"))
-    )
+    from .operators.timeseries import rolling_zscore
+
+    return rolling_zscore(_t(spark, sf_dir, "events"), k=24, z_threshold=3.0)
 
 
 @register("value_distribution_drift")
@@ -3995,21 +3972,9 @@ def event_gaps_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers. The batch form of wearable-feed outage detection (the
     reference polls devices and has no way to see silence; this surfaces
     it as data)."""
-    ev = _t(spark, sf_dir, "events")
-    t = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    g = (
-        ev.select("user_id", "event_id", "ts", t.alias("t"))
-        .withColumn("next_t", F.lead("t").over(w))
-        .withColumn("next_ts", F.lead("ts").over(w))
-        .filter(F.col("next_t") - F.col("t") > 3600 * 1_000_000)
-    )
-    return g.select(
-        "user_id",
-        F.col("ts").alias("gap_start"),
-        F.col("next_ts").alias("gap_end"),
-        ((F.col("next_t") - F.col("t")) / F.lit(1_000_000.0)).alias("gap_s"),
-    )
+    from .operators.timeseries import heartbeat_gaps
+
+    return heartbeat_gaps(_t(spark, sf_dir, "events"), min_gap_s=3600)
 
 
 @register("funnel_latency_percentiles")

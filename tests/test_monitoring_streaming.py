@@ -1,0 +1,141 @@
+"""Streaming twins of the r6 detection batch (streaming/monitoring.py):
+CUSUM / rolling z-score / heartbeat gaps as availableNow foreachBatch
+drain jobs. Parity contract: after draining all files, the published
+report snapshot equals the batch detector run on the same rows — and a
+second drain over a new file updates the snapshot incrementally (only the
+delta is re-ingested; detection recomputes over the accumulated relation).
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ideafast_etl_spark.operators.timeseries import (
+    cusum_drift,
+    heartbeat_gaps,
+    rolling_zscore,
+)
+from ideafast_etl_spark.streaming.monitoring import (
+    run_cusum_stream,
+    run_detector_stream,
+    run_gap_report_stream,
+    run_rolling_zscore_stream,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _rows(base_id, hours, user, vals):
+    t0 = dt.datetime(2024, 3, 1)
+    return [
+        (base_id + i, t0 + dt.timedelta(hours=h), user, float(v))
+        for i, (h, v) in enumerate(zip(hours, vals))
+    ]
+
+
+def _feed(spark, tmp_path, name, rows):
+    d = str(tmp_path / name)
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def _snap(spark, out_dir):
+    return sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+
+
+def _dirs(tmp_path, tag):
+    return (
+        str(tmp_path / f"{tag}_accum"),
+        str(tmp_path / f"{tag}_out"),
+        str(tmp_path / f"{tag}_ckpt"),
+    )
+
+
+def test_cusum_stream_equals_batch_and_updates(spark, tmp_path):
+    # front-loaded shift in file 1 (the r7 floor-bug scenario) + a second
+    # file that changes the per-key mean, hence every flag
+    f1 = _rows(0, range(4), 1, [100.0, 0.0, 0.0, 0.0])
+    f2 = _rows(10, range(4, 8), 1, [0.0, 0.0, 80.0, 90.0])
+    src = _feed(spark, tmp_path, "src", f1)
+    accum, out, ckpt = _dirs(tmp_path, "cusum")
+    kw = dict(threshold=20.0, checkpoint_dir=ckpt)
+
+    q = run_cusum_stream(spark, src, SCHEMA, accum, out, **kw)
+    q.awaitTermination(120)
+    batch1 = spark.createDataFrame(f1, SCHEMA)
+    assert _snap(spark, out) == sorted(
+        map(tuple, cusum_drift(batch1, threshold=20.0).collect())
+    )
+    assert _snap(spark, out)  # the front-loaded shift IS flagged
+
+    _feed(spark, tmp_path, "src", f2)  # second drain: only the new file
+    q = run_cusum_stream(spark, src, SCHEMA, accum, out, **kw)
+    q.awaitTermination(120)
+    both = spark.createDataFrame(f1 + f2, SCHEMA)
+    assert _snap(spark, out) == sorted(
+        map(tuple, cusum_drift(both, threshold=20.0).collect())
+    )
+
+
+def test_rolling_zscore_stream_equals_batch(spark, tmp_path):
+    # 8 steady values then an outlier: trailing window k=8 scores event 8
+    vals = [10.0] * 4 + [12.0] * 4 + [500.0]
+    rows = _rows(0, range(len(vals)), 3, vals)
+    src = _feed(spark, tmp_path, "zsrc", rows)
+    accum, out, ckpt = _dirs(tmp_path, "z")
+    q = run_rolling_zscore_stream(
+        spark, src, SCHEMA, accum, out, k=8, z_threshold=2.0, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    batch = spark.createDataFrame(rows, SCHEMA)
+    want = sorted(
+        map(tuple, rolling_zscore(batch, k=8, z_threshold=2.0).collect())
+    )
+    assert _snap(spark, out) == want and want  # non-vacuous
+
+
+def test_gap_report_stream_two_drains(spark, tmp_path):
+    # gap inside file 1 AND a gap that only exists once file 2 arrives
+    f1 = _rows(0, [0, 1, 5], 7, [1.0, 2.0, 3.0])      # 1→5 is a 4h gap
+    f2 = _rows(10, [12], 7, [4.0])                     # 5→12 is a 7h gap
+    src = _feed(spark, tmp_path, "gsrc", f1)
+    accum, out, ckpt = _dirs(tmp_path, "gap")
+    kw = dict(min_gap_s=3600, checkpoint_dir=ckpt)
+
+    q = run_gap_report_stream(spark, src, SCHEMA, accum, out, **kw)
+    q.awaitTermination(120)
+    assert len(_snap(spark, out)) == 1
+
+    _feed(spark, tmp_path, "gsrc", f2)
+    q = run_gap_report_stream(spark, src, SCHEMA, accum, out, **kw)
+    q.awaitTermination(120)
+    both = spark.createDataFrame(f1 + f2, SCHEMA)
+    want = sorted(map(tuple, heartbeat_gaps(both, min_gap_s=3600).collect()))
+    assert _snap(spark, out) == want
+    assert len(want) == 2  # the cross-file gap was detected incrementally
+
+
+def test_retention_bounds_detection_history(spark, tmp_path):
+    """The production knob: detection over a bounded horizon only — rows
+    older than the cutoff are excluded from the recompute (but remain in
+    the accumulated relation)."""
+    old = _rows(0, [0, 1], 9, [1.0, 2.0])
+    new = _rows(10, [100, 101, 110], 9, [3.0, 4.0, 5.0])  # 101→110 gap
+    src = _feed(spark, tmp_path, "rsrc", old + new)
+    accum, out, ckpt = _dirs(tmp_path, "ret")
+    cutoff = dt.datetime(2024, 3, 1) + dt.timedelta(hours=50)
+    q = run_detector_stream(
+        spark, src, SCHEMA,
+        lambda df: heartbeat_gaps(df, min_gap_s=3600),
+        accum, out,
+        checkpoint_dir=ckpt,
+        retention=lambda df: df.filter(F.col("ts") >= F.lit(cutoff)),
+    )
+    q.awaitTermination(120)
+    got = _snap(spark, out)
+    # without retention there would be 2 gaps (1→100 spans the cutoff);
+    # the bounded horizon sees only the 101→110 gap
+    assert len(got) == 1
+    assert got[0][3] == 9 * 3600.0
+    # the accumulation relation still holds everything (state not lost)
+    assert spark.read.parquet(accum).count() == 5

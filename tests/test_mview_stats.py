@@ -98,3 +98,49 @@ def test_distribution_drift_detects_shift(spark):
         return sum(r["psi_term"] for r in rows)
     assert abs(psi(same)) < 0.01          # identical -> stable
     assert psi(shifted) > 0.25            # planted shift -> flagged
+
+
+def test_distribution_drift_rejects_bad_range(spark):
+    import pytest
+
+    from ideafast_etl_spark.operators.stats import distribution_drift
+
+    df = spark.range(5).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError):
+        distribution_drift(df, df, "v", 10.0, 10.0)  # hi == lo
+    with pytest.raises(ValueError):
+        distribution_drift(df, df, "v", 10.0, 0.0)  # inverted
+    with pytest.raises(ValueError):
+        distribution_drift(df, df, "v", 0.0, 10.0, n_bins=0)
+
+
+def test_table_stats_hostile_column_names(spark):
+    """Names with quotes, commas, dots, and spaces must survive — the
+    unpivot is built from Column objects, never interpolated SQL."""
+    hostile = ["a'b", "c,d", "e.f", "g h", "select"]
+    df = spark.createDataFrame([(1, 2, 3, 4, 5), (9, 8, 7, 6, 5)], hostile)
+    out = {r["col_name"]: r.asDict() for r in table_stats(df).collect()}
+    assert sorted(out) == sorted(hostile)
+    assert out["a'b"]["min_num"] == 1.0 and out["a'b"]["max_num"] == 9.0
+    assert out["select"]["n_distinct"] == 1
+
+
+def test_merge_states_accepts_reordered_columns(spark):
+    a = _rows(spark, [("x", 1), ("y", 10)])
+    b = _rows(spark, [("x", 4)])
+    sa = agg_state(a, KEYS, SUMS())                       # (k, n, s)
+    sb = agg_state(b, KEYS, SUMS()).select("k", "s", "n")  # reordered
+    got = sorted(map(tuple, merge_states(sa, sb, KEYS).collect()))
+    want = sorted(
+        map(tuple, agg_state(a.unionByName(b), KEYS, SUMS()).collect())
+    )
+    assert got == want
+
+
+def test_merge_states_rejects_non_numeric_state(spark):
+    import pytest
+
+    prev = spark.createDataFrame([("x", 1, "oops")], "k string, n long, s string")
+    delta = spark.createDataFrame([("x", 1, "no")], "k string, n long, s string")
+    with pytest.raises(ValueError, match="non-summable"):
+        merge_states(prev, delta, KEYS)

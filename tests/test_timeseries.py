@@ -141,3 +141,28 @@ def test_cusum_closed_form_matches_recursion(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-5, (k, got[k], want[k])
+
+
+def test_cusum_front_loaded_shift(spark):
+    """Drift at the START of the series: every prefix sum of (x - mean) is
+    non-negative, so the closed form needs the min(0, ...) floor — without
+    it S collapses to 0 everywhere and the shift is never flagged."""
+    from ideafast_etl_spark.operators.timeseries import cusum_drift
+
+    vals = [100.0, 0.0, 0.0, 0.0]  # mean 25; recursion S = [75, 50, 25, 0]
+    rows = [(i, _h(i), 1, v) for i, v in enumerate(vals)]
+    thr = 20.0
+    got = {
+        r["event_id"]: r["drift"]
+        for r in cusum_drift(_ev(spark, rows), threshold=thr).collect()
+    }
+    mean = sum(vals) / len(vals)
+    s, want = 0.0, {}
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - mean))
+        if s > thr:
+            want[i] = s
+    assert want == {0: 75.0, 1: 50.0, 2: 25.0}  # the scenario is real
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-5, (k, got[k], want[k])

@@ -17,6 +17,7 @@ QUERIES = [
     "time_weighted_avg",
     "event_transition_matrix",
     "event_anomaly_zscore",
+    "cusum_drift",
 ]
 
 

@@ -20,6 +20,7 @@ from contextlib import redirect_stdout
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
+from ideafast_etl_spark import plan_audit  # noqa: E402
 from ideafast_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -195,9 +196,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # z-score: moments agg broadcasts back onto the events (bounded: one
     # row per event type); scoring is pure JVM arithmetic
     "event_anomaly_zscore": ["BroadcastHashJoin", "partial_sum", "!BatchEvalPython"],
-    # BFS: returned relation is the checkpointed visited union (lineage
-    # cut per iteration like pagerank); no loops or Python anywhere
-    "supplier_reachability": ["Union", "!CartesianProduct", "!BatchEvalPython"],
+    # BFS (audited un-checkpointed): frontier⋈edges expansion per hop,
+    # visited-set anti-join, union accumulation; no loops or Python
+    "supplier_reachability": ["Union", "LeftAnti", "!CartesianProduct", "!BatchEvalPython"],
     # equi-depth histogram: the only window partitions by __pid (bounded);
     # final rollup is a keyed partial agg
     "value_equidepth_histogram": ["Window", "partial_count", "!BatchEvalPython"],
@@ -237,7 +238,12 @@ def main() -> int:
     for name, markers in EXPECTATIONS.items():
         if only and name not in only:
             continue
-        plan = plan_of(qs[name](spark, SF_DIR))
+        # build + explain inside no_checkpoints(): operators that end in
+        # localCheckpoint otherwise explain as a bare `Scan ExistingRDD`,
+        # making the audit vacuous (markers missing, negatives trivially
+        # true). This returns the full lazy lineage instead.
+        with plan_audit.no_checkpoints():
+            plan = plan_of(qs[name](spark, SF_DIR))
         missing = [
             m
             for m in markers
@@ -262,6 +268,16 @@ def main() -> int:
             "multi-GB broadcast that would OOM the driver. A `BroadcastHashJoin`\n"
             "marker on a customer join therefore documents AQE's *choice at this\n"
             "SF*, not a forced hint.\n\n"
+            "Checkpointed-lineage rule (VERDICT r6): an `expect:` marker list is\n"
+            "only meaningful against a NON-checkpointed plan — a DataFrame ending\n"
+            "in `localCheckpoint` explains as `Scan ExistingRDD`, so positive\n"
+            "markers go MISSING and `!negative` assertions pass vacuously. Plans\n"
+            "below are therefore built under `plan_audit.no_checkpoints()`, which\n"
+            "makes lineage-truncating operators (minhash_near_dup_pairs,\n"
+            "bfs_hops, waterfill_allocation) return their full lazy lineage. Any\n"
+            "NEW operator that calls localCheckpoint/persist before returning\n"
+            "must honor `plan_audit.checkpoints_enabled()` the same way, or its\n"
+            "audit here silently asserts nothing.\n\n"
             + "\n".join(sections)
         )
     print(f"\n{len(failures)} plan audits failed" + (f": {failures}" if failures else ""))
