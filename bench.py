@@ -16,7 +16,10 @@ from ideafast_etl_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 # Headline set: the flagship pipeline chain + the heaviest relational and
-# extension operators. Kept stable across rounds so BENCH_r{N}.json trends.
+# extension operators. The original 14 (r1 surface) stay intact so the
+# cross-round trend holds; EXTENDED adds the heaviest representatives of
+# the r5/r6 batches (the queries that actually dominate the 10x/100x scale
+# sweeps) and is reported as its own labelled subtotal.
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -34,6 +37,13 @@ HEADLINE = [
     "text_stats",
 ]
 
+EXTENDED = [
+    "substring_dup_spans",
+    "supplier_reachability",
+    "timeseries_gapfill",
+    "corpus_prep_e2e",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,7 +54,7 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         fn = qs[name]
         # cold run: plan compile + execute, like the driver sees it
         t0 = time.time()
@@ -65,7 +75,13 @@ def main() -> None:
             f"# {name}: cold {timings[name]}s / warm {warm[name]}s ({n} rows)",
             file=sys.stderr,
         )
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # the headline metric stays the COLD total of the ORIGINAL 14 so the
+    # cross-round trend (BENCH_r1..r6) remains comparable; the extended
+    # batch reports as its own labelled subtotal
+    total = round(sum(timings.get(n, 0.0) for n in HEADLINE if timings.get(n, 0) >= 0), 3)
+    ext_total = round(
+        sum(timings.get(n, 0.0) for n in EXTENDED if timings.get(n, 0) >= 0), 3
+    )
     print(
         json.dumps(
             {
@@ -75,7 +91,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "warm_queries": warm,
-                "warm_total": round(sum(warm.values()), 3),
+                "warm_total": round(sum(warm[n] for n in HEADLINE if n in warm), 3),
+                "extended_queries": EXTENDED,
+                "extended_total": ext_total,
+                "extended_warm_total": round(
+                    sum(warm[n] for n in EXTENDED if n in warm), 3
+                ),
                 "sf": sf,
             }
         )

@@ -282,6 +282,7 @@ def minhash_near_dup_pairs(
         )
         cands = (
             banded.alias("l")
+            .hint("merge")  # band-key self-join: data-sized on both sides
             .join(
                 banded.alias("r"),
                 (F.col("l.band") == F.col("r.band"))
@@ -296,21 +297,26 @@ def minhash_near_dup_pairs(
         )
         ra = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
         rb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
-        # no forced broadcast of `cands`: post-banding candidates are tiny on
-        # normal corpora (AQE converts to broadcast at runtime from the
-        # OBSERVED size), but on an adversarially dup-dense corpus the pair
-        # set is near-quadratic in the duplicate-cluster size and a forced
-        # broadcast would OOM the driver — AQE then keeps the shuffle join
+        # every verify-stage leg is DATA-sized (candidate pairs and shingle
+        # rows both grow with the corpus), so none of these joins may ever
+        # be a broadcast: AQE's observed-size conversion looks safe at
+        # bench SF but the driver-side hash-relation build blows up on the
+        # first corpus where candidates outgrow the estimate (the r7 100x
+        # sweep hit exactly that). The "merge" hint pins shuffle joins —
+        # the plan is then SF-invariant and co-partitioned on the join key
         inter = (
-            cands
-            .join(ra, "id_a")
-            .join(rb, ["id_b", "shingle"])
+            cands.hint("merge")
+            .join(ra.hint("merge"), "id_a")
+            .join(rb.hint("merge"), ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
+        sz = lambda side: sizes.select(  # noqa: E731
+            F.col(id_col).alias(f"id_{side}"), F.col("n_sh").alias(f"n_{side}")
+        ).hint("merge")
         verified = (
-            inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-            .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+            inter.join(sz("a"), "id_a")
+            .join(sz("b"), "id_b")
             .withColumn(
                 "jaccard_sim",
                 F.round(
