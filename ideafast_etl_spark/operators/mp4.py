@@ -176,10 +176,11 @@ def is_mp4(b: bytes) -> bool:
 
 
 def demux_mp4(b: bytes) -> list[bytes] | None:
-    """Demux a Motion-JPEG MP4/MOV into per-frame JPEG byte strings; None
-    for non-BMFF input, codecs needing a real codec library (H.26x/MPEG-4
-    part 2), or malformed sample tables — never raises (untrusted binary
-    column contract)."""
+    """Demux a Motion-JPEG or mp4v MP4/MOV into per-frame byte strings
+    (JPEG images or MPEG-4 Part 2 access units, both recognized by
+    ``multimodal._decode_any_image``); None for non-BMFF input, codecs
+    needing a real codec library (H.26x), or malformed sample tables —
+    never raises (untrusted binary column contract)."""
     try:
         if not is_mp4(b):
             return None
@@ -187,13 +188,18 @@ def demux_mp4(b: bytes) -> list[bytes] | None:
         if track is None:
             return None
         (entry_fourcc, _w, _h, sizes, stsc, offsets, _dur), _ts = track
-        if entry_fourcc not in _JPEG_FOURCC:
-            return None  # avc1/hvc1/mp4v… genuinely need a codec library
+        if entry_fourcc not in _JPEG_FOURCC and entry_fourcc != b"mp4v":
+            return None  # avc1/hvc1… genuinely need a codec library
         ranges = _sample_ranges(sizes, stsc, offsets)
         if ranges is None:
             return None
         frames = [b[o : o + sz] for o, sz in ranges]
-        if any(len(f) < 2 or f[:2] != b"\xff\xd8" for f in frames):
+        magic = (
+            (lambda f: len(f) >= 3 and f[:3] == b"\x00\x00\x01")
+            if entry_fourcc == b"mp4v"
+            else (lambda f: len(f) >= 2 and f[:2] == b"\xff\xd8")
+        )
+        if any(not magic(f) for f in frames):
             return None
         return frames
     except (struct.error, IndexError, ValueError):
@@ -244,17 +250,27 @@ def encode_mp4(
     frames_px: list[np.ndarray],
     fps: int = 25,
     audio_track: bool = False,
+    codec: str = "jpeg",
+    qp: int = 4,
 ) -> bytes:
-    """Mux HxWx3 uint8 BGR frames as a Motion-JPEG ('jpeg' sample entry)
-    MP4. Video samples are laid out in chunks of up to 2 (so the stsc run
-    expansion is exercised); ``audio_track`` interleaves a mono 8 kHz
-    16-bit PCM ('twos') track chunk-by-chunk ahead of the video chunks —
-    the demuxer's hdlr-based track selection must skip it."""
-    from .jpeg import encode_jpeg_baseline
-
+    """Mux HxWx3 uint8 BGR frames as an MP4. ``codec='jpeg'`` (default)
+    writes Motion-JPEG ('jpeg' sample entry); ``codec='mp4v'`` writes
+    MPEG-4 Part 2 intra access units (mpeg4.py) under an 'mp4v' sample
+    entry with a minimal esds carrying the VOS..VOL config. Video samples
+    are laid out in chunks of up to 2 (so the stsc run expansion is
+    exercised); ``audio_track`` interleaves a mono 8 kHz 16-bit PCM
+    ('twos') track chunk-by-chunk ahead of the video chunks — the
+    demuxer's hdlr-based track selection must skip it."""
     assert frames_px, "need at least one frame"
     h, w = frames_px[0].shape[:2]
-    payloads = [encode_jpeg_baseline(px) for px in frames_px]
+    if codec == "mp4v":
+        from .mpeg4 import encode_mp4v_intra_frame
+
+        payloads = [encode_mp4v_intra_frame(px, qp=qp) for px in frames_px]
+    else:
+        from .jpeg import encode_jpeg_baseline
+
+        payloads = [encode_jpeg_baseline(px) for px in frames_px]
     n = len(payloads)
     samples_per_aud_chunk = max(1, 8000 // fps) * 2  # bytes (1 sample/chunk)
 
@@ -302,9 +318,33 @@ def encode_mp4(
         _full(b"dref", 0, struct.pack(">I", 1) + _full(b"url ", 1, b"")),
     )
 
-    compressor = b"\x0bMotion JPEG".ljust(32, b"\x00")
+    if codec == "mp4v":
+        compressor = b"\x05mpeg4".ljust(32, b"\x00")
+        # minimal MP4 systems descriptors: ES_Descr > DecoderConfigDescr
+        # (objectTypeIndication 0x20 = MPEG-4 Visual) > DecSpecificInfo
+        # (the in-band VOS..VOL config bytes) + SLConfigDescr(2)
+        cfg = payloads[0]
+        vop = cfg.find(b"\x00\x00\x01\xb6")
+        dsi = cfg[: vop if vop > 0 else 0]
+
+        def _desc(tag: int, body: bytes) -> bytes:
+            assert len(body) < 128
+            return bytes([tag, len(body)]) + body
+
+        dec_cfg = _desc(
+            0x04,
+            bytes([0x20, (0x04 << 2) | 1])
+            + b"\x00\x00\x00"  # bufferSizeDB
+            + struct.pack(">II", 0, 0)  # max/avg bitrate
+            + _desc(0x05, dsi),
+        )
+        es = _desc(0x03, struct.pack(">HB", 1, 0) + dec_cfg + _desc(0x06, b"\x02"))
+        extra = _full(b"esds", 0, es)
+    else:
+        compressor = b"\x0bMotion JPEG".ljust(32, b"\x00")
+        extra = b""
     visual_entry = _box(
-        b"jpeg",
+        b"mp4v" if codec == "mp4v" else b"jpeg",
         b"\x00" * 6
         + struct.pack(">H", 1)  # data_reference_index
         + struct.pack(">HH", 0, 0)
@@ -314,7 +354,8 @@ def encode_mp4(
         + struct.pack(">I", 0)
         + struct.pack(">H", 1)  # frame_count per sample
         + compressor
-        + struct.pack(">Hh", 0x0018, -1),
+        + struct.pack(">Hh", 0x0018, -1)
+        + extra,
     )
     stsd_v = _full(b"stsd", 0, struct.pack(">I", 1) + visual_entry)
     stts_v = _full(b"stts", 0, struct.pack(">III", 1, n, 1))

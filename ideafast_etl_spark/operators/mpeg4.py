@@ -1,0 +1,606 @@
+"""Pure-python/numpy MPEG-4 Part 2 (ISO/IEC 14496-2) INTRA codec subset.
+
+The container has no libavcodec, so the mp4v rung is implemented from the
+public specification the same way ``jpeg.py`` implements T.81: this module
+encodes and decodes I-VOP-only Simple-Profile elementary streams —
+VOS/VO/VOL/VOP headers, the I-VOP macroblock layer (MCBPC/CBPY VLCs,
+per-block gradient DC prediction with dc_scaler, H.263-style inverse
+quantization), 4:2:0 chroma, and the 8x8 DCT shared with the JPEG codec.
+
+Honest scope (the codec gate narrows, it does not vanish):
+
+- AC coefficients are coded with the spec's fixed-length ESCAPE (type 3:
+  ESCAPE + "11" + last/run/marker/12-bit-level/marker). That is a legal
+  MPEG-4 bitstream any conformant decoder accepts, and this decoder fully
+  decodes any stream that uses it — but the ~100-entry intra TCOEF VLC
+  table (spec table B-16) is NOT implemented, so third-party streams that
+  use VLC-coded coefficients still return None and hit ``_require_codec``
+  upstream. Reproducing an empirical Huffman table without the spec text
+  in the container risks a silently-wrong-but-round-trip-consistent
+  implementation, which would be worse than the explicit gate.
+- I-VOP only (vop_coding_type 0): P/B prediction needs motion
+  compensation and the inter tables — out of scope, returns None.
+- quant_type=0 (H.263 inverse quant), rectangular shape, progressive,
+  8-bit, no data partitioning, ac_pred_flag=0. Unsupported header values
+  return None rather than guessing.
+
+Start-code emulation prevention does not exist in Part 2 video; frames
+here are length-delimited by the MP4 sample table (each sample is one
+self-contained VOS..VOP access unit), so in-payload zero runs are safe.
+
+Like the other from-spec codecs this is the *codec* half only — the
+distributed plumbing (Arrow ``mapInPandas``, no driver collection) lives
+in ``multimodal.py``; a production deployment swaps these functions for
+libavcodec bindings without touching Spark code.
+
+Reference parity note: the reference moves opaque binary payloads without
+decoding (/root/reference/ideafast_etl/hooks/drm.py binary leg); video
+decode is this repo's LLM-extension surface, not a reference port.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .jpeg import _idct, _fdct, _ZIGZAG
+
+# --------------------------------------------------------------------------
+# bit I/O (MSB first; no byte stuffing in Part 2 video)
+# --------------------------------------------------------------------------
+
+
+class _BW:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def put(self, n: int, v: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def put_str(self, s: str) -> None:
+        self.bits.extend(1 if c == "1" else 0 for c in s)
+
+    def align_stuff(self) -> None:
+        """next_start_code() stuffing: one 0 then 1s to the byte boundary
+        (a full '01111111' byte if already aligned)."""
+        self.bits.append(0)
+        while len(self.bits) % 8:
+            self.bits.append(1)
+
+    def bytes(self) -> bytes:
+        assert len(self.bits) % 8 == 0
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+class _BR:
+    def __init__(self, data: bytes, pos_bits: int = 0) -> None:
+        self.d = data
+        self.p = pos_bits
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.d[self.p >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.p & 7))) & 1)
+            self.p += 1
+        return v
+
+    def read_vlc(self, lut: dict[tuple[int, int], int], max_len: int) -> int:
+        code, ln = 0, 0
+        while ln < max_len:
+            code = (code << 1) | self.read(1)
+            ln += 1
+            if (ln, code) in lut:
+                return lut[(ln, code)]
+        raise ValueError("bad VLC")
+
+
+def _lut(table: dict[int, str]) -> dict[tuple[int, int], int]:
+    return {(len(c), int(c, 2)): v for v, c in table.items()}
+
+
+# --------------------------------------------------------------------------
+# VLC tables (14496-2 / H.263 intra pictures)
+# --------------------------------------------------------------------------
+
+# MCBPC for I-VOPs (mb_type 3 = intra, 4 = intra+q), value = (type, cbpc)
+_MCBPC_I = {
+    (3, 0b00): "1",
+    (3, 0b01): "001",
+    (3, 0b10): "010",
+    (3, 0b11): "011",
+    (4, 0b00): "0001",
+    (4, 0b01): "000001",
+    (4, 0b10): "000010",
+    (4, 0b11): "000011",
+}
+_MCBPC_I_DEC = {(len(c), int(c, 2)): v for v, c in _MCBPC_I.items()}
+
+# CBPY (intra sense): value = 4-bit coded-block pattern for Y0..Y3
+_CBPY = {
+    0b0000: "0011",
+    0b0001: "00101",
+    0b0010: "00100",
+    0b0011: "1001",
+    0b0100: "00011",
+    0b0101: "0111",
+    0b0110: "000010",
+    0b0111: "1011",
+    0b1000: "00010",
+    0b1001: "000011",
+    0b1010: "0101",
+    0b1011: "1010",
+    0b1100: "0100",
+    0b1101: "1000",
+    0b1110: "0110",
+    0b1111: "11",
+}
+_CBPY_DEC = _lut(_CBPY)
+
+# intra DC size VLCs (tables B-13 / B-14)
+_DC_SIZE_LUMA = {
+    0: "011", 1: "11", 2: "10", 3: "010", 4: "001", 5: "0001", 6: "00001",
+    7: "000001", 8: "0000001", 9: "00000001", 10: "000000001",
+    11: "0000000001", 12: "00000000001",
+}
+_DC_SIZE_CHROMA = {
+    0: "11", 1: "10", 2: "01", 3: "001", 4: "0001", 5: "00001", 6: "000001",
+    7: "0000001", 8: "00000001", 9: "000000001", 10: "0000000001",
+    11: "00000000001", 12: "000000000001",
+}
+_DC_LUMA_DEC = _lut(_DC_SIZE_LUMA)
+_DC_CHROMA_DEC = _lut(_DC_SIZE_CHROMA)
+
+_ESCAPE = "0000011"  # TCOEF ESCAPE prefix (7 bits)
+
+_TIME_RES = 25
+_TIME_BITS = 5  # bits to code 0.._TIME_RES-1
+
+
+def _dc_scaler(qp: int, luma: bool) -> int:
+    if luma:
+        if qp <= 4:
+            return 8
+        if qp <= 8:
+            return 2 * qp
+        if qp <= 24:
+            return qp + 8
+        return 2 * qp - 16
+    if qp <= 4:
+        return 8
+    if qp <= 24:
+        return (qp + 13) // 2
+    return qp - 6
+
+
+def _rdiv(a: int, b: int) -> int:
+    """Integer division rounding to nearest, half away from zero (the
+    spec's `//` operator, used by DC prediction)."""
+    if a >= 0:
+        return (a + b // 2) // b
+    return -((-a + b // 2) // b)
+
+
+# --------------------------------------------------------------------------
+# color / plane helpers (Rec.601 full range, shared with jpeg.py's math)
+# --------------------------------------------------------------------------
+
+
+def _bgr_to_planes(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    b = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    r = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _planes_to_bgr(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cbu = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)[: y.shape[0], : y.shape[1]]
+    cru = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)[: y.shape[0], : y.shape[1]]
+    r = y + 1.402 * (cru - 128.0)
+    g = y - 0.344136 * (cbu - 128.0) - 0.714136 * (cru - 128.0)
+    b = y + 1.772 * (cbu - 128.0)
+    return np.stack(
+        [
+            np.clip(np.rint(b), 0, 255),
+            np.clip(np.rint(g), 0, 255),
+            np.clip(np.rint(r), 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _pad16(p: np.ndarray) -> np.ndarray:
+    h, w = p.shape
+    ph, pw = -h % 16, -w % 16
+    return np.pad(p, ((0, ph), (0, pw)), mode="edge")
+
+
+# --------------------------------------------------------------------------
+# block layer
+# --------------------------------------------------------------------------
+
+
+def _quant_block(coefs: np.ndarray, qp: int, dc_scaler: int) -> np.ndarray:
+    """Forward quant (encoder side, H.263 style): DC by dc_scaler, AC by
+    truncating division by 2*QP."""
+    q = np.zeros(64, dtype=np.int64)
+    zz = coefs.reshape(64)[_ZIGZAG]
+    q[0] = _rdiv(int(round(zz[0])), dc_scaler)
+    ac = zz[1:]
+    mag = np.floor(np.abs(ac) / (2.0 * qp)).astype(np.int64)
+    q[1:] = np.sign(ac).astype(np.int64) * mag
+    return np.clip(q, -2047, 2047)
+
+
+def _dequant_ac(level: int, qp: int) -> int:
+    if level == 0:
+        return 0
+    mag = qp * (2 * abs(level) + 1)
+    if qp % 2 == 0:
+        mag -= 1
+    rec = mag if level > 0 else -mag
+    return max(-2048, min(2047, rec))
+
+
+def _write_dc(bw: _BW, diff: int, luma: bool) -> None:
+    size = 0 if diff == 0 else int(abs(diff)).bit_length()
+    bw.put_str((_DC_SIZE_LUMA if luma else _DC_SIZE_CHROMA)[size])
+    if size:
+        add = diff if diff > 0 else diff + (1 << size) - 1
+        bw.put(size, add)
+        if size > 8:
+            bw.put(1, 1)  # marker
+
+
+def _read_dc(br: _BR, luma: bool) -> int:
+    size = br.read_vlc(_DC_LUMA_DEC if luma else _DC_CHROMA_DEC, 12)
+    if size == 0:
+        return 0
+    add = br.read(size)
+    if size > 8 and br.read(1) != 1:
+        raise ValueError("missing DC marker")
+    if add >> (size - 1):
+        return add
+    return add - ((1 << size) - 1)
+
+
+def _write_ac(bw: _BW, q: np.ndarray) -> bool:
+    """Emit the AC run-level events of a quantized block as type-3 (FLC)
+    escapes; returns True if any AC coefficient was coded."""
+    nz = [i for i in range(1, 64) if q[i]]
+    if not nz:
+        return False
+    run = 0
+    for pos, i in enumerate(range(1, 64)):
+        lv = int(q[i])
+        if lv == 0:
+            run += 1
+            continue
+        last = 1 if i == nz[-1] else 0
+        bw.put_str(_ESCAPE)
+        bw.put_str("11")  # escape type 3: fixed length codes
+        bw.put(1, last)
+        bw.put(6, run)
+        bw.put(1, 1)  # marker
+        bw.put(12, lv & 0xFFF)  # 12-bit two's complement, never 0/-2048
+        bw.put(1, 1)  # marker
+        run = 0
+        if last:
+            break
+    return True
+
+
+def _read_ac(br: _BR, q: np.ndarray, qp: int) -> None:
+    """Decode run-level events into zigzag positions 1..63 (FLC escapes
+    only — a VLC-coded coefficient means the stream needs the full B-16
+    table and the frame is rejected)."""
+    pos = 1
+    while True:
+        for c in _ESCAPE:
+            if br.read(1) != int(c):
+                raise NotImplementedError("mp4v VLC-coded AC coefficient")
+        if br.read(1) != 1 or br.read(1) != 1:
+            raise NotImplementedError("mp4v escape type 1/2 coefficient")
+        last = br.read(1)
+        run = br.read(6)
+        if br.read(1) != 1:
+            raise ValueError("bad escape marker")
+        lv = br.read(12)
+        if lv >= 2048:
+            lv -= 4096
+        if br.read(1) != 1:
+            raise ValueError("bad escape marker")
+        if lv == 0:
+            raise ValueError("zero escape level")
+        pos += run
+        if pos > 63:
+            raise ValueError("AC run overflow")
+        q[pos] = _dequant_ac(lv, qp)
+        pos += 1
+        if last:
+            return
+
+
+def _grad_pred(fa: int, fb: int, fc: int) -> int:
+    """Gradient DC predictor: predict from C (above) if the horizontal
+    gradient |A-B| is smaller, else from A (left)."""
+    return fc if abs(fa - fb) < abs(fb - fc) else fa
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+
+
+def encode_mp4v_intra_frame(px: np.ndarray, qp: int = 4) -> bytes:
+    """Encode one HxWx3 uint8 BGR frame (or HxW grayscale) as a fully
+    self-contained MPEG-4 Part 2 access unit: VOS + visual_object + VO +
+    VOL + one I-VOP. Headers repeat per sample so every MP4 sample decodes
+    independently. ``qp<=4`` keeps dc_scaler at 8, which makes flat frames
+    exactly recoverable (DC of a constant 8x8 block is 8*value) — the
+    property the differential oracle relies on, mirroring jpeg's q=8."""
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    h_img, w_img = px.shape[:2]
+    assert 1 <= qp <= 31
+    yf, cbf, crf = _bgr_to_planes(px)
+    yp = _pad16(yf)
+    cbp = _pad16(_sub420(cbf))[: yp.shape[0] // 2, : yp.shape[1] // 2]
+    crp = _pad16(_sub420(crf))[: yp.shape[0] // 2, : yp.shape[1] // 2]
+    mb_h, mb_w = yp.shape[0] // 16, yp.shape[1] // 16
+
+    bw = _BW()
+    # --- VOS / visual_object / VO / VOL -----------------------------------
+    bw.put(32, 0x000001B0)
+    bw.put(8, 0x08)  # profile_and_level_indication: SP@L0
+    bw.put(32, 0x000001B5)
+    bw.put(1, 0)  # is_visual_object_identifier
+    bw.put(4, 1)  # visual_object_type: video
+    bw.put(1, 0)  # video_signal_type
+    bw.align_stuff()
+    bw.put(32, 0x00000100)  # video_object start code (id 0)
+    bw.put(32, 0x00000120)  # VOL start code (id 0)
+    bw.put(1, 1)  # random_accessible_vol (all-intra)
+    bw.put(8, 1)  # video_object_type_indication: simple
+    bw.put(1, 0)  # is_object_layer_identifier
+    bw.put(4, 1)  # aspect_ratio_info: square
+    bw.put(1, 0)  # vol_control_parameters
+    bw.put(2, 0)  # shape: rectangular
+    bw.put(1, 1)  # marker
+    bw.put(16, _TIME_RES)
+    bw.put(1, 1)  # marker
+    bw.put(1, 0)  # fixed_vop_rate
+    bw.put(1, 1)  # marker
+    bw.put(13, w_img)
+    bw.put(1, 1)  # marker
+    bw.put(13, h_img)
+    bw.put(1, 1)  # marker
+    bw.put(1, 0)  # interlaced
+    bw.put(1, 1)  # obmc_disable
+    bw.put(1, 0)  # sprite_enable
+    bw.put(1, 0)  # not_8_bit
+    bw.put(1, 0)  # quant_type: H.263
+    bw.put(1, 1)  # complexity_estimation_disable
+    bw.put(1, 1)  # resync_marker_disable
+    bw.put(1, 0)  # data_partitioned
+    bw.put(1, 0)  # scalability
+    bw.align_stuff()
+    # --- VOP ----------------------------------------------------------------
+    bw.put(32, 0x000001B6)
+    bw.put(2, 0)  # I-VOP
+    bw.put(1, 0)  # modulo_time_base terminator
+    bw.put(1, 1)  # marker
+    bw.put(_TIME_BITS, 0)  # vop_time_increment
+    bw.put(1, 1)  # marker
+    bw.put(1, 1)  # vop_coded
+    bw.put(3, 0)  # intra_dc_vlc_thr: DC VLC for all QP
+    bw.put(5, qp)  # vop_quant
+
+    dcs_l, dcs_c = _dc_scaler(qp, True), _dc_scaler(qp, False)
+    # reconstructed DC stores for prediction (spec: missing neighbor=1024)
+    fl = np.full((2 * mb_h + 1, 2 * mb_w + 1), 1024, dtype=np.int64)
+    fcb = np.full((mb_h + 1, mb_w + 1), 1024, dtype=np.int64)
+    fcr = np.full((mb_h + 1, mb_w + 1), 1024, dtype=np.int64)
+
+    def block_bits(plane, bx, by, store, scaler):
+        """Quantize one 8x8 block, return (dc_diff, q, recon_dc)."""
+        blk = plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
+        q = _quant_block(_fdct(blk), qp, scaler)
+        f_rec = int(q[0]) * scaler
+        fa = store[by + 1, bx]      # left
+        fb = store[by, bx]          # above-left
+        fc = store[by, bx + 1]      # above
+        pred = _rdiv(_grad_pred(int(fa), int(fb), int(fc)), scaler)
+        store[by + 1, bx + 1] = f_rec
+        return int(q[0]) - pred, q
+
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            yq, ydiff = [], []
+            for j in range(4):
+                by, bx = 2 * my + j // 2, 2 * mx + j % 2
+                d, q = block_bits(yp, bx, by, fl, dcs_l)
+                ydiff.append(d)
+                yq.append(q)
+            dcb, qcb = block_bits(cbp, mx, my, fcb, dcs_c)
+            dcr, qcr = block_bits(crp, mx, my, fcr, dcs_c)
+            cbpy = 0
+            for j in range(4):
+                if np.any(yq[j][1:]):
+                    cbpy |= 8 >> j
+            cbpc = (2 if np.any(qcb[1:]) else 0) | (1 if np.any(qcr[1:]) else 0)
+            bw.put_str(_MCBPC_I[(3, cbpc)])
+            bw.put(1, 0)  # ac_pred_flag
+            bw.put_str(_CBPY[cbpy])
+            # spec block order: Y0..Y3, Cb, Cr — DC then ACs per block
+            for j in range(4):
+                _write_dc(bw, ydiff[j], True)
+                if cbpy & (8 >> j):
+                    _write_ac(bw, yq[j])
+            _write_dc(bw, dcb, False)
+            if cbpc & 2:
+                _write_ac(bw, qcb)
+            _write_dc(bw, dcr, False)
+            if cbpc & 1:
+                _write_ac(bw, qcr)
+    bw.align_stuff()
+    return bw.bytes()
+
+
+def _sub420(p: np.ndarray) -> np.ndarray:
+    pe = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+    return (pe[0::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 0::2] + pe[1::2, 1::2]) / 4.0
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+
+def is_mp4v(b: bytes) -> bool:
+    return len(b) > 4 and b[:3] == b"\x00\x00\x01" and b[3] in (0xB0, 0xB6, 0x20)
+
+
+def _find_start(b: bytes, pos: int, code_pred) -> int | None:
+    while True:
+        i = b.find(b"\x00\x00\x01", pos)
+        if i < 0 or i + 3 >= len(b):
+            return None
+        if code_pred(b[i + 3]):
+            return i
+        pos = i + 3
+
+
+def decode_mp4v_intra(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Decode a self-contained mp4v intra access unit → (width, height,
+    HxWx3 uint8 BGR); None for malformed input or for streams using
+    features outside the implemented subset (P/B VOPs, MPEG quant,
+    VLC-coded AC coefficients, non-rectangular shape) — the caller's
+    ``_require_codec`` gate reports those."""
+    try:
+        vol = _find_start(b, 0, lambda c: 0x20 <= c <= 0x2F)
+        vop = _find_start(b, 0, lambda c: c == 0xB6)
+        if vol is None or vop is None:
+            return None
+        br = _BR(b, (vol + 4) * 8)
+        br.read(1)  # random_accessible_vol
+        if br.read(8) != 1:  # video_object_type_indication: simple only
+            return None
+        if br.read(1):  # is_object_layer_identifier
+            br.read(7)
+        if br.read(4) == 0xF:  # extended PAR
+            br.read(16)
+        if br.read(1):  # vol_control_parameters: unsupported layout
+            return None
+        if br.read(2) != 0:  # shape must be rectangular
+            return None
+        br.read(1)
+        time_res = br.read(16)
+        br.read(1)
+        if br.read(1):  # fixed_vop_rate → fixed_vop_time_increment
+            br.read(max(1, (max(time_res - 1, 1)).bit_length()))
+        br.read(1)
+        w_img = br.read(13)
+        br.read(1)
+        h_img = br.read(13)
+        br.read(1)
+        if br.read(1):  # interlaced
+            return None
+        br.read(1)  # obmc_disable
+        if br.read(1):  # sprite_enable
+            return None
+        if br.read(1):  # not_8_bit
+            return None
+        if br.read(1):  # quant_type 1 (MPEG tables) unsupported
+            return None
+        if not br.read(1):  # complexity_estimation enabled: unsupported
+            return None
+        br.read(1)  # resync_marker_disable
+        if br.read(1):  # data_partitioned
+            return None
+        if br.read(1):  # scalability
+            return None
+        if not (0 < w_img <= 8192 and 0 < h_img <= 8192):
+            return None
+
+        br = _BR(b, (vop + 4) * 8)
+        if br.read(2) != 0:  # I-VOP only
+            return None
+        while br.read(1) == 1:  # modulo_time_base
+            pass
+        br.read(1)  # marker
+        br.read(max(1, (max(time_res - 1, 1)).bit_length()))  # time increment
+        br.read(1)  # marker
+        if br.read(1) != 1:  # vop_coded
+            return None
+        br.read(3)  # intra_dc_vlc_thr (DC VLC assumed; thr>0 with high QP
+        # would switch DC into the AC table, which the subset rejects via
+        # the AC path anyway)
+        qp = br.read(5)
+        if qp == 0:
+            return None
+
+        mb_h, mb_w = -(-h_img // 16), -(-w_img // 16)
+        dcs_l, dcs_c = _dc_scaler(qp, True), _dc_scaler(qp, False)
+        yp = np.zeros((16 * mb_h, 16 * mb_w))
+        cbp_ = np.zeros((8 * mb_h, 8 * mb_w))
+        crp_ = np.zeros((8 * mb_h, 8 * mb_w))
+        fl = np.full((2 * mb_h + 1, 2 * mb_w + 1), 1024, dtype=np.int64)
+        fcb = np.full((mb_h + 1, mb_w + 1), 1024, dtype=np.int64)
+        fcr = np.full((mb_h + 1, mb_w + 1), 1024, dtype=np.int64)
+
+        def decode_block(plane, bx, by, store, scaler, luma, coded, cur_qp):
+            q = np.zeros(64, dtype=np.int64)
+            diff = _read_dc(br, luma)
+            fa, fb, fc = store[by + 1, bx], store[by, bx], store[by, bx + 1]
+            pred = _rdiv(_grad_pred(int(fa), int(fb), int(fc)), scaler)
+            qdc = pred + diff
+            store[by + 1, bx + 1] = qdc * scaler
+            q[0] = qdc * scaler
+            if coded:
+                _read_ac(br, q, cur_qp)
+            blk = np.zeros((8, 8))
+            blk.reshape(64)[_ZIGZAG] = np.clip(q, -2048, 2047)
+            plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = _idct(blk)
+
+        for my in range(mb_h):
+            for mx in range(mb_w):
+                mb_type, cbpc = br.read_vlc(_MCBPC_I_DEC, 9)
+                cur_qp = qp
+                if br.read(1):  # ac_pred_flag
+                    raise NotImplementedError("mp4v ac_pred")
+                cbpy = br.read_vlc(_CBPY_DEC, 6)
+                if mb_type == 4:
+                    dq = br.read(2)
+                    cur_qp = max(1, min(31, qp + (-1, -2, 1, 2)[dq]))
+                # spec block order: Y0..Y3, Cb, Cr — each block's DC
+                # immediately followed by its AC events when coded
+                for j in range(4):
+                    by, bx = 2 * my + j // 2, 2 * mx + j % 2
+                    decode_block(
+                        yp, bx, by, fl, dcs_l, True,
+                        bool(cbpy & (8 >> j)), cur_qp,
+                    )
+                decode_block(
+                    cbp_, mx, my, fcb, dcs_c, False, bool(cbpc & 2), cur_qp
+                )
+                decode_block(
+                    crp_, mx, my, fcr, dcs_c, False, bool(cbpc & 1), cur_qp
+                )
+        y = np.clip(np.rint(yp[:h_img, :w_img]), 0, 255)
+        cbf = np.clip(np.rint(cbp_), 0, 255)
+        crf = np.clip(np.rint(crp_), 0, 255)
+        return w_img, h_img, _planes_to_bgr(y, cbf, crf)
+    except NotImplementedError:
+        return None
+    except (IndexError, ValueError):
+        return None

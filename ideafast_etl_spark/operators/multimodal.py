@@ -27,14 +27,19 @@ bytes. Codec coverage is split honestly by what the container can decode:
   compressed-audio feature extraction and resampling genuinely decode
   bytes; M-JPEG AVI decodes via ``avi.py`` demux + the ``jpeg.py``
   decoder (the one compressed-video codec needing no external library).
+- REAL (subset): MPEG-4 Part 2 INTRA video (``mpeg4.py`` — VOL/VOP
+  headers, MCBPC/CBPY/DC VLCs, gradient DC prediction, H.263 inverse
+  quant, FLC-escaped AC coefficients) decodes I-VOP 'mp4v' tracks
+  end-to-end; streams using the B-16 AC VLC table or P/B prediction
+  still gate (see mpeg4.py's honest-scope note).
 - STUBBED behind ``_require_codec``: compressed-video BITSTREAMS beyond
-  M-JPEG (H.26x/MPEG-4 part 2 — the AVI and MP4/MOV containers themselves
-  demux for real via ``avi.py``/``mp4.py``) and MP3 audio, which need
-  PyAV/ffmpeg absent here. The stubs either raise
-  ``NotImplementedError`` (real decode requested) or produce a
-  deterministic fake (pipeline testing). Swapping in the library changes
-  only the inner function — the distributed shape (Arrow batches, no
-  driver collection, spill-safe batch sizes) stays.
+  M-JPEG and intra mp4v (H.26x, inter-coded MPEG-4 — the AVI and
+  MP4/MOV containers themselves demux for real via ``avi.py``/
+  ``mp4.py``) and MP3 audio, which need PyAV/ffmpeg absent here. The
+  stubs either raise ``NotImplementedError`` (real decode requested) or
+  produce a deterministic fake (pipeline testing). Swapping in the
+  library changes only the inner function — the distributed shape
+  (Arrow batches, no driver collection, spill-safe batch sizes) stays.
 
 Scale posture: content bytes never hit the driver; each executor processes
 Arrow record batches (spark.sql.execution.arrow.maxRecordsPerBatch bounds
@@ -169,6 +174,10 @@ def _decode_any_image(content: bytes) -> tuple[int, int, np.ndarray] | None:
         from .tiff import decode_tiff
 
         decoded = decode_tiff(content)
+    if decoded is None and content[:3] == b"\x00\x00\x01":
+        from .mpeg4 import decode_mp4v_intra
+
+        decoded = decode_mp4v_intra(content)
     return decoded
 
 

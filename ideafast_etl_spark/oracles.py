@@ -1585,6 +1585,23 @@ WHERE doc_id < 200
 ORDER BY doc_id, frame_idx
 """
 
+# mp4v (MPEG-4 Part 2 intra) leg: qp=4 puts dc_scaler at 8, so the DC of a
+# flat block quantizes losslessly and the decoded frame equals the input —
+# the same closed-form replay as the M-JPEG leg, over the real bitstream
+# decoder (VLC tables + DC prediction + dequant + IDCT).
+ORACLES["mp4v_frame_sample"] = """
+SELECT doc_id,
+  CAST(j AS INT) AS frame_idx,
+  CAST(2 + doc_id % 5 AS INT) AS width,
+  CAST(1 + doc_id % 3 AS INT) AS height,
+  ROUND((0.114*((doc_id*13 + j*29) % 256)
+       + 0.587*((doc_id*13 + j*29) % 256)
+       + 0.299*((doc_id*13 + j*29) % 256)) / 255.0, 6) AS mean_luma
+FROM documents, LATERAL unnest(generate_series(0, doc_id % 4, 2)) AS g(j)
+WHERE doc_id < 200
+ORDER BY doc_id, frame_idx
+"""
+
 # Index-only MP4 metadata: codec/geometry/frames/duration are all exact
 # integers (duration = n_frames/25 at media timescale 25).
 ORACLES["mp4_stream_info"] = """

@@ -2595,11 +2595,15 @@ def span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mp4_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic Motion-JPEG MP4 fixtures, one clip per doc_id < 200:
+def _mp4_clips(
+    spark: SparkSession, sf_dir: str, codec: str = "jpeg"
+) -> DataFrame:
+    """Deterministic MP4 fixtures, one clip per doc_id < 200:
     1-4 flat gray frames (value (i*13 + j*29) % 256), w=2+i%5, h=1+i%3;
     every even doc gets an interleaved PCM audio track FIRST in moov, so
-    hdlr-based track selection is load-bearing."""
+    hdlr-based track selection is load-bearing. ``codec`` selects the
+    sample payloads: Motion-JPEG ('jpeg') or MPEG-4 Part 2 intra
+    ('mp4v', qp=4 so flat frames are exactly recoverable)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -2628,7 +2632,10 @@ def _mp4_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {
                         "doc_id": int(i),
                         "content": M.encode_mp4(
-                            frames, fps=25, audio_track=bool(i % 2 == 0)
+                            frames,
+                            fps=25,
+                            audio_track=bool(i % 2 == 0),
+                            codec=codec,
                         ),
                     }
                 )
@@ -2650,6 +2657,29 @@ def mp4_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import multimodal as mm
 
     clips = _mp4_clips(spark, sf_dir)
+    feats = mm.video_frame_features(clips, every_n=2, id_col="doc_id")
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register("mp4v_frame_sample")
+def mp4v_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-4 Part 2 INTRA decode e2e (§2.13, the r7 codec rung): the same
+    BMFF demux as mp4_frame_sample but with 'mp4v' sample entries — every
+    2nd I-VOP is decoded from the bitstream by the from-spec subset codec
+    (operators/mpeg4.py: VOL/VOP headers, MCBPC/CBPY/DC VLCs, gradient DC
+    prediction, H.263 dequant, IDCT). qp=4 keeps dc_scaler at 8 so flat
+    frames reconstruct exactly and the oracle replays (frame_idx, width,
+    height, luma) in closed form — a VLC table error, DC-prediction
+    drift, or dequant mistake all mismatch."""
+    from .operators import multimodal as mm
+
+    clips = _mp4_clips(spark, sf_dir, codec="mp4v")
     feats = mm.video_frame_features(clips, every_n=2, id_col="doc_id")
     return feats.select(
         "doc_id",

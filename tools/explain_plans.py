@@ -102,6 +102,7 @@ EXPECTATIONS: dict[str, list[str]] = {
     # multimodal demux/decode is Arrow-batched mapInPandas (the correct
     # posture — no JVM builtin decodes JPEG/BMFF)
     "mp4_frame_sample": ["MapInPandas"],
+    "mp4v_frame_sample": ["MapInPandas"],
     "mp3_stream_info": ["MapInPandas"],
     "webm_stream_info": ["MapInPandas"],
     "ogg_stream_info": ["MapInPandas"],
