@@ -53,6 +53,8 @@ keeping the fixed-point update stages unchanged.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -220,6 +222,154 @@ def kmeans_assign(
     return assign
 
 
+def kmeans_assign_hierarchical(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 5,
+    target_cluster_size: int = DEFAULT_TARGET_CLUSTER_SIZE,
+) -> DataFrame:
+    """Two-level spherical k-means for the auto-k (production) path.
+
+    The flat assign stage is ``pts ⋈ centroids`` = n·k distance work per
+    iteration; with k = n/target that is O(n²/target) — the r7 100x sweep
+    measured exactly that (semantic_dedup_auto 7.3 s → 211 s for 10x more
+    vectors). Splitting k into k1·k2 with k1 ≈ k2 ≈ √k and clustering
+    hierarchically — k1 coarse clusters over the corpus, then k2
+    sub-clusters WITHIN each coarse cluster, centroids keyed (c1, scid)
+    and the sub-assign joining on (c1, pos) so each point only meets its
+    own coarse cluster's sub-centroids — cuts per-iteration assign work
+    to n·(k1+k2) ≈ 2n·√k. Total: O(n^1.5/√target) assign + O(n·target)
+    pairwise, the standard IVF-style trade (cf. the SemDeDup paper's
+    clustering-as-blocking posture); the truly-linear alternative at
+    extreme scale is the grid-blocked near-dup (operators/similarity.py).
+
+    Same determinism discipline as ``kmeans_fit``: fixed-point integer
+    vectors, data-derived seeds (k2 lowest ids per coarse cluster),
+    deterministic tie-breaks, per-iteration ``localCheckpoint`` of the
+    bounded centroid relation only. Returns (id_col, cluster_id, sim)
+    with cluster_id = c1·k2 + scid."""
+    n = df.count()
+    k_total = derive_k(n, target_cluster_size)
+    if k_total <= 64:
+        return kmeans_assign(
+            df, vec_col, id_col, k_total, iters, target_cluster_size
+        )
+    k1 = max(2, math.isqrt(k_total - 1) + 1)
+    k2 = -(-k_total // k1)
+
+    a1, _ = kmeans_fit(df, vec_col, id_col, k1, iters, target_cluster_size)
+    pts2 = (
+        _pos_exploded(df, id_col, vec_col)
+        .join(
+            a1.select(
+                F.col(id_col).alias("__id"), F.col("cluster_id").alias("c1")
+            ),
+            "__id",
+        )
+        .persist()
+    )
+    try:
+        seed_ids = (
+            a1.select(F.col(id_col).alias("__id"), F.col("cluster_id").alias("c1"))
+            .withColumn(
+                "scid",
+                F.row_number().over(Window.partitionBy("c1").orderBy("__id"))
+                - F.lit(1),
+            )
+            .filter(F.col("scid") < k2)
+            .select("__id", "scid")
+        )
+        cent = (
+            pts2.join(F.broadcast(seed_ids), "__id")
+            .select("c1", "scid", "pos", F.col("ival").alias("icval"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(iters):
+            sims = (
+                pts2.join(F.broadcast(cent), ["c1", "pos"])
+                .groupBy("__id", "scid")
+                .agg(
+                    (
+                        F.sum(F.col("ival") * F.col("icval")).cast("double")
+                        / (_SCALE * _SCALE)
+                    ).alias("sim")
+                )
+            )
+            best = (
+                sims.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("__id").orderBy(
+                            F.col("sim").desc(), F.col("scid")
+                        )
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .select("__id", "scid")
+            )
+            sums = (
+                pts2.join(best, "__id")
+                .groupBy("c1", "scid", "pos")
+                .agg(
+                    F.sum(F.col("ival")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .withColumn(
+                    "mean", F.col("s").cast("double") / (F.col("n") * _SCALE)
+                )
+                .withColumn("imean", F.round(F.col("mean") * _SCALE).cast("long"))
+            )
+            cnorm = F.sqrt(
+                F.sum(F.col("imean") * F.col("imean"))
+                .over(Window.partitionBy("c1", "scid"))
+                .cast("double")
+            ) / _SCALE
+            cent = (
+                sums.withColumn("__cnorm", cnorm)
+                .filter(F.col("__cnorm") > 0)
+                .select(
+                    "c1",
+                    "scid",
+                    "pos",
+                    F.round((F.col("imean") / (F.col("__cnorm") * _SCALE)) * _SCALE)
+                    .cast("long")
+                    .alias("icval"),
+                )
+                .localCheckpoint(eager=True)  # ≤ k·dim rows: lineage cut
+            )
+        sims = (
+            pts2.join(F.broadcast(cent), ["c1", "pos"])
+            .groupBy("__id", "c1", "scid")
+            .agg(
+                (
+                    F.sum(F.col("ival") * F.col("icval")).cast("double")
+                    / (_SCALE * _SCALE)
+                ).alias("sim")
+            )
+        )
+        assign = (
+            sims.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("__id").orderBy(
+                        F.col("sim").desc(), F.col("scid")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("__id").alias(id_col),
+                (F.col("c1") * F.lit(k2) + F.col("scid")).alias("cluster_id"),
+                F.round(F.col("sim"), 6).alias("sim"),
+            )
+            .localCheckpoint(eager=True)  # n rows of 3 columns
+        )
+    finally:
+        pts2.unpersist()
+    return assign
+
+
 def cluster_sizes(assign: DataFrame) -> DataFrame:
     """Per-cluster size distribution for an assignment — surface this in
     metrics/run reports so a skewed giant cluster is visible before it
@@ -316,10 +466,21 @@ def semantic_dedup(
     equi-self-join on cluster_id. With the default auto-derived k the
     expected cluster size is ``target_cluster_size`` independent of n,
     and ``max_cluster_size`` (default: 4× target) hard-caps whatever
-    skew remains, so pairwise work is O(n·cap) by construction."""
+    skew remains, so pairwise work is O(n·cap) by construction.
+
+    ``k=None`` (production) routes through the two-level hierarchical
+    k-means so the ASSIGN stage stays O(n·√k) per iteration instead of
+    the flat n·k (quadratic when k grows with n — the r7 100x finding);
+    an explicit ``k`` keeps the flat single-level fit (the oracle path,
+    where the unrolled-CTE twin replays every iteration)."""
     if max_cluster_size is None:
         max_cluster_size = 4 * target_cluster_size
-    assign = kmeans_assign(df, vec_col, id_col, k, iters, target_cluster_size)
+    if k is None:
+        assign = kmeans_assign_hierarchical(
+            df, vec_col, id_col, iters, target_cluster_size
+        )
+    else:
+        assign = kmeans_assign(df, vec_col, id_col, k, iters, target_cluster_size)
     pair_sims = near_dup_pairs(
         df, assign, vec_col, id_col, max_cluster_size=max_cluster_size
     )

@@ -282,7 +282,6 @@ def minhash_near_dup_pairs(
         )
         cands = (
             banded.alias("l")
-            .hint("merge")  # band-key self-join: data-sized on both sides
             .join(
                 banded.alias("r"),
                 (F.col("l.band") == F.col("r.band"))
@@ -297,23 +296,27 @@ def minhash_near_dup_pairs(
         )
         ra = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
         rb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
-        # every verify-stage leg is DATA-sized (candidate pairs and shingle
-        # rows both grow with the corpus), so none of these joins may ever
-        # be a broadcast: AQE's observed-size conversion looks safe at
-        # bench SF but the driver-side hash-relation build blows up on the
-        # first corpus where candidates outgrow the estimate (the r7 100x
-        # sweep hit exactly that). The "merge" hint pins shuffle joins —
-        # the plan is then SF-invariant and co-partitioned on the join key
+        # no forced broadcast OR forced shuffle on the verify legs: post-
+        # banding candidates are tiny on normal corpora, so AQE's observed-
+        # size broadcast conversion is the right local plan, and once any
+        # leg outgrows the threshold AQE keeps the shuffle join (no hint
+        # could pick both correctly — an r7 experiment that pinned these
+        # to merge joins cost 12x at 10x scale). The one genuine failure
+        # mode — a single under-provisioned JVM caching the whole shingle
+        # relation AND building a broadcast — is a harness-sizing issue
+        # (tools/scale_check.py scales heap/partitions with the factor),
+        # not a plan defect: on a cluster the cache is spread over
+        # executors and the driver only holds the <threshold broadcast.
         inter = (
-            cands.hint("merge")
-            .join(ra.hint("merge"), "id_a")
-            .join(rb.hint("merge"), ["id_b", "shingle"])
+            cands
+            .join(ra, "id_a")
+            .join(rb, ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
         sz = lambda side: sizes.select(  # noqa: E731
             F.col(id_col).alias(f"id_{side}"), F.col("n_sh").alias(f"n_{side}")
-        ).hint("merge")
+        )
         verified = (
             inter.join(sz("a"), "id_a")
             .join(sz("b"), "id_b")

@@ -223,3 +223,75 @@ def test_semantic_dedup_cap_keeps_lowest_id_semantics(spark):
     # the planted near-dups 100/101 duplicate ids 0/3 -> dropped; originals kept
     assert out[0] and out[3]
     assert not out[100] and not out[101]
+
+
+def test_hierarchical_kmeans_planted_dups_and_determinism(spark):
+    """The auto-k production path (two-level k-means): identical vectors
+    must land in the same (c1, scid) cluster — their per-iteration sims
+    tie everywhere and the tie-break is deterministic — so semantic_dedup
+    flags planted exact dups; a repartitioned rerun collects identically."""
+    from ideafast_etl_spark.operators.clustering import (
+        kmeans_assign_hierarchical,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(400):
+        v = rng.normal(0, 1, 6) + np.eye(6)[i % 6] * 8
+        rows.append((i, [float(x) for x in v]))
+    # planted exact duplicates of ids 0..9
+    for j in range(10):
+        rows.append((1000 + j, rows[j][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # force the hierarchical path with a small target (410 rows, target 32
+    # -> k_total=13 > threshold only if > 64... use target 4 -> k=103)
+    assign = kmeans_assign_hierarchical(
+        df, iters=3, target_cluster_size=4
+    )
+    a = {r["vec_id"]: r["cluster_id"] for r in assign.collect()}
+    assert len(a) == 410
+    for j in range(10):
+        assert a[j] == a[1000 + j], j  # exact dup shares the cluster
+
+    b = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_assign_hierarchical(
+            df.repartition(7), iters=3, target_cluster_size=4
+        ).collect()
+    }
+    assert a == b  # bit-deterministic under repartition
+
+    out = semantic_dedup(
+        df, iters=3, threshold=0.9999, target_cluster_size=4
+    )
+    kept = {r["vec_id"]: r["keep"] for r in out.collect()}
+    for j in range(10):
+        assert kept[j] is True and kept[1000 + j] is False, j
+
+
+def test_hierarchical_small_corpus_falls_back_to_flat(spark):
+    from ideafast_etl_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_assign_hierarchical,
+    )
+
+    rows = [
+        (i, [float(x) for x in np.eye(4)[i % 4] * 5 + 0.1 * i])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # k_total = ceil(40/8) = 5 <= 64: must equal the flat path exactly
+    got = sorted(
+        map(
+            tuple,
+            kmeans_assign_hierarchical(
+                df, iters=2, target_cluster_size=8
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, kmeans_assign(df, k=5, iters=2).collect())
+    )
+    assert got == want

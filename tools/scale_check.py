@@ -135,14 +135,29 @@ def generate(spark, dst: str, k: int) -> None:
     shifted("part", ["p_partkey"], nfiles=nf)
     shifted("orders", ["o_orderkey", "o_custkey"], nfiles=nf)
     shifted("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], nfiles=2 * nf)
-    # perturb replicated text so near-dup structure is adversarial, not exact
+    # Replica perturbation (r7): suffix EVERY word with the replica index.
+    # Within a replica the corpus keeps the original near-dup structure
+    # exactly (Jaccard between two docs is invariant under a bijective
+    # word rename), while cross-replica shingle overlap drops to ~zero —
+    # so the kx corpus is k independent corpora at the ORIGINAL dup
+    # density, and pair-output operators (minhash, ngram-jaccard) are
+    # expected to scale linearly. The previous tail-marker perturbation
+    # left replicas of the same doc ~identical, making the TRUE pair
+    # output C(k,2) per doc — at 100x that is legitimate-but-quadratic
+    # output growth that says nothing about operator scaling.
     shifted(
         "documents", ["doc_id"],
         extra=lambda p: p.withColumn(
             "text",
-            F.concat(F.col("text"), F.lit(" copymark "),
-                     F.col("__rep").cast("string"), F.lit(" "),
-                     F.col("doc_id").cast("string")),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(
+                        w, F.lit("~"), F.col("__rep").cast("string")
+                    ),
+                ),
+                " ",
+            ),
         ),
         nfiles=nf,
     )
