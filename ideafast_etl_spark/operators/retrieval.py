@@ -136,3 +136,64 @@ def tf_idf_top_terms(
         .filter(F.col("term_rank") <= k)
         .select(id_col, "term", "tf", "score", "term_rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 60,
+    per_list_k: int | None = None,
+    rank_names: list[str] | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    the standard hybrid-retrieval combiner: fuse N independent rankings
+    (e.g. BM25 lexical + embedding cosine) by RRF(d) = Σ_i 1/(k + rank_i(d))
+    over the rankings that contain d. No score calibration needed — only
+    ranks enter the formula, which is why RRF survives heterogeneous
+    rankers where score interpolation needs tuning.
+
+    Scale posture: each ranking is ranked with the distributed
+    ``global_rank`` (range repartition + per-partition offsets — never a
+    single-partition window over a corpus-sized relation), optionally
+    truncated to its top ``per_list_k`` (candidate-set fusion, the
+    production shape: fuse top-M from each ranker, not whole corpora).
+    The merge is a full-outer equi-join on the id across the bounded
+    candidate lists.
+
+    Float discipline: each contribution 1/(k + rank) is one IEEE double
+    division; the total adds the per-ranking columns in FIXED list order
+    (a column expression, not a multi-row aggregation), so the sum is
+    engine- and parallelism-independent; rounded to 6 dp.
+
+    Ties: equal scores rank by ascending id (total order), matching the
+    oracle's ``ORDER BY score DESC, id`` row_number."""
+    from .ranking import global_rank
+
+    names = rank_names or [f"rank_{i}" for i in range(len(rankings))]
+    assert len(names) == len(rankings) and len(rankings) >= 1
+    merged: DataFrame | None = None
+    for r, name in zip(rankings, names):
+        ranked = global_rank(
+            r.select(F.col(id_col), F.col(score_col)),
+            [F.col(score_col).desc(), F.col(id_col).asc()],
+            rank_col=name,
+        ).select(id_col, F.col(name).cast("int").alias(name))
+        if per_list_k is not None:
+            ranked = ranked.filter(F.col(name) <= per_list_k)
+        merged = (
+            ranked
+            if merged is None
+            else merged.join(ranked, id_col, "full_outer")
+        )
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(n).cast("double")),
+            F.lit(0.0),
+        )
+        for n in names
+    ]
+    total = reduce(lambda a, c: a + c, contribs)
+    return merged.select(
+        id_col, *names, F.round(total, 6).alias("rrf_score")
+    )

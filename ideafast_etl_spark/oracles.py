@@ -1465,6 +1465,60 @@ SELECT doc_id, COUNT(*) AS n_terms_hit,
 FROM per GROUP BY doc_id ORDER BY doc_id
 """
 
+# RRF hybrid retrieval: BM25 CTE chain + unit-vector cosine to probe 0,
+# each row_number-ranked (score DESC, id ASC — the same total order as
+# global_rank) and truncated to top-100; fused with the fixed-order
+# 1/(60+rank) sum. Rank columns are INTs on both engines.
+ORACLES["hybrid_retrieval_rrf"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({NORM_TEXT}, ' ')) AS t FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM tok
+  WHERE t IN ('join','query','spark','table','window')
+  GROUP BY doc_id, t
+), dfreq AS (
+  SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+), per AS (
+  SELECT tf.doc_id, tf.t,
+    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * tf.tf /
+      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS ts
+  FROM tf JOIN dfreq d USING (t) JOIN dl USING (doc_id), stats s
+), bm AS (
+  SELECT doc_id,
+    ROUND(
+      COALESCE(SUM(CASE WHEN t='join' THEN ts END), 0)
+      + COALESCE(SUM(CASE WHEN t='query' THEN ts END), 0)
+      + COALESCE(SUM(CASE WHEN t='spark' THEN ts END), 0)
+      + COALESCE(SUM(CASE WHEN t='table' THEN ts END), 0)
+      + COALESCE(SUM(CASE WHEN t='window' THEN ts END), 0), 6) AS score
+  FROM per GROUP BY doc_id
+), bmr AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+      AS rank_bm25
+  FROM bm QUALIFY rank_bm25 <= 100
+), qv AS (
+  SELECT {_UNIT} AS qv FROM embeddings WHERE vec_id = 0
+), cosd AS (
+  SELECT vec_id AS doc_id,
+    round(list_dot_product({_UNIT}, q.qv), 6) AS score
+  FROM embeddings, qv q WHERE vec_id != 0
+), cr AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+      AS rank_cos
+  FROM cosd QUALIFY rank_cos <= 100
+)
+SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, b.rank_bm25, c.rank_cos,
+  ROUND(COALESCE(1.0/(60.0 + rank_bm25), 0.0)
+      + COALESCE(1.0/(60.0 + rank_cos), 0.0), 6) AS rrf_score
+FROM bmr b FULL OUTER JOIN cr c ON b.doc_id = c.doc_id
+"""
+
 # Heavy hitters: the Spark side accelerates with a count-min sketch, but the
 # exact verify pass makes its OUTPUT a plain relative-threshold GROUP BY —
 # integer threshold arithmetic (freq * 500 >= total) is exact in any engine.

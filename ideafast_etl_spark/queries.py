@@ -2513,6 +2513,44 @@ def bm25_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register("hybrid_retrieval_rrf")
+def hybrid_retrieval_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval via Reciprocal Rank Fusion (§2.13 —
+    the standard production combiner, Cormack et al. 2009): BM25 over the
+    documents table and embedding cosine against probe vector 0 each
+    produce a top-100 candidate list (ranked by the distributed
+    global_rank — no single-partition window), fused by
+    Σ 1/(60 + rank_i). Rank-only fusion needs no score calibration, which
+    is why it survives heterogeneous rankers. Fixed-order contribution
+    sum keeps the float total engine-identical."""
+    from .operators.retrieval import bm25_scores, rrf_fuse
+    from .operators.similarity import dot, unit_normalized
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = bm25_scores(
+        docs, ["join", "query", "spark", "table", "window"]
+    ).select("doc_id", "score")
+    q = unit_normalized(
+        emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", "qv"
+    ).select("qv")
+    c = unit_normalized(
+        emb.filter(F.col("vec_id") != 0).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ),
+        "doc_id",
+        "embedding",
+        "v",
+    )
+    cos = c.crossJoin(F.broadcast(q)).select(
+        "doc_id", F.round(dot(F.col("v"), F.col("qv")), 6).alias("score")
+    )
+    fused = rrf_fuse(
+        [bm, cos], per_list_k=100, rank_names=["rank_bm25", "rank_cos"]
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id")
+
+
 @register("token_heavy_hitters")
 def token_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters (§2.13): corpus-level frequent-token

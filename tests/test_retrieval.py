@@ -45,3 +45,48 @@ def test_bm25_rare_term_outweighs_common(spark):
     out = {r.doc_id: r for r in bm25_scores(_docs(spark, rows), ["common", "rare"]).collect()}
     contribution_rare = out[0].score - out[1].score  # doc0 = common+rare, doc1 = common
     assert contribution_rare > out[1].score  # rare term's score > common term's
+
+
+def test_rrf_fuse_math_and_outer_semantics(spark):
+    from ideafast_etl_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "doc_id long, score double"
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in rrf_fuse([a, b], k=60, rank_names=["ra", "rb"]).collect()
+    }
+    assert out[1]["ra"] == 1 and out[1]["rb"] is None
+    assert out[2]["ra"] == 2 and out[2]["rb"] == 1
+    assert out[4]["ra"] is None and out[4]["rb"] == 2
+    assert abs(out[2]["rrf_score"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(out[1]["rrf_score"] - round(1 / 61, 6)) < 1e-9
+    # doc 2 (in both lists) outranks every single-list doc
+    assert out[2]["rrf_score"] > max(
+        out[d]["rrf_score"] for d in out if d != 2
+    )
+
+
+def test_rrf_fuse_per_list_k_truncates(spark):
+    from ideafast_etl_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], "doc_id long, score double"
+    )
+    out = rrf_fuse([a], k=60, per_list_k=3, rank_names=["ra"]).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2]
+
+
+def test_rrf_fuse_ties_break_by_id(spark):
+    from ideafast_etl_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(5, 1.0), (3, 1.0), (9, 1.0)], "doc_id long, score double"
+    )
+    out = {r["doc_id"]: r["ra"] for r in
+           rrf_fuse([a], rank_names=["ra"]).collect()}
+    assert out == {3: 1, 5: 2, 9: 3}

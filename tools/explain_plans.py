@@ -79,6 +79,10 @@ EXPECTATIONS: dict[str, list[str]] = {
     "zorder_curve": ["!BatchEvalPython", "!ArrowEvalPython", "Batched: true"],
     # split assignment is a pure column expression + partial agg
     "dataset_splits": ["partial_count", "!BatchEvalPython", "Batched: true"],
+    # RRF fusion: candidate lists ranked via global_rank (__pid-bounded
+    # windows over checkpointed range partitions), merged with a
+    # full-outer equi-join — no corpus-sized single-partition window
+    "hybrid_retrieval_rrf": ["FullOuter", "!CartesianProduct", "!BatchEvalPython"],
     # bounded df/stats tables broadcast; corpus shuffles only on doc_id.
     # (a BroadcastNestedLoopJoin IS present and correct here: the 1-row
     # corpus-scalars frame cross-joined in — a broadcast scalar, not an
