@@ -131,6 +131,38 @@ def run_rolling_zscore_stream(
     )
 
 
+def run_psi_drift_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    reference: DataFrame,
+    accum_dir: str,
+    out_dir: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 500.0,
+    n_bins: int = 20,
+    **kw,
+) -> StreamingQuery:
+    """PSI distribution drift against a PINNED reference sample: each
+    drain recomputes the per-bin (p−q)·ln(p/q) terms of the accumulated
+    stream vs ``reference`` (the model-training-time feature snapshot) and
+    publishes the bin report — the feature-monitoring loop a deployed
+    model runs between data refreshes. The reference never changes
+    (drift is measured against training time, not against yesterday), so
+    it is captured once here; the stream side is O(delta) accumulation
+    like the other detectors."""
+    from ..operators.stats import distribution_drift
+
+    return run_detector_stream(
+        spark, source_dir, schema,
+        lambda df: distribution_drift(
+            reference, df, value_col, lo=lo, hi=hi, n_bins=n_bins
+        ),
+        accum_dir, out_dir, **kw,
+    )
+
+
 def run_gap_report_stream(
     spark: SparkSession,
     source_dir: str,

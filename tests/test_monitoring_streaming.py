@@ -115,6 +115,46 @@ def test_gap_report_stream_two_drains(spark, tmp_path):
     assert len(want) == 2  # the cross-file gap was detected incrementally
 
 
+def test_psi_drift_stream_flags_shift_against_pinned_reference(spark, tmp_path):
+    """Two drains: the first batch matches the reference (PSI ~ 0), the
+    second shifts the distribution — the accumulated recompute must flag
+    it, and equal the batch operator on the same rows."""
+    from ideafast_etl_spark.operators.stats import distribution_drift
+    from ideafast_etl_spark.streaming.monitoring import run_psi_drift_stream
+
+    ref = spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("value")
+    )
+    f1 = _rows(0, range(20), 1, [float(i * 5 % 100) for i in range(20)])
+    f2 = _rows(100, range(20, 40), 1, [95.0] * 20)  # mass piles at the top
+    src = _feed(spark, tmp_path, "psisrc", f1)
+    accum, out, ckpt = _dirs(tmp_path, "psi")
+    kw = dict(value_col="value", lo=0.0, hi=100.0, n_bins=10,
+              checkpoint_dir=ckpt)
+
+    q = run_psi_drift_stream(spark, src, SCHEMA, ref, accum, out, **kw)
+    q.awaitTermination(120)
+    psi1 = sum(r["psi_term"] for r in spark.read.parquet(out).collect())
+
+    _feed(spark, tmp_path, "psisrc", f2)
+    q = run_psi_drift_stream(spark, src, SCHEMA, ref, accum, out, **kw)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    psi2 = sum(r["psi_term"] for r in rows)
+    assert psi2 > psi1  # the planted shift raises the index
+
+    both = spark.createDataFrame(f1 + f2, SCHEMA)
+    want = sorted(
+        map(
+            tuple,
+            distribution_drift(
+                ref, both, "value", lo=0.0, hi=100.0, n_bins=10
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, rows)) == want  # stream ≡ batch
+
+
 def test_retention_bounds_detection_history(spark, tmp_path):
     """The production knob: detection over a bounded horizon only — rows
     older than the cutoff are excluded from the recompute (but remain in

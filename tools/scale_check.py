@@ -87,6 +87,8 @@ QUERIES = [
     "rolling_zscore_anomaly",
     "value_distribution_drift",
     "event_gaps_report",
+    # round-7 operators
+    "hybrid_retrieval_rrf",
 ]
 
 
