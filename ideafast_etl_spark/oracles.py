@@ -433,6 +433,37 @@ SELECT k, seg, TIMESTAMP '1995-06-01', CAST(NULL AS TIMESTAMP)
 FROM upd
 """
 
+# Point-in-time join: the SCD2 dim enumeration composed with the
+# half-open interval join; each order matches exactly one version
+# (intervals partition the timeline per key), so row counts are exact.
+ORACLES["scd2_point_in_time_join"] = """
+WITH upd AS (
+  SELECT c_custkey AS k, 'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS seg
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'SEG_NEW' FROM customer WHERE c_custkey % 50 = 0
+), dim AS (
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '1990-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer WHERE c_custkey NOT IN (SELECT k FROM upd)
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, TIMESTAMP '1990-01-01',
+         TIMESTAMP '1995-06-01'
+  FROM customer WHERE c_custkey IN (SELECT k FROM upd)
+  UNION ALL
+  SELECT k, seg, TIMESTAMP '1995-06-01', CAST(NULL AS TIMESTAMP)
+  FROM upd
+)
+SELECT d.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND CAST(o.o_orderdate AS TIMESTAMP) >= d.valid_from
+ AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < d.valid_to)
+GROUP BY d.c_mktsegment
+"""
+
 ORACLES["unpivot_nation_metrics"] = """
 WITH wide AS (
   SELECT c_nationkey,

@@ -890,6 +890,32 @@ def scd2_customer_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("scd2_point_in_time_join")
+def scd2_point_in_time_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join against the SCD2 history —
+    THE query SCD2 exists to answer: each order joins the customer-segment
+    VERSION valid at its order date (equi-join on the key + half-open
+    [valid_from, valid_to) residual — the J4 interval shape, never a
+    nested loop), so orders before the 1995-06-01 segment migration
+    aggregate under the OLD segment and later ones under the new. Compact
+    verification output: per as-of segment order counts + decimal-exact
+    revenue. The reference's UCAM patient lookup (J2) is the degenerate
+    current-version-only case of this join."""
+    dim = scd2_customer_segments_q(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("timestamp")
+    j = orders.join(
+        dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (od >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (od < F.col("valid_to"))),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
+    )
+
+
 @register("unpivot_nation_metrics")
 def unpivot_nation_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (§2.7 — the inverse of `pivot_priority_by_status`):

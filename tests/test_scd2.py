@@ -74,3 +74,31 @@ def test_multi_batch_history_supports_as_of_reads(spark):
     assert [(r["k"], r["attr"]) for r in asof.filter(F.col("k") == 1).collect()] == [
         (1, "A1")
     ]
+
+
+def test_point_in_time_fact_join_routes_by_event_date(spark):
+    """Temporal dimension join: facts dated before a key's migration join
+    the OLD version, later facts the new one, and every fact matches
+    exactly one version (the intervals partition the timeline)."""
+    import datetime as dt
+
+    dim = _dim(spark)  # key 1 attr A, key 2 attr B, open since 2020-01-01
+    dim = scd2_apply(dim, _upd(spark, [(1, "A1")]), ["k"], ["attr"], "2021-01-01")
+    facts = spark.createDataFrame(
+        [
+            (10, 1, dt.datetime(2020, 6, 1)),   # before migration -> A
+            (11, 1, dt.datetime(2021, 6, 1)),   # after -> A1
+            (12, 1, dt.datetime(2021, 1, 1)),   # boundary: new version opens
+            (13, 2, dt.datetime(2023, 1, 1)),   # unchanged key -> B
+        ],
+        "fact_id long, k long, ts timestamp",
+    )
+    j = facts.join(
+        dim,
+        (facts.k == dim.k)
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    got = {r["fact_id"]: r["attr"] for r in j.collect()}
+    assert got == {10: "A", 11: "A1", 12: "A1", 13: "B"}
+    assert j.count() == 4  # exactly one version per fact

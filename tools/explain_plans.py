@@ -79,6 +79,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     "zorder_curve": ["!BatchEvalPython", "!ArrowEvalPython", "Batched: true"],
     # split assignment is a pure column expression + partial agg
     "dataset_splits": ["partial_count", "!BatchEvalPython", "Batched: true"],
+    # point-in-time SCD2 join: equi on custkey + interval residual — must
+    # compile to a hash/merge join with residual filter, never a loop
+    "scd2_point_in_time_join": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # RRF fusion: candidate lists ranked via global_rank (__pid-bounded
     # windows over checkpointed range partitions), merged with a
     # full-outer equi-join — no corpus-sized single-partition window
