@@ -37,6 +37,41 @@ def stable_bucket(col: Column | str, modulus: int, salt: str = "") -> Column:
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % modulus
 
 
+def leakage_safe_splits(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    modulus: int = 100,
+    bounds: tuple[int, int] = (80, 90),
+    salt: str = "split0",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: every document inherits the split of its near-dup CLUSTER
+    representative (component min id from ``near_dup_clusters``), so a
+    paraphrase/boilerplate twin of a training doc can never land in eval
+    (the contamination mode Lee et al. 2022 measure). Documents in no
+    cluster are their own representative. The bucket is the same
+    engine-portable sha256 rule as ``dataset_splits`` — persisted
+    manifests stay valid across engines and Spark versions.
+
+    Plan: one left equi-join (doc → cluster label, data-sized both sides,
+    shuffle on the uniform id) + a pure column expression. Returns
+    (id, rep, split) per document."""
+    rep = (
+        docs.select(id_col)
+        .join(clusters, id_col, "left")
+        .withColumn("rep", F.coalesce(F.col(cluster_col), F.col(id_col)))
+    )
+    b = stable_bucket("rep", modulus, salt=salt)
+    split = (
+        F.when(b < bounds[0], F.lit("train"))
+        .when(b < bounds[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return rep.select(id_col, "rep", split.alias("split"))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

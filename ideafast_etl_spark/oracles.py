@@ -1429,6 +1429,35 @@ ORDER BY doc_id, frame_idx
 
 
 # Deterministic 80/10/10 split: same sha256-bucket recipe (salt 'split0').
+# Leakage-safe splits: the recursive-CTE component labels composed with
+# the same sha256 bucket rule, applied to the representative instead of
+# the doc id — every per-doc assignment is value-checked.
+ORACLES["leakage_safe_splits"] = f"""
+WITH RECURSIVE pairs AS (
+  {ORACLES["minhash_near_dup"]}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+), cl AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+), rep AS (
+  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep
+  FROM documents d LEFT JOIN cl USING (doc_id)
+)
+SELECT doc_id, rep,
+  CASE WHEN ('0x' || substr(sha256(rep::VARCHAR || 'split0'), 1, 15))::BIGINT
+            % 100 < 80 THEN 'train'
+       WHEN ('0x' || substr(sha256(rep::VARCHAR || 'split0'), 1, 15))::BIGINT
+            % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM rep
+"""
+
 ORACLES["dataset_splits"] = """
 WITH b AS (
   SELECT lang,

@@ -2475,6 +2475,21 @@ def avi_mjpeg_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+@register("leakage_safe_splits")
+def leakage_safe_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split (§2.13 — the eval-hygiene
+    upgrade of `dataset_splits`): split assignment keys on the near-dup
+    COMPONENT representative, so paraphrase twins can never straddle
+    train/eval. Composes the MinHash cluster labels with the sha256
+    bucket rule; per-doc (id, rep, split) output so the oracle verifies
+    every single assignment."""
+    from .operators.packing import leakage_safe_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup.near_dup_clusters(docs, threshold=0.2)
+    return leakage_safe_splits(docs, clusters)
+
+
 @register("dataset_splits")
 def dataset_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (§2.13): split by sha256

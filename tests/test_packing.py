@@ -105,3 +105,33 @@ def test_stable_bucket_matches_duckdb_twin(spark):
         ).fetchall()
     )
     assert ours == theirs
+
+
+def test_leakage_safe_splits_cluster_members_share_split(spark):
+    from ideafast_etl_spark.operators.packing import (
+        leakage_safe_splits,
+        stable_bucket,
+    )
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    # two planted clusters: {3,7,150} labeled 3 and {40,41} labeled 40
+    clusters = spark.createDataFrame(
+        [(3, 3), (7, 3), (150, 3), (40, 40), (41, 40)],
+        "doc_id long, cluster_id long",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           leakage_safe_splits(docs, clusters).collect()}
+    assert len(out) == 200
+    assert out[3]["split"] == out[7]["split"] == out[150]["split"]
+    assert out[40]["split"] == out[41]["split"]
+    assert out[7]["rep"] == 3 and out[41]["rep"] == 40
+    # unclustered docs: own-id rep, same bucket rule as dataset_splits
+    b = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        stable_bucket(F.col("id"), 100, salt="split0").alias("bk"),
+    )
+    for r in b.collect():
+        if r["doc_id"] in (3, 7, 150, 40, 41):
+            continue
+        want = "train" if r["bk"] < 80 else ("val" if r["bk"] < 90 else "test")
+        assert out[r["doc_id"]]["split"] == want, r["doc_id"]

@@ -79,6 +79,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     "zorder_curve": ["!BatchEvalPython", "!ArrowEvalPython", "Batched: true"],
     # split assignment is a pure column expression + partial agg
     "dataset_splits": ["partial_count", "!BatchEvalPython", "Batched: true"],
+    # cluster-aware split: one left equi-join + column expressions; the
+    # cluster labels come from the checkpointed component relation
+    "leakage_safe_splits": ["LeftOuter", "!CartesianProduct", "!BatchEvalPython"],
     # point-in-time SCD2 join: equi on custkey + interval residual — must
     # compile to a hash/merge join with residual filter, never a loop
     "scd2_point_in_time_join": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
