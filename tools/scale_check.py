@@ -89,6 +89,8 @@ QUERIES = [
     "event_gaps_report",
     # round-7 operators
     "hybrid_retrieval_rrf",
+    "scd2_point_in_time_join",
+    "leakage_safe_splits",
 ]
 
 
