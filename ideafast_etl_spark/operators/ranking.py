@@ -72,6 +72,51 @@ def global_rank(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running sum of ``value_col`` under a global total ``order`` —
+    the sweep-line primitive (concurrency counting, inventory levels,
+    cumulative distributions) — with NO single-partition window: range
+    repartition on the order, a partition-LOCAL running sum, then each
+    partition's starting offset (the prefix of per-partition totals — one
+    bounded driver row per partition, exactly ``global_rank``'s offset
+    discipline) broadcast back and added. Bit-exact for integer values
+    under any layout; ``order`` must be a total order (include a unique
+    key last) for deterministic per-row prefixes."""
+    np_ = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(np_, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    parted = parted.localCheckpoint(eager=True)  # stabilise sampled ranges
+    totals = (
+        parted.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
+    ).collect()  # one row per partition — bounded by np_, not by data
+    rows = []
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        rows.append((r["__pid"], acc))
+        acc += r["__t"] or 0
+    offsets = df.sparkSession.createDataFrame(
+        rows or [(0, 0)], "__pid int, __off long"
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        parted.withColumn("__ls", F.sum(value_col).over(w))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__ls")).cast("long"))
+        .drop("__pid", "__ls", "__off")
+    )
+
+
 def rank_buckets(
     ranked: DataFrame,
     total: int,

@@ -433,6 +433,32 @@ SELECT k, seg, TIMESTAMP '1995-06-01', CAST(NULL AS TIMESTAMP)
 FROM upd
 """
 
+# Sweep-line concurrency: the oracle computes the SAME total-ordered
+# running sum with one window (fine at oracle scale); the Spark side uses
+# the distributed two-phase prefix sum — identical integer series.
+ORACLES["shipment_concurrency_by_month"] = """
+WITH b AS (
+  SELECT l_shipdate AS ts, 1 AS delta FROM lineitem
+  UNION ALL
+  SELECT l_shipdate
+           + CAST(1 + (l_orderkey + l_linenumber) % 30 AS INT)
+             * INTERVAL 1 DAY,
+         -1
+  FROM lineitem
+), net AS (
+  SELECT ts, SUM(delta) AS net FROM b GROUP BY ts
+), p AS (
+  SELECT ts,
+    SUM(net) OVER (ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS in_transit
+  FROM net
+)
+SELECT CAST(year(ts) * 100 + month(ts) AS INT) AS month,
+       CAST(MAX(in_transit) AS BIGINT) AS peak_in_transit
+FROM p GROUP BY 1
+"""
+
 # Point-in-time join: the SCD2 dim enumeration composed with the
 # half-open interval join; each order matches exactly one version
 # (intervals partition the timeline per key), so row counts are exact.

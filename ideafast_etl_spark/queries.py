@@ -890,6 +890,51 @@ def scd2_customer_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("shipment_concurrency_by_month")
+def shipment_concurrency_by_month_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: peak number of simultaneously in-transit
+    lineitems per month — every shipment contributes +1 at l_shipdate and
+    −1 at its delivery date (shipdate + a deterministic 1-30 day transit,
+    derived from the keys since this schema carries no receiptdate;
+    half-open semantics). Sweep-line discipline for 100 TB: concurrency
+    only CHANGES at distinct timestamps, so the 2n boundary rows first
+    collapse to one NET delta per timestamp (a map-side-combinable keyed
+    aggregate — the post-instant prefix equals the instantaneous max,
+    since within an instant the −1s apply before the +1s and every
+    intermediate state is ≤ the final one); only the bounded
+    distinct-timestamp relation then rides the DISTRIBUTED
+    ``global_prefix_sum`` (range partition + local cumsum + broadcast
+    partition offsets — no single-partition window). The r7 scale sweep
+    caught the unaggregated form at 17.4× for 10× more data; this form
+    is flat. The max-concurrency question every capacity/monitoring
+    pipeline asks (concurrent sessions, open connections, active
+    devices); integer-exact under any layout."""
+    from .operators.ranking import global_prefix_sum
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    transit = (
+        F.lit(1) + (F.col("l_orderkey") + F.col("l_linenumber")) % 30
+    ).cast("int")
+    b = li.select(
+        F.col("l_shipdate").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        li.select(
+            F.date_add(F.col("l_shipdate"), transit).alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    net = b.groupBy("ts").agg(F.sum("delta").alias("net"))
+    p = global_prefix_sum(
+        net, [F.col("ts").asc()], "net", out_col="in_transit"
+    )
+    month = (F.year("ts") * 100 + F.month("ts")).cast("int")
+    return p.groupBy(month.alias("month")).agg(
+        F.max("in_transit").alias("peak_in_transit")
+    )
+
+
 @register("scd2_point_in_time_join")
 def scd2_point_in_time_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (temporal) dimension join against the SCD2 history —

@@ -93,3 +93,57 @@ def test_bounded_topk_equals_direct_window(spark):
         )
     )
     assert got == want
+
+
+def test_global_prefix_sum_equals_single_window(spark):
+    from pyspark.sql import Window
+
+    from ideafast_etl_spark.operators.ranking import global_prefix_sum
+
+    rows = [(i, ((i * 7) % 11) - 5) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    order = [F.col("k").asc()]
+    got = {
+        r["k"]: r["prefix_sum"]
+        for r in global_prefix_sum(df, order, "v").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["ps"]
+        for r in df.withColumn("ps", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+    # layout-invariant: a skewed repartition yields the identical series
+    got2 = {
+        r["k"]: r["prefix_sum"]
+        for r in global_prefix_sum(df.repartition(13), order, "v").collect()
+    }
+    assert got2 == want
+
+
+def test_sweep_line_concurrency_semantics(spark):
+    """Half-open intervals: at an instant where one session ends and
+    another starts, the −1 is applied first, so concurrency never
+    double-counts the handover."""
+    from ideafast_etl_spark.operators.ranking import global_prefix_sum
+
+    # sessions: [1,4) [2,6) [4,5)  -> concurrency 1,2,2,2,1,0
+    ivals = [(1, 1, 4), (2, 2, 6), (3, 4, 5)]
+    b = spark.createDataFrame(
+        [(s, 1, i) for i, s, _ in ivals] + [(e, -1, i) for i, _, e in ivals],
+        "ts long, delta int, sid long",
+    )
+    p = global_prefix_sum(
+        b,
+        [F.col("ts").asc(), F.col("delta").asc(), F.col("sid").asc()],
+        "delta",
+        out_col="conc",
+    )
+    peak = p.agg(F.max("conc")).first()[0]
+    assert peak == 2  # [4,5) starts exactly when [1,4) ends: no triple
+    at4 = {
+        (r["delta"], r["sid"]): r["conc"]
+        for r in p.filter(F.col("ts") == 4).collect()
+    }
+    assert at4[(-1, 1)] == 1 and at4[(1, 3)] == 2

@@ -82,6 +82,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # cluster-aware split: one left equi-join + column expressions; the
     # cluster labels come from the checkpointed component relation
     "leakage_safe_splits": ["LeftOuter", "!CartesianProduct", "!BatchEvalPython"],
+    # sweep-line concurrency: the ONLY windows partition by __pid (range
+    # partitions) — no global single-partition window over boundary rows
+    "shipment_concurrency_by_month": ["Window", "partial_max", "!CartesianProduct", "!BatchEvalPython"],
     # point-in-time SCD2 join: equi on custkey + interval residual — must
     # compile to a hash/merge join with residual filter, never a loop
     "scd2_point_in_time_join": ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
