@@ -37,6 +37,51 @@ def stable_bucket(col: Column | str, modulus: int, salt: str = "") -> Column:
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % modulus
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ws0",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws u ∈ (0,1] and the k rows minimizing
+    (−ln u)/w are the sample — inclusion probability proportional to
+    weight, no replacement, one pass. The core mixing primitive for
+    quality-weighted corpus selection.
+
+    Determinism discipline (REPRO.md patterns 7/8): u is sha256-derived
+    (top 60 bits of sha256(id‖salt), +1, over 2^60 — exact dyadic
+    double), −ln(u) is QUANTIZED to integer micro-units before the
+    division (ln is engine-faithful only; the quantized long absorbs the
+    last-ulp divergence), and the weight is quantized the same way — the
+    sort key is then one IEEE division of two exact integers, identical
+    in any engine. Selection is the distributed ``global_rank`` (no
+    single-partition window); ties break by id.
+
+    Returns (id, weight, es_key, rank) for the k sampled rows."""
+    from .ranking import global_rank
+
+    c = F.col(id_col)
+    h = F.sha2(F.concat(c.cast("string"), F.lit(salt)), 256)
+    hv = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    u = (hv + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    lq = F.round(-F.log(u) * F.lit(1_000_000.0)).cast("long")
+    wq = F.round(weight.cast("double") * F.lit(1_000_000.0)).cast("long")
+    keyed = df.select(
+        c,
+        weight.cast("double").alias("weight"),
+        (lq.cast("double") / wq.cast("double")).alias("es_key"),
+    )
+    ranked = global_rank(
+        keyed, [F.col("es_key").asc(), c.asc()], rank_col="rank"
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        id_col, "weight", F.round("es_key", 6).alias("es_key"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def leakage_safe_splits(
     docs: DataFrame,
     clusters: DataFrame,

@@ -1455,6 +1455,26 @@ ORDER BY doc_id, frame_idx
 
 
 # Deterministic 80/10/10 split: same sha256-bucket recipe (salt 'split0').
+# Efraimidis-Spirakis weighted sample: sha256-uniform u, quantized -ln(u)
+# micro-units over quantized weight — the sort key is one IEEE division of
+# two exact integers, so the sampled SET (not just its size) replays.
+ORACLES["weighted_doc_sample"] = """
+WITH keyed AS (
+  SELECT doc_id,
+    CAST(GREATEST(length(text), 1) AS DOUBLE) AS weight,
+    round(-ln((('0x' || substr(sha256(doc_id::VARCHAR || 'ws0'), 1, 15))::BIGINT
+               + 1) / 1152921504606846976.0) * 1e6)
+      / round(CAST(GREATEST(length(text), 1) AS DOUBLE) * 1e6) AS es_key
+  FROM documents
+), ranked AS (
+  SELECT doc_id, weight, es_key,
+    CAST(row_number() OVER (ORDER BY es_key ASC, doc_id ASC) AS INT) AS rank
+  FROM keyed
+)
+SELECT doc_id, weight, round(es_key, 6) AS es_key, rank
+FROM ranked WHERE rank <= 100
+"""
+
 # Leakage-safe splits: the recursive-CTE component labels composed with
 # the same sha256 bucket rule, applied to the representative instead of
 # the doc id — every per-doc assignment is value-checked.

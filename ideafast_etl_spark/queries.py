@@ -2520,6 +2520,21 @@ def avi_mjpeg_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+@register("weighted_doc_sample")
+def weighted_doc_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling (§2.13 mixing): Efraimidis-
+    Spirakis weighted sampling without replacement, weight = doc length —
+    longer (here: proxy-for-richer) docs are proportionally likelier, no
+    doc twice, fully deterministic (sha256 randomness + quantized ln per
+    REPRO patterns 7/8, so the oracle replays the exact sample)."""
+    from .operators.packing import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, F.greatest(F.length("text"), F.lit(1)), k=100
+    )
+
+
 @register("leakage_safe_splits")
 def leakage_safe_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup-aware train/val/test split (§2.13 — the eval-hygiene

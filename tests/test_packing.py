@@ -135,3 +135,33 @@ def test_leakage_safe_splits_cluster_members_share_split(spark):
             continue
         want = "train" if r["bk"] < 80 else ("val" if r["bk"] < 90 else "test")
         assert out[r["doc_id"]]["split"] == want, r["doc_id"]
+
+
+def test_weighted_sample_properties(spark):
+    from ideafast_etl_spark.operators.packing import weighted_sample
+
+    # ids 0..99 weight 1, ids 100..199 weight 20
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 100 else 20.0) for i in range(200)],
+        "doc_id long, w double",
+    )
+    out = weighted_sample(df, F.col("w"), k=30)
+    rows = out.collect()
+    assert len(rows) == 30
+    assert len({r["doc_id"] for r in rows}) == 30  # without replacement
+    heavy = sum(1 for r in rows if r["doc_id"] >= 100)
+    assert heavy >= 20  # 20x weights dominate the sample
+
+    # deterministic under layout changes
+    again = sorted(
+        map(tuple, weighted_sample(df.repartition(7), F.col("w"), k=30).collect())
+    )
+    assert sorted(map(tuple, rows)) == again
+
+    # inclusion follows the weights across independent salt draws
+    freq = {True: 0, False: 0}
+    for s in range(8):
+        sel = weighted_sample(df, F.col("w"), k=30, salt=f"s{s}").collect()
+        for r in sel:
+            freq[r["doc_id"] >= 100] += 1
+    assert freq[True] > 4 * freq[False]

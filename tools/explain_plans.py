@@ -79,6 +79,8 @@ EXPECTATIONS: dict[str, list[str]] = {
     "zorder_curve": ["!BatchEvalPython", "!ArrowEvalPython", "Batched: true"],
     # split assignment is a pure column expression + partial agg
     "dataset_splits": ["partial_count", "!BatchEvalPython", "Batched: true"],
+    # E-S weighted sample: keyed scan + global_rank (__pid-bounded windows)
+    "weighted_doc_sample": ["Window", "!CartesianProduct", "!BatchEvalPython"],
     # cluster-aware split: one left equi-join + column expressions; the
     # cluster labels come from the checkpointed component relation
     "leakage_safe_splits": ["LeftOuter", "!CartesianProduct", "!BatchEvalPython"],
