@@ -341,13 +341,20 @@ def _grad_pred(fa: int, fb: int, fc: int) -> int:
 # --------------------------------------------------------------------------
 
 
-def encode_mp4v_intra_frame(px: np.ndarray, qp: int = 4) -> bytes:
+def encode_mp4v_intra_frame(
+    px: np.ndarray, qp: int = 4, dquant: dict[int, int] | None = None
+) -> bytes:
     """Encode one HxWx3 uint8 BGR frame (or HxW grayscale) as a fully
     self-contained MPEG-4 Part 2 access unit: VOS + visual_object + VO +
     VOL + one I-VOP. Headers repeat per sample so every MP4 sample decodes
     independently. ``qp<=4`` keeps dc_scaler at 8, which makes flat frames
     exactly recoverable (DC of a constant 8x8 block is 8*value) — the
-    property the differential oracle relies on, mirroring jpeg's q=8."""
+    property the differential oracle relies on, mirroring jpeg's q=8.
+
+    ``dquant`` optionally maps a flat macroblock index (my*mb_w+mx) to a
+    2-bit dquant code (0..3 → −1,−2,+1,+2): those MBs are coded as
+    intra+q (mb_type 4) and the RUNNING quantiser — which persists for all
+    subsequent MBs, per 14496-2 §7.4.4 — is updated before coding them."""
     if px.ndim == 2:
         px = np.stack([px] * 3, axis=-1)
     h_img, w_img = px.shape[:2]
@@ -405,16 +412,17 @@ def encode_mp4v_intra_frame(px: np.ndarray, qp: int = 4) -> bytes:
     bw.put(3, 0)  # intra_dc_vlc_thr: DC VLC for all QP
     bw.put(5, qp)  # vop_quant
 
-    dcs_l, dcs_c = _dc_scaler(qp, True), _dc_scaler(qp, False)
     # reconstructed DC stores for prediction (spec: missing neighbor=1024)
     fl = np.full((2 * mb_h + 1, 2 * mb_w + 1), 1024, dtype=np.int64)
     fcb = np.full((mb_h + 1, mb_w + 1), 1024, dtype=np.int64)
     fcr = np.full((mb_h + 1, mb_w + 1), 1024, dtype=np.int64)
 
+    run_qp = qp  # dquant (mb_type 4) updates this running quantiser
+
     def block_bits(plane, bx, by, store, scaler):
         """Quantize one 8x8 block, return (dc_diff, q, recon_dc)."""
         blk = plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
-        q = _quant_block(_fdct(blk), qp, scaler)
+        q = _quant_block(_fdct(blk), run_qp, scaler)
         f_rec = int(q[0]) * scaler
         fa = store[by + 1, bx]      # left
         fb = store[by, bx]          # above-left
@@ -425,6 +433,12 @@ def encode_mp4v_intra_frame(px: np.ndarray, qp: int = 4) -> bytes:
 
     for my in range(mb_h):
         for mx in range(mb_w):
+            mi = my * mb_w + mx
+            dq_code = dquant.get(mi) if dquant else None
+            if dq_code is not None:
+                run_qp = max(1, min(31, run_qp + (-1, -2, 1, 2)[dq_code]))
+            dcs_l = _dc_scaler(run_qp, True)
+            dcs_c = _dc_scaler(run_qp, False)
             yq, ydiff = [], []
             for j in range(4):
                 by, bx = 2 * my + j // 2, 2 * mx + j % 2
@@ -438,9 +452,11 @@ def encode_mp4v_intra_frame(px: np.ndarray, qp: int = 4) -> bytes:
                 if np.any(yq[j][1:]):
                     cbpy |= 8 >> j
             cbpc = (2 if np.any(qcb[1:]) else 0) | (1 if np.any(qcr[1:]) else 0)
-            bw.put_str(_MCBPC_I[(3, cbpc)])
+            bw.put_str(_MCBPC_I[(3 if dq_code is None else 4, cbpc)])
             bw.put(1, 0)  # ac_pred_flag
             bw.put_str(_CBPY[cbpy])
+            if dq_code is not None:
+                bw.put(2, dq_code)
             # spec block order: Y0..Y3, Cb, Cr — DC then ACs per block
             for j in range(4):
                 _write_dc(bw, ydiff[j], True)
@@ -542,15 +558,15 @@ def decode_mp4v_intra(b: bytes) -> tuple[int, int, np.ndarray] | None:
         br.read(1)  # marker
         if br.read(1) != 1:  # vop_coded
             return None
-        br.read(3)  # intra_dc_vlc_thr (DC VLC assumed; thr>0 with high QP
-        # would switch DC into the AC table, which the subset rejects via
-        # the AC path anyway)
+        if br.read(3) != 0:  # intra_dc_vlc_thr: thr>0 with QP above the
+            # threshold codes DC in the TCOEF table — explicitly outside
+            # this subset, so gate rather than risk a silently-wrong decode
+            return None
         qp = br.read(5)
         if qp == 0:
             return None
 
         mb_h, mb_w = -(-h_img // 16), -(-w_img // 16)
-        dcs_l, dcs_c = _dc_scaler(qp, True), _dc_scaler(qp, False)
         yp = np.zeros((16 * mb_h, 16 * mb_w))
         cbp_ = np.zeros((8 * mb_h, 8 * mb_w))
         crp_ = np.zeros((8 * mb_h, 8 * mb_w))
@@ -572,29 +588,33 @@ def decode_mp4v_intra(b: bytes) -> tuple[int, int, np.ndarray] | None:
             blk.reshape(64)[_ZIGZAG] = np.clip(q, -2048, 2047)
             plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = _idct(blk)
 
+        # 14496-2 §7.4.4: dquant (mb_type 4) updates the RUNNING quantiser,
+        # which persists for subsequent macroblocks; dc_scaler follows it.
+        run_qp = qp
         for my in range(mb_h):
             for mx in range(mb_w):
                 mb_type, cbpc = br.read_vlc(_MCBPC_I_DEC, 9)
-                cur_qp = qp
                 if br.read(1):  # ac_pred_flag
                     raise NotImplementedError("mp4v ac_pred")
                 cbpy = br.read_vlc(_CBPY_DEC, 6)
                 if mb_type == 4:
                     dq = br.read(2)
-                    cur_qp = max(1, min(31, qp + (-1, -2, 1, 2)[dq]))
+                    run_qp = max(1, min(31, run_qp + (-1, -2, 1, 2)[dq]))
+                dcs_l = _dc_scaler(run_qp, True)
+                dcs_c = _dc_scaler(run_qp, False)
                 # spec block order: Y0..Y3, Cb, Cr — each block's DC
                 # immediately followed by its AC events when coded
                 for j in range(4):
                     by, bx = 2 * my + j // 2, 2 * mx + j % 2
                     decode_block(
                         yp, bx, by, fl, dcs_l, True,
-                        bool(cbpy & (8 >> j)), cur_qp,
+                        bool(cbpy & (8 >> j)), run_qp,
                     )
                 decode_block(
-                    cbp_, mx, my, fcb, dcs_c, False, bool(cbpc & 2), cur_qp
+                    cbp_, mx, my, fcb, dcs_c, False, bool(cbpc & 2), run_qp
                 )
                 decode_block(
-                    crp_, mx, my, fcr, dcs_c, False, bool(cbpc & 1), cur_qp
+                    crp_, mx, my, fcr, dcs_c, False, bool(cbpc & 1), run_qp
                 )
         y = np.clip(np.rint(yp[:h_img, :w_img]), 0, 255)
         cbf = np.clip(np.rint(cbp_), 0, 255)

@@ -59,6 +59,14 @@ def weighted_sample(
     in any engine. Selection is the distributed ``global_rank`` (no
     single-partition window); ties break by id.
 
+    Weight domain (r7 ADVICE): rows with weight <= 0 are EXCLUDED before
+    keying — zero weight means zero inclusion probability under E-S, and
+    a negative weight is undefined (the old null-safe divide silently
+    produced NULL es_key for both, nondeterministically ordered vs the
+    oracle). Positive weights below the 1e-6 quantum are floored to one
+    micro-unit (the oracle's ``GREATEST(wq, 1)``), so sub-quantum weights
+    rank deterministically instead of dividing by zero.
+
     Returns (id, weight, es_key, rank) for the k sampled rows."""
     from .ranking import global_rank
 
@@ -67,8 +75,11 @@ def weighted_sample(
     hv = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
     u = (hv + F.lit(1)).cast("double") / F.lit(float(1 << 60))
     lq = F.round(-F.log(u) * F.lit(1_000_000.0)).cast("long")
-    wq = F.round(weight.cast("double") * F.lit(1_000_000.0)).cast("long")
-    keyed = df.select(
+    wq = F.greatest(
+        F.round(weight.cast("double") * F.lit(1_000_000.0)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    keyed = df.filter(weight.cast("double") > 0).select(
         c,
         weight.cast("double").alias("weight"),
         (lq.cast("double") / wq.cast("double")).alias("es_key"),

@@ -10,10 +10,18 @@ drain what is new, recompute the worklist) expressed Spark-natively:
 
   1. the file stream drains new event files one idempotent micro-batch at a
      time (checkpointed — re-runs skip consumed files),
-  2. each micro-batch APPENDS its rows to an accumulation parquet relation
-     (O(delta) write, never a rewrite of history),
+  2. each micro-batch writes its rows to a ``batch_id``-keyed subdirectory
+     of the accumulation relation in OVERWRITE mode (O(delta) write, never a
+     rewrite of history) — a replayed batch (failure between the write and
+     the checkpoint commit) lands on the same subdirectory and overwrites
+     its own previous partial output instead of double-appending,
   3. the batch detector recomputes over the accumulated relation and
      publishes a fresh report snapshot.
+
+A checkpoint directory is always used: callers that omit ``checkpoint_dir``
+get one derived from ``accum_dir`` (``<accum_dir>.checkpoint``) so batch ids
+stay monotonic across restarts — without it a restarted drain would renumber
+batches from 0 and resurrect stale subdirectories as duplicates.
 
 Step 3 re-reads accumulated history each cycle — that is the price of
 exact parity with the batch operator (CUSUM's mean is global per key).
@@ -23,10 +31,11 @@ O(horizon) instead of O(history) while steps 1-2 stay O(delta). The
 stream≡batch parity tests (tests/test_monitoring_streaming.py) prove the
 drained result equals the one-shot batch run on the same files.
 
-Report publication is a staged-directory swap (write to ``<out>.staged``,
-then atomic rename over ``<out>``) so a reader never sees a half-written
-snapshot — the state store's pointer-swap discipline (state/store.py)
-applied to report output.
+Report publication is a versioned-directory + symlink swap: each snapshot is
+written to ``<out>.v<N>`` and ``<out>`` is a symlink atomically re-pointed
+via ``os.replace`` — a reader always resolves either the old snapshot or the
+new one, with no instant at which ``<out>`` is absent (the state store's
+pointer-swap discipline, state/store.py, applied to report output).
 """
 
 from __future__ import annotations
@@ -43,20 +52,42 @@ from ..operators.timeseries import cusum_drift, heartbeat_gaps, rolling_zscore
 
 
 def _publish(report: DataFrame, out_dir: str) -> None:
-    """Write ``report`` as a parquet snapshot at ``out_dir`` via staged
-    rename — readers see the old snapshot or the new one, never a mix."""
-    staged = out_dir.rstrip("/") + ".staged"
-    if os.path.exists(staged):
-        shutil.rmtree(staged)
-    report.write.mode("overwrite").parquet(staged)
-    old = out_dir.rstrip("/") + ".old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(out_dir):
-        os.rename(out_dir, old)
-    os.rename(staged, out_dir)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    """Write ``report`` as a parquet snapshot readable at ``out_dir``.
+
+    ``out_dir`` is maintained as a symlink to a versioned snapshot directory
+    (``<out_dir>.v<N>``). The swap is a single ``os.replace`` of a freshly
+    created symlink over the old one — atomic on POSIX — so a concurrent
+    reader resolves either the previous snapshot or the new one; there is no
+    window in which ``out_dir`` does not exist. The superseded version
+    directory is removed after the swap (a reader that resolved the old link
+    mid-swap on a local FS may briefly race its deletion; production object
+    stores keep N versions instead — see SCALE.md)."""
+    base = out_dir.rstrip("/")
+    prev_target = os.path.realpath(base) if os.path.islink(base) else None
+    # Next version number: one past the max existing sibling.
+    parent = os.path.dirname(os.path.abspath(base)) or "."
+    name = os.path.basename(base)
+    ver = 0
+    if os.path.isdir(parent):
+        for entry in os.listdir(parent):
+            if entry.startswith(name + ".v"):
+                suffix = entry[len(name) + 2:]
+                if suffix.isdigit():
+                    ver = max(ver, int(suffix) + 1)
+    new_dir = f"{base}.v{ver}"
+    report.write.mode("overwrite").parquet(new_dir)
+    if os.path.exists(base) and not os.path.islink(base):
+        # Legacy layout (real directory from an older release): move it
+        # aside once; this migration step is the only non-atomic publish.
+        os.rename(base, f"{base}.v{ver - 1 if ver else 0}.legacy")
+        prev_target = f"{base}.v{ver - 1 if ver else 0}.legacy"
+    tmp_link = f"{base}.lnk.{ver}"
+    if os.path.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(os.path.abspath(new_dir), tmp_link)
+    os.replace(tmp_link, base)  # atomic re-point: old snapshot or new, never absent
+    if prev_target and os.path.isdir(prev_target):
+        shutil.rmtree(prev_target, ignore_errors=True)
 
 
 def run_detector_stream(
@@ -76,24 +107,35 @@ def run_detector_stream(
     wrappers below pre-bind the r6 detectors). ``retention`` optionally
     narrows the accumulated relation before detection (the bounded-state
     knob for production horizons); omit it for exact full-history parity
-    with the batch operator."""
+    with the batch operator.
+
+    Idempotency: each micro-batch writes to ``<accum_dir>/batch-<id>`` in
+    overwrite mode, so a batch replayed after a crash between the write and
+    the checkpoint commit overwrites its own output rather than appending a
+    duplicate. ``checkpoint_dir`` defaults to ``<accum_dir>.checkpoint`` —
+    it is never omitted, because without it a restart renumbers batches."""
+    if checkpoint_dir is None:
+        checkpoint_dir = accum_dir.rstrip("/") + ".checkpoint"
 
     def _cycle(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(accum_dir)
-        hist = spark.read.parquet(accum_dir)
+        batch_df.write.mode("overwrite").parquet(
+            f"{accum_dir.rstrip('/')}/batch-{batch_id}"
+        )
+        hist = spark.read.option("recursiveFileLookup", "true").parquet(
+            accum_dir
+        )
         if retention is not None:
             hist = retention(hist)
         _publish(detector(hist), out_dir)
 
     stream = spark.readStream.format(fmt).schema(schema).load(source_dir)
-    writer = (
+    return (
         stream.writeStream.foreachBatch(_cycle)
         .trigger(availableNow=True)
         .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
     )
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    return writer.start()
 
 
 def run_cusum_stream(

@@ -155,6 +155,40 @@ def test_psi_drift_stream_flags_shift_against_pinned_reference(spark, tmp_path):
     assert sorted(map(tuple, rows)) == want  # stream ≡ batch
 
 
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (crash between the accum write and the
+    checkpoint commit) must not double-append (r7 ADVICE): deleting the
+    checkpoint and re-draining the same files re-delivers them under the
+    same batch ids, and the batch-id-keyed overwrite layout absorbs the
+    replay — the accumulated relation holds each row exactly once and the
+    published snapshot still equals the batch detector."""
+    import os
+    import shutil
+
+    f1 = _rows(0, [0, 1, 5], 7, [1.0, 2.0, 3.0])
+    src = _feed(spark, tmp_path, "replaysrc", f1)
+    accum, out, ckpt = _dirs(tmp_path, "replay")
+    kw = dict(min_gap_s=3600, checkpoint_dir=ckpt)
+
+    q = run_gap_report_stream(spark, src, SCHEMA, accum, out, **kw)
+    q.awaitTermination(120)
+    shutil.rmtree(ckpt)  # simulate a lost commit: full replay from batch 0
+    q = run_gap_report_stream(spark, src, SCHEMA, accum, out, **kw)
+    q.awaitTermination(120)
+
+    n = (
+        spark.read.option("recursiveFileLookup", "true").parquet(accum).count()
+    )
+    assert n == len(f1)  # replay overwrote, did not append
+    batch = spark.createDataFrame(f1, SCHEMA)
+    assert _snap(spark, out) == sorted(
+        map(tuple, heartbeat_gaps(batch, min_gap_s=3600).collect())
+    )
+    # the published report is a symlink to a versioned snapshot — the swap
+    # is an atomic os.replace, so out_dir never ceases to exist mid-publish
+    assert os.path.islink(out)
+
+
 def test_retention_bounds_detection_history(spark, tmp_path):
     """The production knob: detection over a bounded horizon only — rows
     older than the cutoff are excluded from the recompute (but remain in
@@ -178,4 +212,7 @@ def test_retention_bounds_detection_history(spark, tmp_path):
     assert len(got) == 1
     assert got[0][3] == 9 * 3600.0
     # the accumulation relation still holds everything (state not lost)
-    assert spark.read.parquet(accum).count() == 5
+    assert (
+        spark.read.option("recursiveFileLookup", "true").parquet(accum).count()
+        == 5
+    )

@@ -132,3 +132,50 @@ def test_geometry_edge_cases(w, h):
     ww, hh, bgr = out
     assert (ww, hh) == (w, h)
     assert np.array_equal(bgr, px)
+
+
+def test_dquant_running_qp_persists_across_macroblocks():
+    """14496-2 §7.4.4 (r7 ADVICE): dquant updates the RUNNING quantiser —
+    an mb_type-4 MB changes the QP for itself AND every later MB, and the
+    dc_scaler follows it. Encode a 4x1-MB gradient where MB1 bumps QP by
+    +2 (code 3): decode must round-trip within the same bound as the
+    uniform-QP stream, which only happens if the decoder carries the
+    running QP (resetting to the VOP quant would dequantize MB1..MB3 with
+    the wrong step AND the wrong dc_scaler)."""
+    gx = np.tile(np.arange(64, dtype=np.uint8) * 4, (16, 1))
+    px = np.stack([gx, gx, gx], axis=-1)
+    # qp=7 → luma dc_scaler 14; +2 → qp 9 → dc_scaler 17 (different branch)
+    b = encode_mp4v_intra_frame(px, qp=7, dquant={1: 3})
+    out = decode_mp4v_intra(b)
+    assert out is not None
+    w, h, bgr = out
+    assert (w, h) == (64, 16)
+    err = np.abs(bgr.astype(int) - px.astype(int)).mean()
+    base = decode_mp4v_intra(encode_mp4v_intra_frame(px, qp=9))[2]
+    base_err = np.abs(base.astype(int) - px.astype(int)).mean()
+    assert err <= base_err + 2.0, (err, base_err)
+
+
+def test_dquant_clamps_and_multiple_updates():
+    px = np.full((16, 64, 3), 200, dtype=np.uint8)  # 4 MBs, flat
+    # MB0: -2 from qp=2 clamps at 1; MB2: +1 → 2; flat content stays exact
+    b = encode_mp4v_intra_frame(px, qp=2, dquant={0: 1, 2: 2})
+    out = decode_mp4v_intra(b)
+    assert out is not None and np.array_equal(out[2], px)
+
+
+def test_intra_dc_vlc_thr_nonzero_gated():
+    """thr>0 switches DC into the TCOEF table above a QP threshold — not
+    in this subset, so the decoder must refuse rather than misparse."""
+    px = np.full((16, 16, 3), 42, dtype=np.uint8)
+    b = bytearray(encode_mp4v_intra_frame(px, qp=4))
+    vop = bytes(b).find(b"\x00\x00\x01\xb6") + 4
+    # VOP layout after the start code: 2b type, 1b mtb-terminator, 1b
+    # marker, 5b time_inc, 1b marker, 1b vop_coded, 3b intra_dc_vlc_thr
+    bitpos = vop * 8 + 2 + 1 + 1 + 5 + 1 + 1
+    for thr in (1, 7):
+        b2 = bytearray(b)
+        for k in range(3):
+            if (thr >> (2 - k)) & 1:
+                b2[(bitpos + k) // 8] |= 0x80 >> ((bitpos + k) % 8)
+        assert decode_mp4v_intra(bytes(b2)) is None, thr

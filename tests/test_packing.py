@@ -165,3 +165,25 @@ def test_weighted_sample_properties(spark):
         for r in sel:
             freq[r["doc_id"] >= 100] += 1
     assert freq[True] > 4 * freq[False]
+
+
+def test_weighted_sample_weight_domain(spark):
+    """r7 ADVICE: weight <= 0 rows are excluded (zero inclusion
+    probability; the old null-safe divide made their es_key NULL and
+    their fate nondeterministic), and sub-quantum positive weights
+    (< 1e-6, which quantize to 0 micro-units) are floored to one unit —
+    they rank deterministically instead of dividing by zero."""
+    from ideafast_etl_spark.operators.packing import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, 5e-7), (5, 2.0), (6, 3.0)],
+        "doc_id long, w double",
+    )
+    rows = weighted_sample(df, F.col("w"), k=10).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert 2 not in ids and 3 not in ids      # non-positive: never sampled
+    assert ids == {1, 4, 5, 6}                # k > survivors: all kept
+    tiny = [r for r in rows if r["doc_id"] == 4][0]
+    assert tiny["es_key"] is not None         # floored, not NULL
+    # the floored weight is tiny → its -ln(u)/w key is the worst rank
+    assert tiny["rank"] == 4
