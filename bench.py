@@ -48,12 +48,17 @@ EXTENDED = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    # warm iterations per query: medians over n runs stop JIT/registry
+    # wobble from masquerading as round-over-round signal (r7 verdict)
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     spark = get_spark("bench")
     # JVM/codegen warmup so the first measured query doesn't absorb startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_median: dict[str, float] = {}
+    warm_min: dict[str, float] = {}
     for name in HEADLINE + EXTENDED:
         fn = qs[name]
         # cold run: plan compile + execute, like the driver sees it
@@ -65,14 +70,24 @@ def main() -> None:
             print(f"# {name}: FAILED {e}", file=sys.stderr)
             continue
         timings[name] = round(time.time() - t0, 3)
-        # warm run: fresh plan in the warmed session — separates per-query
+        # warm runs: fresh plan in the warmed session — separates per-query
         # plan-compile overhead (dominant at tiny SF) from compute, which is
-        # the number that extrapolates to long-lived cluster sessions
-        t1 = time.time()
-        fn(spark, sf_dir).count()
-        warm[name] = round(time.time() - t1, 3)
+        # the number that extrapolates to long-lived cluster sessions.
+        # n iterations; first kept as `warm_queries` for cross-round
+        # continuity, median/min reported alongside.
+        samples = []
+        for _ in range(max(1, iters)):
+            t1 = time.time()
+            fn(spark, sf_dir).count()
+            samples.append(time.time() - t1)
+        warm[name] = round(samples[0], 3)
+        srt = sorted(samples)
+        warm_median[name] = round(srt[len(srt) // 2], 3)
+        warm_min[name] = round(srt[0], 3)
         print(
-            f"# {name}: cold {timings[name]}s / warm {warm[name]}s ({n} rows)",
+            f"# {name}: cold {timings[name]}s / warm {warm[name]}s "
+            f"(median {warm_median[name]}s, min {warm_min[name]}s over "
+            f"{len(samples)}; {n} rows)",
             file=sys.stderr,
         )
     # the headline metric stays the COLD total of the ORIGINAL 14 so the
@@ -92,6 +107,15 @@ def main() -> None:
                 "queries": timings,
                 "warm_queries": warm,
                 "warm_total": round(sum(warm[n] for n in HEADLINE if n in warm), 3),
+                "warm_median_queries": warm_median,
+                "warm_min_queries": warm_min,
+                "warm_median_total": round(
+                    sum(warm_median[n] for n in HEADLINE if n in warm_median), 3
+                ),
+                "warm_min_total": round(
+                    sum(warm_min[n] for n in HEADLINE if n in warm_min), 3
+                ),
+                "warm_iters": iters,
                 "extended_queries": EXTENDED,
                 "extended_total": ext_total,
                 "extended_warm_total": round(
