@@ -249,6 +249,7 @@ class StateStore:
         self._log_append(out, version)
         self._link_tree(old_dir, out)
         self._commit(version, out)
+        self._finalize_log(version)
         return n
 
     # -- append change log (streaming CDC source) -----------------------------
@@ -257,14 +258,81 @@ class StateStore:
         return os.path.join(self.path, "_cdc")
 
     def _log_append(self, delta_dir: str, version: str) -> None:
-        """Hardlink the delta's part-files into the append change log under
-        ``_cdc/commit_version=<v>/`` (partition subdirs preserved). Pure
-        inode links — the log is free at write time and immutable, which is
-        exactly what Spark's file streaming source needs: each commit's
-        files appear once, atomically, and are never rewritten."""
+        """STAGE the delta's part-files into the append change log as
+        ``_cdc/_tmp_commit_version=<v>/`` (hardlinks, partition subdirs
+        preserved). The leading underscore keeps the staged entry invisible
+        to Spark readers (the path filter skips ``_``/``.`` names), so a
+        crash before the snapshot commit can never publish phantom CDC rows
+        for a version that was never committed. ``_finalize_log`` renames
+        it to ``commit_version=<v>`` right after the pointer swap; a crash
+        in between is healed by ``recover()`` (the snapshot dir proves the
+        commit happened). Pure inode links — the log is free at write time
+        and immutable: each commit's files appear once, atomically, and are
+        never rewritten."""
         if not self.log_appends:
             return
-        self._link_tree(delta_dir, os.path.join(self.cdc_path(), f"commit_version={version}"))
+        self._link_tree(
+            delta_dir,
+            os.path.join(self.cdc_path(), f"_tmp_commit_version={version}"),
+        )
+
+    def _finalize_log(self, version: str) -> None:
+        """Publish the staged CDC entry for a just-committed version —
+        a single atomic rename."""
+        if not self.log_appends:
+            return
+        tmp = os.path.join(self.cdc_path(), f"_tmp_commit_version={version}")
+        if os.path.isdir(tmp):
+            os.rename(
+                tmp, os.path.join(self.cdc_path(), f"commit_version={version}")
+            )
+
+    def recover(self) -> dict[str, int]:
+        """Crash recovery. Runs automatically at the start of every write
+        operation (writes are single-writer serialized, so no live
+        operation can be mid-flight then; construction alone must NOT
+        recover — a reader instance opened beside an in-flight writer
+        would destroy its staging). Finalizes staged CDC entries whose
+        snapshot commit completed (the ``v_<version>`` dir exists), drops
+        staged entries of versions that never committed, and clears orphan
+        ``_tmp_v_*`` staging dirs. Exactly-once CDC publication per commit
+        follows: a committed append's change entry always becomes visible
+        (here, if not already finalized), and an uncommitted one never
+        does."""
+        finalized = dropped = staging = 0
+        cur = self.current_version()
+        # Orphan snapshot dirs: renamed into place but the pointer swap
+        # never happened (versions are monotone time_ns, so anything newer
+        # than the pointer is uncommitted). They must go BEFORE the CDC
+        # pass — "the v_ dir exists" does NOT mean committed.
+        for d in os.listdir(self.path):
+            if d.startswith("v_") and (cur is None or int(d[2:]) > int(cur)):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+                staging += 1
+        root = self.cdc_path()
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                if d.startswith("_tmp_commit_version="):
+                    v = d.split("=", 1)[1]
+                    # committed ⟺ the pointer reached this version: staged
+                    # entries only linger from the LAST crashed write
+                    # (single-writer), and every pre-swap crash leaves the
+                    # pointer on an older version
+                    if v == cur:
+                        self._finalize_log(v)
+                        finalized += 1
+                    else:
+                        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                        dropped += 1
+        for d in os.listdir(self.path):
+            if d.startswith("_tmp_v_"):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+                staging += 1
+        return {
+            "cdc_finalized": finalized,
+            "cdc_dropped": dropped,
+            "staging_cleared": staging,
+        }
 
     def stream_appends(self, schema: StructType | None = None) -> DataFrame:
         """Structured-Streaming source over the append change log — the
@@ -326,6 +394,7 @@ class StateStore:
         mergeSchema) and may omit existing columns (filled NULL, typed from
         the state schema) — Delta's mergeSchema-on-append contract. Returns
         the number of rows inserted."""
+        self.recover()
         incoming = incoming.dropDuplicates([self.key])
         if not self.exists():
             self.init(incoming)
@@ -333,6 +402,7 @@ class StateStore:
             v = self.current_version()
             assert v is not None
             self._log_append(self._snapshot_dir(v), v)
+            self._finalize_log(v)
             return self.read().count()  # once-per-store bootstrap only
         state = self.read()
         for f in state.schema.fields:
@@ -369,6 +439,7 @@ class StateStore:
         the write action itself — no separate count job). A merge that
         matches nothing publishes no new version.
         """
+        self.recover()
         selective = partition_value is not None and len(self.partition_by) == 1
         state = self.read()
         target = (
@@ -757,6 +828,7 @@ class StateStore:
         — the same O(affected partition) path as ``merge_non_overwrite``.
         Returns the number of rows newly flagged; flagging nothing new
         publishes no new version."""
+        self.recover()
         selective = partition_value is not None and len(self.partition_by) == 1
         state = self.read()
         target = (
