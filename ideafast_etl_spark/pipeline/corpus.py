@@ -35,8 +35,13 @@ def _stage(name: str, df: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("stage", "n_docs", "n_tokens")
 
 
-def corpus_prep_stages(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Run the prep chain and return (stage, n_docs, n_tokens) per stage."""
+def corpus_prep(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Run the prep chain; return (survivors, stage_report) — the cleaned
+    corpus (doc_id, text) after the final dedup rung, and the per-stage
+    (stage, n_docs, n_tokens) accounting. The streaming twin
+    (streaming/corpus.py) publishes both as snapshots per drain."""
     s0 = _stage("0_raw", docs.select(F.col(text_col).alias("text")))
     d1 = line_dedup(docs, text_col, with_text=True).select("doc_id", "text")
     s1 = _stage("1_line_dedup", d1)
@@ -53,10 +58,16 @@ def corpus_prep_stages(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .drop("__norm", "__rn")
     )
     s4 = _stage("4_exact_dedup", d4)
-    return (
+    report = (
         s0.unionByName(s1)
         .unionByName(s2)
         .unionByName(s3)
         .unionByName(s4)
         .orderBy("stage")
     )
+    return d4, report
+
+
+def corpus_prep_stages(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Run the prep chain and return (stage, n_docs, n_tokens) per stage."""
+    return corpus_prep(docs, text_col)[1]
