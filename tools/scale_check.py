@@ -2,7 +2,24 @@
 shifted keys into a realistic multi-file layout, then warm-time the headline
 operators on it. Usage:
 
-    python tools/scale_check.py [factor] [dest_dir] [query,query,...]
+    python tools/scale_check.py [factor] [dest_dir] [query,query,...] [flags]
+
+Flags:
+  --skew   generate with Zipf-style hot keys (r7 verdict directive 1): the
+           uniform replication harness keeps every shuffle key uniform, so
+           it can never exercise AQE's skew handling or expose a
+           degenerate-key window. Skew mode remaps ~30% of rows onto ONE
+           global hot key after replication — events.user_id,
+           lineitem.l_suppkey and orders.o_custkey — so the hot key's share
+           holds at ANY factor (a planted power-law head, the worst case a
+           Zipf(1) key distribution converges to). Default query list
+           narrows to SKEW_QUERIES (the operators keyed on those columns;
+           document/embedding operators don't read them and would time
+           identically).
+  --plan   after timing each query, report whether the executed adaptive
+           plan contains `skew=true` (AQE's skew-split marker) — the proof
+           the split fires on a REAL query, not just the planted unit test
+           (tests/test_aqe_skew_join.py).
 
 (defaults: 10x, /tmp/sfx1, the full QUERIES list; generation is skipped if
 dest exists). Scale-posture variants (names ending in ``_hll`` / ``_auto``)
@@ -94,7 +111,51 @@ QUERIES = [
 ]
 
 
-def generate(spark, dst: str, k: int) -> None:
+# Queries that read the skewed keys (user_id / l_suppkey / o_custkey and
+# the joins above them) — the default sweep set under --skew.
+SKEW_QUERIES = [
+    "sessionization",
+    "day_window_grouping",
+    "event_funnel",
+    "event_transition_matrix",
+    "time_weighted_avg",
+    "timeseries_gapfill",
+    "cusum_drift",
+    "event_gaps_report",
+    "purchase_attribution",
+    "funnel_latency_percentiles",
+    "key_skew_report",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
+    "supplier_pagerank",
+    "supplier_reachability",
+    "shipment_concurrency_by_month",
+    "hash_dedup_anti_join",
+    "dreem_pipeline_e2e",
+]
+
+# ~30% of rows land on one global hot key. The selector hashes a row-unique
+# column (deterministic, replica-independent), so the hot share holds at
+# every factor; the hot key is id 1 (present in every dim table's replica 0,
+# preserving referential integrity).
+_HOT_NUM, _HOT_DEN, _HOT_KEY = 3, 10, 1
+
+
+def _skew_remap(key_col: str, selector_col: str):
+    def extra(p):
+        return p.withColumn(
+            key_col,
+            F.when(
+                F.pmod(F.xxhash64(F.col(selector_col)), F.lit(_HOT_DEN))
+                < _HOT_NUM,
+                F.lit(_HOT_KEY).cast(p.schema[key_col].dataType),
+            ).otherwise(F.col(key_col)),
+        )
+    return extra
+
+
+def generate(spark, dst: str, k: int, skew: bool = False) -> None:
     def read(name):
         return tables.load(spark, name, SRC)
 
@@ -137,8 +198,16 @@ def generate(spark, dst: str, k: int) -> None:
     shifted("customer", ["c_custkey"], nfiles=nf)
     shifted("supplier", ["s_suppkey"], nfiles=nf)
     shifted("part", ["p_partkey"], nfiles=nf)
-    shifted("orders", ["o_orderkey", "o_custkey"], nfiles=nf)
-    shifted("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], nfiles=2 * nf)
+    shifted(
+        "orders", ["o_orderkey", "o_custkey"],
+        extra=_skew_remap("o_custkey", "o_orderkey") if skew else None,
+        nfiles=nf,
+    )
+    shifted(
+        "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"],
+        extra=_skew_remap("l_suppkey", "l_orderkey") if skew else None,
+        nfiles=2 * nf,
+    )
     # Replica perturbation (r7): suffix EVERY word with the replica index.
     # Within a replica the corpus keeps the original near-dup structure
     # exactly (Jaccard between two docs is invariant under a bijective
@@ -166,7 +235,11 @@ def generate(spark, dst: str, k: int) -> None:
         nfiles=nf,
     )
     shifted("embeddings", ["vec_id"], nfiles=nf)
-    shifted("events", ["event_id", "user_id"], nfiles=nf)
+    shifted(
+        "events", ["event_id", "user_id"],
+        extra=_skew_remap("user_id", "event_id") if skew else None,
+        nfiles=nf,
+    )
 
 
 def _stats_hll(spark, sf_dir):
@@ -195,9 +268,17 @@ SCALE_VARIANTS = {
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfx1"
-    names = sys.argv[3].split(",") if len(sys.argv) > 3 else QUERIES
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skew = "--skew" in flags
+    show_plan = "--plan" in flags
+    k = int(args[0]) if len(args) > 0 else 10
+    dst = args[1] if len(args) > 1 else "/tmp/sfx1"
+    names = (
+        args[2].split(",")
+        if len(args) > 2
+        else (SKEW_QUERIES if skew else QUERIES)
+    )
     # the 100x dataset squeezed through one local JVM needs the resources a
     # cluster run would spread across executors: shuffle partitions sized to
     # the data (so per-task sort/agg state stays bounded — the same rule a
@@ -209,19 +290,32 @@ def main() -> None:
     else:
         spark = get_spark("scale-check")
     if not os.path.isdir(dst):
-        print(f"# generating {k}x dataset at {dst}", flush=True)
-        generate(spark, dst, k)
+        print(f"# generating {k}x{' SKEWED' if skew else ''} dataset at {dst}", flush=True)
+        generate(spark, dst, k, skew=skew)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     qs = entrymod.queries()
     qs.update(SCALE_VARIANTS)
     total = 0.0
     for name in names:
-        qs[name](spark, dst).count()  # warm: plan + codegen compiled
-        t = time.time()
-        n = qs[name](spark, dst).count()
-        dt = time.time() - t
+        try:
+            qs[name](spark, dst).count()  # warm: plan + codegen compiled
+            t = time.time()
+            # count via an agg we keep a handle on: collect() executes THIS
+            # DataFrame's queryExecution, so the post-run adaptive plan
+            # (with any skew=true markers) is inspectable — df.count()
+            # would execute a separate anonymous execution
+            cnt = qs[name](spark, dst).agg(F.count(F.lit(1)).alias("n"))
+            n = cnt.collect()[0]["n"]
+            dt = time.time() - t
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+            continue
         total += dt
-        print(f"{name}: {dt:.2f}s ({n} rows)", flush=True)
+        tag = ""
+        if show_plan:
+            plan = cnt._jdf.queryExecution().executedPlan().toString()
+            tag = "  [skew-split FIRED]" if "skew=true" in plan else "  [no skew-split]"
+        print(f"{name}: {dt:.2f}s ({n} rows){tag}", flush=True)
     print(f"total: {total:.2f}s over {len(names)} queries at {k}x sf0.1")
 
 
