@@ -69,8 +69,37 @@ def interval_containment_join(
     Plan shape: equi-join on ``device_col`` (hash join; broadcast when the
     assignments side is small) + residual range predicates, then a window
     partitioned by the record key to keep row_number()==1.
+
+    Degenerate-key guard (r8 — found by the Zipf-skew sweep): an equi-join
+    key carrying a large share of BOTH sides makes the per-key candidate
+    set quadratic (hot device with n records x m assignments probes n*m
+    pairs before the residual filter — the skewed-10x harness run hung
+    here). Since only the FIRST match (min by ``order_cols``) survives,
+    any assignment whose day-span is covered by an earlier-ordered
+    assignment of the same device can never win for any record and is
+    pruned BEFORE the join: one window per device computing the running
+    max of predecessors' end days (sound when ``order_cols[0]`` is the
+    interval start, so every predecessor also starts no later — the
+    default and the reference's ordering). For equal-length-interval
+    fan-out (the planted pathology) this collapses the hot key from
+    O(rows) to O(distinct start days).
     """
     order_cols = order_cols or (asg_start,)
+    if order_cols[0] == asg_start:
+        w_prune = (
+            Window.partitionBy(device_col)
+            .orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        end_d = F.coalesce(
+            normalise_day(F.col(asg_end)), F.current_date().cast("timestamp")
+        )
+        assignments = (
+            assignments.withColumn("__end_d", end_d)
+            .withColumn("__cov", F.max("__end_d").over(w_prune))
+            .filter(F.col("__cov").isNull() | (F.col("__cov") < F.col("__end_d")))
+            .drop("__end_d", "__cov")
+        )
     a = assignments.alias("a")
     r = records.alias("r")
 

@@ -86,3 +86,74 @@ def test_unmatched_record_keeps_all_columns(spark, assignments):
     assert len(out) == 1
     assert out[0]["hash"] == "r1"
     assert out[0]["patient_id"] is None
+
+
+def test_dominated_assignment_prune_preserves_semantics(spark):
+    """r8 degenerate-key guard: an assignment whose day-span is covered by
+    an earlier-ordered assignment can never be the first match — pruning
+    it pre-join must not change any result. Planted: D2 is fully covered
+    by D1 (earlier start, later end); a record inside D2's span must
+    still resolve to D1, and a record only D3 (not covered) contains must
+    resolve to D3."""
+    asg = spark.createDataFrame(
+        [
+            ("DEV", "P1", _dt("2021-11-01T00:00:00"), _dt("2021-11-20T00:00:00")),
+            ("DEV", "P2", _dt("2021-11-05T00:00:00"), _dt("2021-11-10T00:00:00")),  # covered by P1
+            ("DEV", "P3", _dt("2021-11-18T00:00:00"), _dt("2021-11-30T00:00:00")),  # extends past P1
+        ],
+        ["device_id", "patient_id", "start_wear", "end_wear"],
+    )
+    rec = spark.createDataFrame(
+        [
+            ("r1", "DEV", _dt("2021-11-06T09:00:00"), _dt("2021-11-06T10:00:00")),
+            ("r2", "DEV", _dt("2021-11-25T09:00:00"), _dt("2021-11-25T10:00:00")),
+        ],
+        ["hash", "device_id", "start", "end"],
+    )
+    out = {
+        r["hash"]: r["patient_id"]
+        for r in interval_containment_join(
+            rec, asg, order_cols=("start_wear", "patient_id")
+        ).collect()
+    }
+    assert out == {"r1": "P1", "r2": "P3"}
+
+
+def test_equal_interval_fanout_collapses_to_one_survivor(spark):
+    """The planted skew pathology: many identical-span assignments on one
+    hot device. All but the order_cols-minimal one are dominated, so the
+    join probes ONE assignment instead of n — and the winner is exactly
+    the tie-break minimum the unpruned operator would pick."""
+    from pyspark.sql import functions as F
+
+    asg = spark.range(500).select(
+        F.lit("HOT").alias("device_id"),
+        F.concat(F.lit("P"), F.format_string("%03d", F.col("id"))).alias(
+            "patient_id"
+        ),
+        F.lit(_dt("2021-11-01T00:00:00")).alias("start_wear"),
+        F.lit(_dt("2021-12-01T00:00:00")).alias("end_wear"),
+    )
+    rec = spark.createDataFrame(
+        [("r1", "HOT", _dt("2021-11-15T09:00:00"), _dt("2021-11-15T10:00:00"))],
+        ["hash", "device_id", "start", "end"],
+    )
+    out = interval_containment_join(
+        rec, asg, order_cols=("start_wear", "patient_id")
+    ).collect()
+    assert len(out) == 1 and out[0]["patient_id"] == "P000"
+
+
+def test_prune_skipped_when_order_not_led_by_start(spark, assignments):
+    """Soundness gate: when order_cols doesn't lead with the interval
+    start, domination can't be inferred from a running max — the operator
+    must skip the prune and still produce the order_cols-minimal match."""
+    rec = spark.createDataFrame(
+        [("r1", "NR1-DEVICE", _dt("2021-11-06T08:00:00"), _dt("2021-11-06T09:00:00"))],
+        ["hash", "device_id", "start", "end"],
+    )
+    out = interval_containment_join(
+        rec, assignments, order_cols=("patient_id",)
+    ).collect()
+    # 11-06 is in both B and C; min patient_id = B-PATIENT
+    assert out[0]["patient_id"] == "B-PATIENT"
