@@ -57,6 +57,7 @@ def interval_containment_join(
     asg_end: str = "end_wear",
     payload_cols: tuple[str, ...] = ("patient_id",),
     order_cols: tuple[str, ...] | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """J4 — interval-containment join: for each record, find the assignment on
     the same device whose day-normalised wear period contains BOTH the record's
@@ -66,9 +67,24 @@ def interval_containment_join(
     ideafast_etl/hooks/ucam.py:119-136, dags/dreem.py:117-151; divergence
     documented in SURVEY.md §7.4).
 
-    Plan shape: equi-join on ``device_col`` (hash join; broadcast when the
-    assignments side is small) + residual range predicates, then a window
-    partitioned by the record key to keep row_number()==1.
+    ``strategy``:
+      - ``"join"``: equi-join on ``device_col`` (hash join; broadcast when
+        the assignments side is small) + residual range predicates, then a
+        window partitioned by the record key keeping row_number()==1.
+        Per-device cost is O(records x surviving assignments).
+      - ``"merge_scan"`` (requires ``order_cols`` led by ``asg_start``):
+        fully linear. After the dominated-assignment prune, survivor end
+        days are STRICTLY INCREASING in tie-break order, so the first
+        match for a record is the unique survivor with the smallest end
+        day >= the record's end day whose start is <= the record's start
+        — an as-of lookup, not a join: union survivors and records per
+        device, one window sorted by day descending with a running
+        last(survivor) over the preceding frame (O(n) accumulative frame;
+        an unbounded-FOLLOWING frame would re-scan per row and be
+        quadratic itself), then validate containment. Per-device cost is
+        O((records + assignments) log) — the hot-key quadratic is gone.
+      - ``"auto"``: ``merge_scan`` when sound (start-led order_cols),
+        else ``join``.
 
     Degenerate-key guard (r8 — found by the Zipf-skew sweep): an equi-join
     key carrying a large share of BOTH sides makes the per-key candidate
@@ -85,7 +101,8 @@ def interval_containment_join(
     O(rows) to O(distinct start days).
     """
     order_cols = order_cols or (asg_start,)
-    if order_cols[0] == asg_start:
+    prunable = order_cols[0] == asg_start
+    if prunable:
         w_prune = (
             Window.partitionBy(device_col)
             .orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
@@ -99,6 +116,15 @@ def interval_containment_join(
             .withColumn("__cov", F.max("__end_d").over(w_prune))
             .filter(F.col("__cov").isNull() | (F.col("__cov") < F.col("__end_d")))
             .drop("__end_d", "__cov")
+        )
+    if strategy not in ("auto", "join", "merge_scan"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "merge_scan" and not prunable:
+        raise ValueError("merge_scan requires order_cols led by asg_start")
+    if prunable and strategy in ("auto", "merge_scan"):
+        return _containment_merge_scan(
+            records, assignments, device_col, rec_start, rec_end,
+            asg_start, asg_end, payload_cols,
         )
     a = assignments.alias("a")
     r = records.alias("r")
@@ -126,3 +152,70 @@ def interval_containment_join(
         F.col(f"a.{c}").alias(c) for c in payload_cols
     ]
     return first.select(*out_cols)
+
+
+def _containment_merge_scan(
+    records: DataFrame,
+    assignments: DataFrame,
+    device_col: str,
+    rec_start: str,
+    rec_end: str,
+    asg_start: str,
+    asg_end: str,
+    payload_cols: tuple[str, ...],
+) -> DataFrame:
+    """Linear first-containment-match (see interval_containment_join's
+    ``merge_scan`` strategy). ``assignments`` arrives already pruned, so
+    per device its end days strictly increase in tie-break order and the
+    first match for a record is the survivor with the smallest end day
+    >= the record's end day (validated for start containment)."""
+    a_start_d = normalise_day(F.col(asg_start))
+    a_end_d = F.coalesce(
+        normalise_day(F.col(asg_end)), F.current_date().cast("timestamp")
+    )
+    # one atomic struct per survivor: first()/last() over a struct keeps
+    # start/end/payloads from the SAME survivor even when a payload is NULL
+    surv = assignments.filter(a_start_d.isNotNull()).select(
+        F.col(device_col),
+        a_end_d.alias("__day"),
+        F.lit(1).alias("__tag"),
+        F.struct(
+            a_start_d.alias("__a_start"),
+            a_end_d.alias("__a_end"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        ).alias("__s"),
+    )
+    # the join predicates demand containment of BOTH record endpoints —
+    # i.e. of [least, greatest] — so keying the scan on those (nulled when
+    # either endpoint is null, like the join's null semantics) stays exact
+    # even for reversed record intervals
+    r_s, r_e = normalise_day(F.col(rec_start)), normalise_day(F.col(rec_end))
+    both = r_s.isNotNull() & r_e.isNotNull()
+    rec = records.select(
+        *records.columns,
+        F.when(both, F.least(r_s, r_e)).alias("__r_start"),
+        F.when(both, F.greatest(r_s, r_e)).alias("__day"),
+        F.lit(0).alias("__tag"),
+    )
+    u = rec.unionByName(surv, allowMissingColumns=True)
+    # day DESC scan with an ACCUMULATIVE preceding frame: the running
+    # last(non-null survivor) at a record row is the survivor with the
+    # smallest end day >= the record's end day. desc_nulls_first parks
+    # null-day records before every survivor (they can never match);
+    # tag desc makes a same-day survivor visible to its records.
+    w = (
+        Window.partitionBy(device_col)
+        .orderBy(F.col("__day").desc_nulls_first(), F.col("__tag").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.last("__s", ignorenulls=True).over(w)
+    ok = (
+        m.isNotNull()
+        & (m["__a_start"] <= F.col("__r_start"))
+        & (F.col("__day") <= m["__a_end"])
+    )
+    scanned = u.withColumn("__m", F.when(ok, m))
+    return scanned.filter(F.col("__tag") == 0).select(
+        *[F.col(c) for c in records.columns if c not in payload_cols],
+        *[F.col("__m")[c].alias(c) for c in payload_cols],
+    )

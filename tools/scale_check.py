@@ -20,6 +20,17 @@ Flags:
            plan contains `skew=true` (AQE's skew-split marker) — the proof
            the split fires on a REAL query, not just the planted unit test
            (tests/test_aqe_skew_join.py).
+  --aqe-scaled  scale AQE's skew byte thresholds to the harness volume
+           (32 MB floor / 16 MB advisory instead of 256 MB / 64 MB; the
+           5.0x-median factor criterion stays at its default). At harness
+           scale the hot partition lands at ~100-200 MB — pathological
+           relative to its ~3 MB peers (factor 50x+) but below the
+           production byte floor, so the split never engages; on a real
+           100 TB cluster the same 30% hot key is GBs and trips the
+           defaults. This flag reproduces the production geometry, exactly
+           as SCALE.md's AQE threshold recipe prescribes (and disables
+           broadcast for the probe, since a broadcast join has no skewed
+           shuffle to split).
 
 (defaults: 10x, /tmp/sfx1, the full QUERIES list; generation is skipped if
 dest exists). Scale-posture variants (names ending in ``_hll`` / ``_auto``)
@@ -272,6 +283,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skew = "--skew" in flags
     show_plan = "--plan" in flags
+    aqe_scaled = "--aqe-scaled" in flags
     k = int(args[0]) if len(args) > 0 else 10
     dst = args[1] if len(args) > 1 else "/tmp/sfx1"
     names = (
@@ -284,11 +296,24 @@ def main() -> None:
     # the data (so per-task sort/agg state stays bounded — the same rule a
     # real deployment applies) and a heap matching the box. 10x keeps the
     # bench defaults so numbers stay comparable with earlier rounds.
+    aqe_conf = (
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32MB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16MB",
+        }
+        if aqe_scaled
+        else {}
+    )
     if k > 10:
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-        spark = get_spark("scale-check", shuffle_partitions=4 * DEFAULT_CPUS)
+        spark = get_spark(
+            "scale-check",
+            shuffle_partitions=4 * DEFAULT_CPUS,
+            extra_conf=aqe_conf,
+        )
     else:
-        spark = get_spark("scale-check")
+        spark = get_spark("scale-check", extra_conf=aqe_conf)
     if not os.path.isdir(dst):
         print(f"# generating {k}x{' SKEWED' if skew else ''} dataset at {dst}", flush=True)
         generate(spark, dst, k, skew=skew)
