@@ -626,6 +626,10 @@ FROM sess
 GROUP BY user_id, session_idx
 """
 
+# bucketed sessionization is output-identical to the single-window plan —
+# the decomposition is a physical rewrite, so it shares the oracle verbatim
+ORACLES["sessionization_bucketed"] = ORACLES["sessionization"]
+
 ORACLES["hash_dedup_anti_join"] = """
 WITH hashed AS (
   SELECT event_id, sha256(event_type || CAST(event_id AS VARCHAR)) AS hash

@@ -1207,6 +1207,18 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register("sessionization_bucketed")
+def sessionization_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase sessionization (operators/sessions.py): the
+    heavy window runs per (user, day-bucket) — a hot user spreads over
+    its buckets instead of serializing one sort task — and a tiny
+    per-user boundary pass stitches sessions across buckets. Output is
+    bit-identical to `sessionization` (same oracle)."""
+    from .operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), bucket="1 day")
+
+
 @register("hash_dedup_anti_join")
 def hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1+X1 — the reference's semantic heart: sha256 content identity,
