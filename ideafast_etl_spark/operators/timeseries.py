@@ -159,6 +159,7 @@ def transition_counts(
     ts_col: str = "ts",
     type_col: str = "event_type",
     tie_col: str = "event_id",
+    bucket: str | None = None,
 ) -> DataFrame:
     """First-order Markov transition matrix over per-key event sequences:
     count (previous type → type) adjacencies ordered by (ts, tie), plus
@@ -169,14 +170,49 @@ def transition_counts(
     integer-derived double division (deterministic cross-engine). The
     reference's lifecycle rungs (F1-F7 NULL-chains, filters.py) are the
     business version of exactly these state transitions.
+
+    ``bucket`` (e.g. ``"1 day"``) switches to the skew-proof two-phase
+    plan (r8): within-bucket lag pairs plus one stitch pair per
+    consecutive present (key, bucket) — identical counts, hot entity
+    spread over its buckets.
     """
-    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
-    pairs = (
-        events.withColumn("prev_type", F.lag(type_col).over(w))
-        .filter(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", F.col(type_col).alias("next_type"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    if bucket is not None:
+        ev = events.select(
+            key_col, tie_col, ts_col, type_col,
+            F.window(F.col(ts_col), bucket)["start"].alias("__bkt"),
+        )
+        wl = Window.partitionBy(key_col, "__bkt").orderBy(ts_col, tie_col)
+        local = (
+            ev.withColumn("prev_type", F.lag(type_col).over(wl))
+            .filter(F.col("prev_type").isNotNull())
+            .select("prev_type", F.col(type_col).alias("next_type"))
+        )
+        bounds = ev.groupBy(key_col, "__bkt").agg(
+            F.min(F.struct(ts_col, tie_col, type_col)).alias("__first"),
+            F.max(F.struct(ts_col, tie_col, type_col)).alias("__last"),
+        )
+        wu = Window.partitionBy(key_col).orderBy("__bkt")
+        stitch = (
+            bounds.withColumn("__prev_last", F.lag("__last").over(wu))
+            .filter(F.col("__prev_last").isNotNull())
+            .select(
+                F.col(f"__prev_last.{type_col}").alias("prev_type"),
+                F.col(f"__first.{type_col}").alias("next_type"),
+            )
+        )
+        pairs = (
+            local.unionByName(stitch)
+            .groupBy("prev_type", "next_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    else:
+        w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+        pairs = (
+            events.withColumn("prev_type", F.lag(type_col).over(w))
+            .filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col(type_col).alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     wsrc = Window.partitionBy("prev_type")
     return pairs.select(
         "prev_type",
@@ -359,22 +395,67 @@ def heartbeat_gaps(
     ts_col: str = "ts",
     tie_col: str = "event_id",
     min_gap_s: int = 3600,
+    bucket: str | None = None,
 ) -> DataFrame:
     """Silence/heartbeat gap report per key: consecutive-event intervals
     exceeding ``min_gap_s`` seconds, from a single lead window over
     epoch-microsecond integers. The batch form of wearable-feed outage
     detection (the reference polls devices and has no way to see silence
     — /root/reference/dags/dreem.py polls records, not their absence;
-    this surfaces silence as data)."""
+    this surfaces silence as data).
+
+    ``bucket`` (e.g. ``"1 day"``) switches to the skew-proof two-phase
+    plan (r8, same family as operators/sessions.py): adjacency pairs are
+    within-bucket pairs plus one stitch pair per consecutive PRESENT
+    (key, bucket) — so the heavy window runs per (key, bucket) and the
+    hot entity spreads across its buckets. Output identical."""
     t = F.unix_micros(F.col(ts_col))
-    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
-    g = (
-        events.select(key_col, tie_col, ts_col, t.alias("t"))
-        .withColumn("next_t", F.lead("t").over(w))
-        .withColumn("next_ts", F.lead(ts_col).over(w))
-        .filter(F.col("next_t") - F.col("t") > min_gap_s * 1_000_000)
+    if bucket is None:
+        w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+        g = (
+            events.select(key_col, tie_col, ts_col, t.alias("t"))
+            .withColumn("next_t", F.lead("t").over(w))
+            .withColumn("next_ts", F.lead(ts_col).over(w))
+            .filter(F.col("next_t") - F.col("t") > min_gap_s * 1_000_000)
+        )
+        return g.select(
+            key_col,
+            F.col(ts_col).alias("gap_start"),
+            F.col("next_ts").alias("gap_end"),
+            ((F.col("next_t") - F.col("t")) / F.lit(1_000_000.0)).alias("gap_s"),
+        )
+    ev = events.select(
+        key_col, tie_col, ts_col, t.alias("t"),
+        F.window(F.col(ts_col), bucket)["start"].alias("__bkt"),
     )
-    return g.select(
+    wl = Window.partitionBy(key_col, "__bkt").orderBy(ts_col, tie_col)
+    local = (
+        ev.withColumn("next_t", F.lead("t").over(wl))
+        .withColumn("next_ts", F.lead(ts_col).over(wl))
+        .filter(F.col("next_t").isNotNull())
+        .select(key_col, ts_col, "t", "next_ts", "next_t")
+    )
+    # one row per present (key, bucket): its sequence-first and -last event
+    bounds = ev.groupBy(key_col, "__bkt").agg(
+        F.min(F.struct(ts_col, tie_col, "t")).alias("__first"),
+        F.max(F.struct(ts_col, tie_col, "t")).alias("__last"),
+    )
+    wu = Window.partitionBy(key_col).orderBy("__bkt")
+    stitch = (
+        bounds.withColumn("__prev_last", F.lag("__last").over(wu))
+        .filter(F.col("__prev_last").isNotNull())
+        .select(
+            key_col,
+            F.col(f"__prev_last.{ts_col}").alias(ts_col),
+            F.col("__prev_last.t").alias("t"),
+            F.col(f"__first.{ts_col}").alias("next_ts"),
+            F.col("__first.t").alias("next_t"),
+        )
+    )
+    pairs = local.unionByName(stitch).filter(
+        F.col("next_t") - F.col("t") > min_gap_s * 1_000_000
+    )
+    return pairs.select(
         key_col,
         F.col(ts_col).alias("gap_start"),
         F.col("next_ts").alias("gap_end"),

@@ -3323,3 +3323,7 @@ SELECT edge, COUNT(*) AS n,
        round(quantile_cont(lat_s, 0.99), 6) AS p99
 FROM lat GROUP BY edge
 """
+
+# r8 skew-proof bucketed twins are physical rewrites with identical output
+ORACLES["event_gaps_report_bucketed"] = ORACLES["event_gaps_report"]
+ORACLES["event_transition_matrix_bucketed"] = ORACLES["event_transition_matrix"]

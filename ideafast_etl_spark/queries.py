@@ -3951,6 +3951,18 @@ def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_counts(_t(spark, sf_dir, "events"))
 
 
+@register("event_transition_matrix_bucketed")
+def event_transition_matrix_bucketed_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skew-proof twin of `event_transition_matrix`: within-bucket lag
+    pairs + per-present-bucket stitch pairs, identical counts and shares.
+    Shares the oracle verbatim."""
+    from .operators.timeseries import transition_counts
+
+    return transition_counts(_t(spark, sf_dir, "events"), bucket="1 day")
+
+
 @register("fuzzy_name_pairs")
 def fuzzy_name_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-join (operators/entity.py): part-name pairs
@@ -4156,6 +4168,19 @@ def event_gaps_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeseries import heartbeat_gaps
 
     return heartbeat_gaps(_t(spark, sf_dir, "events"), min_gap_s=3600)
+
+
+@register("event_gaps_report_bucketed")
+def event_gaps_report_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof twin of `event_gaps_report` (same family as
+    sessionization_bucketed): within-bucket lead pairs + one stitch pair
+    per consecutive present (user, day) — identical output, hot user
+    spread over its buckets. Shares the oracle verbatim."""
+    from .operators.timeseries import heartbeat_gaps
+
+    return heartbeat_gaps(
+        _t(spark, sf_dir, "events"), min_gap_s=3600, bucket="1 day"
+    )
 
 
 @register("funnel_latency_percentiles")

@@ -87,3 +87,44 @@ def test_fuzz_many_users_random_times(spark):
         i += 1
     plain, bucketed = _both(spark, rows)
     assert bucketed == plain and len(bucketed) > 20
+
+
+def test_gaps_and_transitions_bucketed_parity(spark):
+    """The other two hot-entity window twins (heartbeat_gaps /
+    transition_counts with bucket='1 day') must match their single-window
+    plans on cross-bucket adjacency: a gap spanning midnight, a gap
+    spanning an empty day, transitions crossing both."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from ideafast_etl_spark.operators.timeseries import (
+        heartbeat_gaps,
+        transition_counts,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    i = 0
+    types = ["view", "click", "purchase"]
+    for user in (1, 2):
+        for m in (10, 50, 23 * 60 + 55, 24 * 60 + 5, 24 * 60 + 30,
+                  3 * 24 * 60 + 10, 3 * 24 * 60 + 20):
+            rows.append((i, user, t0 + dt.timedelta(minutes=m),
+                         types[i % 3]))
+            i += 1
+    # hot user with dense events over 4 days
+    for m in range(0, 4 * 24 * 60, 7):
+        rows.append((i, 99, t0 + dt.timedelta(minutes=m), types[i % 3]))
+        i += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+    g_plain = sorted(map(tuple, heartbeat_gaps(ev, min_gap_s=1800).collect()))
+    g_bkt = sorted(
+        map(tuple, heartbeat_gaps(ev, min_gap_s=1800, bucket="1 day").collect())
+    )
+    assert g_bkt == g_plain and len(g_plain) >= 4  # incl. cross-day gaps
+
+    t_plain = sorted(map(tuple, transition_counts(ev).collect()))
+    t_bkt = sorted(map(tuple, transition_counts(ev, bucket="1 day").collect()))
+    assert t_bkt == t_plain and sum(r[2] for r in t_plain) == len(rows) - 3
