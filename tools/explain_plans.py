@@ -36,7 +36,12 @@ EXPECTATIONS: dict[str, list[str]] = {
     "top_customers_by_revenue": ["BroadcastHashJoin", "HashAggregate"],
     "hash_dedup_anti_join": ["LeftAnti"],
     "lookup_enrich": ["BroadcastHashJoin"],
-    "interval_containment_join": ["HashJoin", "Window"],
+    # r8 merge-scan strategy: NO join at all — union + one accumulative
+    # window per device (the as-of lookup); a HashJoin here would mean the
+    # quadratic per-key probe path came back
+    "interval_containment_join": ["Union", "Window", "!HashJoin",
+                                  "!BroadcastNestedLoopJoin",
+                                  "!CartesianProduct"],
     "day_window_grouping": ["partial_count", "Batched: true"],
     "exact_dedup": ["partial_min", "Batched: true"],
     "dreem_pipeline_e2e": ["BroadcastHashJoin", "LeftAnti"],
@@ -232,6 +237,15 @@ EXPECTATIONS: dict[str, list[str]] = {
     "value_distribution_drift": ["partial_count", "!BatchEvalPython", "!CartesianProduct"],
     # gap report: one lead window per key over integer epochs
     "event_gaps_report": ["Window", "!BatchEvalPython", "Batched: true"],
+    # r8 skew-proof twins: the heavy window partitions by (entity, bucket)
+    # and the stitch joins/aggregates per entity; no Python, no nested loop
+    "sessionization_bucketed": ["Window", "partial_min", "!BatchEvalPython",
+                                "!BroadcastNestedLoopJoin"],
+    "event_gaps_report_bucketed": ["Window", "Union", "!BatchEvalPython",
+                                   "!BroadcastNestedLoopJoin"],
+    "event_transition_matrix_bucketed": ["Window", "Union", "partial_count",
+                                         "!BatchEvalPython",
+                                         "!BroadcastNestedLoopJoin"],
     # funnel latency: three keyed min-aggs + equi-joins, exact sort-based
     # percentiles — no per-user windows or sorts
     "funnel_latency_percentiles": ["partial_min", "!Window", "!CartesianProduct", "!BatchEvalPython"],
