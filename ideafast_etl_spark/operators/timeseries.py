@@ -230,6 +230,7 @@ def time_weighted_avg(
     ts_col: str = "ts",
     value_col: str = "value",
     tie_col: str = "event_id",
+    bucket: str | None = None,
 ) -> DataFrame:
     """Time-weighted average per key over the LOCF step function
     (TimescaleDB ``time_weight('LOCF')`` analog): each observation holds
@@ -249,19 +250,63 @@ def time_weighted_avg(
     one observation have no interval and return NULL.
 
     Output: (key_col, n_obs, span_us, twa).
+
+    ``bucket`` (e.g. ``"1 day"``) switches to the skew-proof two-phase
+    plan (r8, the heartbeat_gaps lead-stitch family): each event's hold
+    interval is the in-bucket lead delta, plus ONE boundary interval per
+    consecutive present (key, bucket) — the previous bucket's last event
+    holds until the next bucket's first. The integral is a plain sum of
+    those contributions, so the heavy window runs per (key, bucket) and
+    the output is bit-identical (shared oracle).
     """
     t = F.unix_micros(F.col(ts_col))
-    w = Window.partitionBy(key_col).orderBy("t", tie_col)
     qv = F.round(F.col(value_col) * Q).cast("long")
-    stepped = events.select(
-        F.col(key_col), F.col(tie_col), t.alias("t"), qv.alias("qv")
-    ).withColumn("dt", F.lead("t").over(w) - F.col("t"))
     d38 = "decimal(38,0)"
-    agg = stepped.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        F.sum((F.col("qv").cast(d38) * F.col("dt").cast(d38))).alias("num"),
-        F.sum("dt").alias("span_us"),
-    )
+    if bucket is not None:
+        ev = events.select(
+            F.col(key_col), F.col(tie_col), t.alias("t"), qv.alias("qv"),
+            F.window(F.col(ts_col), bucket)["start"].alias("__bkt"),
+        )
+        wl = Window.partitionBy(key_col, "__bkt").orderBy("t", tie_col)
+        local = (
+            ev.withColumn("__nt", F.lead("t").over(wl))
+            .filter(F.col("__nt").isNotNull())
+            .select(key_col, "qv", (F.col("__nt") - F.col("t")).alias("dt"))
+        )
+        # one row per present (key, bucket): sequence-first/-last events
+        bounds = ev.groupBy(key_col, "__bkt").agg(
+            F.min(F.struct("t", tie_col, "qv")).alias("__first"),
+            F.max(F.struct("t", tie_col, "qv")).alias("__last"),
+        )
+        wu = Window.partitionBy(key_col).orderBy("__bkt")
+        stitch = (
+            bounds.withColumn("__prev_last", F.lag("__last").over(wu))
+            .filter(F.col("__prev_last").isNotNull())
+            .select(
+                key_col,
+                F.col("__prev_last.qv").alias("qv"),
+                (F.col("__first.t") - F.col("__prev_last.t")).alias("dt"),
+            )
+        )
+        contrib = local.unionByName(stitch).groupBy(key_col).agg(
+            F.sum(F.col("qv").cast(d38) * F.col("dt").cast(d38)).alias("num"),
+            F.sum("dt").alias("span_us"),
+        )
+        agg = (
+            ev.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_obs"))
+            .join(contrib, [key_col], "left")
+        )
+    else:
+        w = Window.partitionBy(key_col).orderBy("t", tie_col)
+        stepped = events.select(
+            F.col(key_col), F.col(tie_col), t.alias("t"), qv.alias("qv")
+        ).withColumn("dt", F.lead("t").over(w) - F.col("t"))
+        agg = stepped.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum((F.col("qv").cast(d38) * F.col("dt").cast(d38))).alias("num"),
+            F.sum("dt").alias("span_us"),
+        )
     # num is ~1e22: casting it to double before dividing costs a ulp that
     # differs across engines — round the quotient to micro-units in exact
     # integer arithmetic instead ((2a+b) div 2b half-up, as resample_gapfill)
@@ -283,6 +328,7 @@ def cusum_drift(
     value_col: str = "value",
     tie_col: str = "event_id",
     threshold: float = 3.0,
+    bucket: str | None = None,
 ) -> DataFrame:
     """One-sided CUSUM upward-drift detection per key, window-only.
 
@@ -310,6 +356,20 @@ def cusum_drift(
     then the two windows over per-key event order. Reference analog: the
     lifecycle rung F-chain flags records one at a time; this flags level
     shifts in the stream itself.
+
+    ``bucket`` (e.g. ``"1 day"``) switches to the skew-proof two-phase
+    plan (r8): the RECURSION is nonlinear, but the closed form is two
+    running aggregates of the deviation prefix — and both decompose over
+    (key, time-bucket) exactly like the distributed prefix sum
+    (operators/ranking.py):
+
+      P_i = off_b + p_i                   (off_b = Σ prior buckets' sums)
+      min_{j<=i} P_j = min(prior buckets' min(off+p), off_b + local min)
+
+    so the heavy windows run per (key, bucket) — a hot entity spreads
+    over its buckets — and the per-key stitch touches one row per
+    PRESENT bucket. Exact decimal(38,0) throughout, so the output is
+    bit-identical to the single-window plan (shared oracle).
     """
     d38 = "decimal(38,0)"
     qv = F.round(F.col(value_col) * Q).cast("long")
@@ -320,16 +380,46 @@ def cusum_drift(
         F.count(F.lit(1)).alias("n"), F.sum(F.col("qv").cast(d38)).alias("sx")
     )
     j = base.join(m, key_col)
-    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
     dev = F.col("qv").cast(d38) * F.col("n").cast(d38) - F.col("sx")
-    p = F.sum(dev).over(run)
-    # CUSUM closed form, exact integers; the lit(0) floor handles the
-    # all-prefix-sums-positive (front-loaded drift) case
-    s = p - F.least(F.lit(0).cast(d38), F.min(p).over(run))
-    # S/n is the drift in micro-units: half-up it to an exact integer,
-    # then one division by Q renders the 6-decimal value
-    scaled = j.withColumn("__s", s).withColumn("__den", F.col("n").cast(d38))
+    if bucket is not None:
+        jb = j.withColumn("__bkt", F.window(F.col(ts_col), bucket)["start"])
+        wl = Window.partitionBy(key_col, "__bkt").orderBy(ts_col, tie_col)
+        lrun = wl.rowsBetween(Window.unboundedPreceding, 0)
+        loc = jb.withColumn("__dev", dev).withColumn(
+            "__p", F.sum("__dev").over(lrun)
+        )
+        loc = loc.withColumn("__lm", F.min("__p").over(lrun))
+        # one row per present (key, bucket): bucket total + bucket min
+        bounds = loc.groupBy(key_col, "__bkt").agg(
+            F.sum("__dev").alias("__t"), F.min("__p").alias("__bmin")
+        )
+        wu = Window.partitionBy(key_col).orderBy("__bkt")
+        prevf = wu.rowsBetween(Window.unboundedPreceding, -1)
+        off = bounds.withColumn(
+            "__off", F.coalesce(F.sum("__t").over(prevf), F.lit(0).cast(d38))
+        )
+        off = off.withColumn("__om", F.col("__off") + F.col("__bmin"))
+        off = off.withColumn("__pmin", F.min("__om").over(prevf))
+        stitched = loc.join(
+            off.select(key_col, "__bkt", "__off", "__pmin"), [key_col, "__bkt"]
+        )
+        lm_abs = F.col("__off") + F.col("__lm")
+        p_abs = F.col("__off") + F.col("__p")
+        run_min = F.least(lm_abs, F.coalesce(F.col("__pmin"), lm_abs))
+        s = p_abs - F.least(F.lit(0).cast(d38), run_min)
+        scaled = stitched.withColumn("__s", s).withColumn(
+            "__den", F.col("n").cast(d38)
+        )
+    else:
+        w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+        run = w.rowsBetween(Window.unboundedPreceding, 0)
+        p = F.sum(dev).over(run)
+        # CUSUM closed form, exact integers; the lit(0) floor handles the
+        # all-prefix-sums-positive (front-loaded drift) case
+        s = p - F.least(F.lit(0).cast(d38), F.min(p).over(run))
+        # S/n is the drift in micro-units: half-up it to an exact integer,
+        # then one division by Q renders the 6-decimal value
+        scaled = j.withColumn("__s", s).withColumn("__den", F.col("n").cast(d38))
     # threshold in exact integers too: S/(n*Q) > h  <=>  S > h_micro*n
     # with h_micro = round(h*Q) — no float comparison ambiguity at all
     h_micro = int(round(threshold * Q))
@@ -352,27 +442,105 @@ def rolling_zscore(
     tie_col: str = "event_id",
     k: int = 24,
     z_threshold: float = 3.0,
+    bucket: str | None = None,
 ) -> DataFrame:
     """Rolling z-score anomaly per key: each event scored against its own
     trailing-``k``-event window (current row excluded) — the LOCAL
     complement of ``cusum_drift``'s global level-shift detector. Rolling
     moments are exact integer window sums (values quantised to micro
     units); z is one correctly-rounded sqrt + one division. Only full
-    windows score. One window pass, no Python, no state store."""
+    windows score. One window pass, no Python, no state store.
+
+    ``bucket`` (e.g. ``"1 day"``) switches to the skew-proof two-phase
+    plan (r8): a trailing-k-row sum is a difference of inclusive prefix
+    sums, rsum_i = PS_{i-1} − PS_{i-k-1}, and the global per-key row
+    index AND both moment prefixes (Σqv, Σqv²) all decompose over
+    (key, time-bucket) like the distributed prefix sum — local window
+    within the bucket, O(present-buckets) per-key offset stitch, then
+    ONE equi-join on (key, idx−k−1) fetches the lagging prefix. All
+    moments stay exact decimal(38,0) integers, so the scores are
+    bit-identical to the single-window plan (shared oracle); the hot
+    entity's heavy sort spreads over its buckets and the join key
+    (key, idx) is skew-diluted by construction."""
     d38 = "decimal(38,0)"
     qv = F.round(F.col(value_col) * Q).cast("long")
     base = events.select(tie_col, key_col, ts_col, value_col, qv.alias("qv"))
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(ts_col, tie_col)
-        .rowsBetween(-k, -1)
-    )
-    rn = F.count(F.lit(1)).over(w)
-    rsum = F.sum(F.col("qv").cast(d38)).over(w)
-    rss = F.sum(F.col("qv").cast(d38) * F.col("qv").cast(d38)).over(w)
-    scored = (
-        base.withColumn("rn", rn).withColumn("rsum", rsum).withColumn("rss", rss)
-    )
+    q1 = F.col("qv").cast(d38)
+    if bucket is not None:
+        zero = F.lit(0).cast(d38)
+        bb = base.withColumn("__bkt", F.window(F.col(ts_col), bucket)["start"])
+        wl = Window.partitionBy(key_col, "__bkt").orderBy(ts_col, tie_col)
+        lrun = wl.rowsBetween(Window.unboundedPreceding, 0)
+        loc = (
+            bb.withColumn("__lidx", F.row_number().over(wl))
+            .withColumn("__lps", F.sum(q1).over(lrun))
+            .withColumn("__lss", F.sum(q1 * q1).over(lrun))
+        )
+        # one row per present (key, bucket): counts + moment totals
+        bounds = loc.groupBy(key_col, "__bkt").agg(
+            F.count(F.lit(1)).alias("__bn"),
+            F.sum(q1).alias("__bs"),
+            F.sum(q1 * q1).alias("__bss"),
+        )
+        wu = Window.partitionBy(key_col).orderBy("__bkt")
+        prevf = wu.rowsBetween(Window.unboundedPreceding, -1)
+        off = (
+            bounds.withColumn(
+                "__onn", F.coalesce(F.sum("__bn").over(prevf), F.lit(0))
+            )
+            .withColumn("__ops", F.coalesce(F.sum("__bs").over(prevf), zero))
+            .withColumn("__oss", F.coalesce(F.sum("__bss").over(prevf), zero))
+        )
+        g = loc.join(
+            off.select(key_col, "__bkt", "__onn", "__ops", "__oss"),
+            [key_col, "__bkt"],
+        ).select(
+            tie_col,
+            key_col,
+            ts_col,
+            value_col,
+            "qv",
+            (F.col("__onn") + F.col("__lidx")).alias("__g"),
+            (F.col("__ops") + F.col("__lps")).alias("__ps"),
+            (F.col("__oss") + F.col("__lss")).alias("__ss"),
+        )
+        lagged = g.select(
+            F.col(key_col).alias("__k2"),
+            F.col("__g").alias("__g2"),
+            F.col("__ps").alias("__ps2"),
+            F.col("__ss").alias("__ss2"),
+        )
+        probe = g.filter(F.col("__g") >= k + 1).withColumn(
+            "__gm", F.col("__g") - F.lit(k + 1)
+        )
+        jj = probe.join(
+            lagged,
+            (F.col(key_col) == F.col("__k2")) & (F.col("__gm") == F.col("__g2")),
+            "left",
+        )
+        scored = (
+            jj.withColumn("rn", F.lit(k))
+            .withColumn(
+                "rsum", F.col("__ps") - q1 - F.coalesce(F.col("__ps2"), zero)
+            )
+            .withColumn(
+                "rss", F.col("__ss") - q1 * q1 - F.coalesce(F.col("__ss2"), zero)
+            )
+        )
+    else:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(ts_col, tie_col)
+            .rowsBetween(-k, -1)
+        )
+        rn = F.count(F.lit(1)).over(w)
+        rsum = F.sum(q1).over(w)
+        rss = F.sum(q1 * q1).over(w)
+        scored = (
+            base.withColumn("rn", rn)
+            .withColumn("rsum", rsum)
+            .withColumn("rss", rss)
+        )
     varn = F.col("rn").cast(d38) * F.col("rss") - F.col("rsum") * F.col("rsum")
     z = (F.col("qv").cast(d38) * F.col("rn").cast(d38) - F.col("rsum")).cast(
         "double"

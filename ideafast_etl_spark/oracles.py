@@ -3327,3 +3327,6 @@ FROM lat GROUP BY edge
 # r8 skew-proof bucketed twins are physical rewrites with identical output
 ORACLES["event_gaps_report_bucketed"] = ORACLES["event_gaps_report"]
 ORACLES["event_transition_matrix_bucketed"] = ORACLES["event_transition_matrix"]
+ORACLES["cusum_drift_bucketed"] = ORACLES["cusum_drift"]
+ORACLES["rolling_zscore_bucketed"] = ORACLES["rolling_zscore_anomaly"]
+ORACLES["time_weighted_avg_bucketed"] = ORACLES["time_weighted_avg"]

@@ -4137,6 +4137,48 @@ def rolling_zscore_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore(_t(spark, sf_dir, "events"), k=24, z_threshold=3.0)
 
 
+@register("time_weighted_avg_bucketed")
+def time_weighted_avg_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof twin of `time_weighted_avg` (r8, heartbeat_gaps lead-
+    stitch family): hold intervals are in-bucket lead deltas plus one
+    boundary interval per consecutive present (user, day); the LOCF
+    integral is a plain sum of those contributions. Exact integers →
+    bit-identical; shares the oracle verbatim."""
+    from .operators.timeseries import time_weighted_avg
+
+    return time_weighted_avg(_t(spark, sf_dir, "events"), bucket="1 day")
+
+
+@register("cusum_drift_bucketed")
+def cusum_drift_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof twin of `cusum_drift` (r8): the recursion is nonlinear
+    but its closed form is two running aggregates of the deviation
+    prefix, and BOTH decompose over (user, day) — bucket-local prefix
+    sum/min, an O(present-buckets) per-user offset/min stitch, then a
+    join back on the skew-diluted (user, day) key. Exact decimal(38,0)
+    throughout → bit-identical output; shares the oracle verbatim."""
+    from .operators.timeseries import cusum_drift
+
+    return cusum_drift(
+        _t(spark, sf_dir, "events"), threshold=100.0, bucket="1 day"
+    )
+
+
+@register("rolling_zscore_bucketed")
+def rolling_zscore_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof twin of `rolling_zscore_anomaly` (r8): the trailing-k
+    moment sums are differences of inclusive prefix sums, the per-user
+    global row index and both moment prefixes decompose over (user, day)
+    like the distributed prefix sum, and ONE equi-join on
+    (user, idx−k−1) fetches the lagging prefix — no per-user global
+    sort. Exact integers → bit-identical; shares the oracle verbatim."""
+    from .operators.timeseries import rolling_zscore
+
+    return rolling_zscore(
+        _t(spark, sf_dir, "events"), k=24, z_threshold=3.0, bucket="1 day"
+    )
+
+
 @register("value_distribution_drift")
 def value_distribution_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift between the first and second half of the event stream

@@ -246,6 +246,16 @@ EXPECTATIONS: dict[str, list[str]] = {
     "event_transition_matrix_bucketed": ["Window", "Union", "partial_count",
                                          "!BatchEvalPython",
                                          "!BroadcastNestedLoopJoin"],
+    # r8 bucketed detector twins: heavy windows over (entity, bucket),
+    # per-entity stitch over the bucket relation, equi-joins only
+    "cusum_drift_bucketed": ["Window", "partial_sum", "!BatchEvalPython",
+                             "!BroadcastNestedLoopJoin", "!CartesianProduct"],
+    "rolling_zscore_bucketed": ["Window", "partial_count", "!BatchEvalPython",
+                                "!BroadcastNestedLoopJoin",
+                                "!CartesianProduct"],
+    "time_weighted_avg_bucketed": ["Window", "Union", "partial_sum",
+                                   "!BatchEvalPython",
+                                   "!BroadcastNestedLoopJoin"],
     # funnel latency: three keyed min-aggs + equi-joins, exact sort-based
     # percentiles — no per-user windows or sorts
     "funnel_latency_percentiles": ["partial_min", "!Window", "!CartesianProduct", "!BatchEvalPython"],
