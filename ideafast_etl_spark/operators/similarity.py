@@ -197,46 +197,110 @@ def ivf_topk(
     The 100 TB shape: the corpus is scanned once to assign cells (and would be
     *stored* partitioned by cell); a query touches n_probe/n_cells of the data
     — an equi-join on cell id, shuffle-free when the corpus is bucketed by
-    cell. Centroids are tiny and broadcast. Deterministic for a fixed seed,
-    but recall < 1 by construction → rows-only correctness check (the exact
-    twin is :func:`brute_force_topk`)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    cell. Centroids are tiny and broadcast.
 
-    corpus = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("features", array_to_vector("vec"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(corpus)
-    assigned = model.transform(corpus).select("neighbor_id", "vec", "cell")
+    r8: the coarse quantizer is the repo's own deterministic fixed-point
+    spherical k-means (operators/clustering.py — the IVF-PQ coarse stage),
+    not MLlib float: every cross-row sum is an exact integer, so the whole
+    operator (training included) replays as an unrolled SQL CTE chain and
+    carries a FULL value-hash oracle (REPRO.md pattern 8) despite recall <
+    1 by construction. The exact twin remains :func:`brute_force_topk`."""
+    assigned, cent = _ivf_build(df, n_cells, id_col, vec_col)
+    probes = _ivf_probes(queries, cent, n_probe, id_col, vec_col)
+    return _ivf_rerank(probes, assigned, queries, k, id_col, vec_col)
 
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
-    cent = df.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], ["cell", "centroid"]
-    )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("query_vec"),
+def _ivf_build(
+    df: DataFrame, n_cells: int, id_col: str, vec_col: str, iters: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the coarse quantizer: (neighbor_id, cell) assignments plus the
+    quantised centroid relation (cell, pos, icval) — kmeans_fit's exact
+    fixed-point arithmetic, so both are engine-replayable."""
+    from .clustering import kmeans_fit
+
+    assign, cent = kmeans_fit(df, vec_col=vec_col, id_col=id_col, k=n_cells, iters=iters)
+    assigned = (
+        df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .join(
+            assign.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("cluster_id").cast("int").alias("cell"),
+            ),
+            "neighbor_id",
+        )
     )
-    # rank cells per query by centroid distance; keep n_probe nearest
-    qc = q.crossJoin(F.broadcast(cent)).withColumn(
-        "cdist", cosine(F.col("query_vec"), F.col("centroid"))
+    return assigned, cent.select(F.col("cid").cast("int").alias("cell"), "pos", "icval")
+
+
+def _ivf_probes(
+    queries: DataFrame,
+    cent: DataFrame,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Rank cells per query by the fixed-point query·centroid dot (the
+    kmeans assignment similarity, same float rendering and tie-break);
+    keep the n_probe best. Centroids are k·dim rows — broadcast."""
+    from .clustering import _SCALE, _pos_exploded
+
+    qpts = _pos_exploded(queries, id_col, vec_col)
+    qc = (
+        qpts.join(F.broadcast(cent), "pos")
+        .groupBy("__id", "cell")
+        .agg(
+            (
+                F.sum(F.col("ival") * F.col("icval")).cast("double")
+                / (_SCALE * _SCALE)
+            ).alias("sim")
+        )
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cdist"), F.asc("cell"))
-    probes = (
+    wq = Window.partitionBy("__id").orderBy(F.desc("sim"), F.asc("cell"))
+    return (
         qc.withColumn("cell_rank", F.row_number().over(wq))
         .filter(F.col("cell_rank") <= n_probe)
-        .select("query_id", "query_vec", "cell")
+        .select(F.col("__id").alias("query_id"), "cell")
     )
-    cands = probes.join(assigned, "cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
+
+
+def _ivf_rerank(
+    probes: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine rerank of the probed candidates — the brute_force_topk
+    scoring (unit vectors + left-to-right dot) over only the candidate
+    set, so the oracle reuses the proven embedding_topk discipline."""
+    qu = unit_normalized(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        "query_id", vec_col, "query_vec",
     )
-    scored = cands.withColumn(
-        "cosine_sim", F.round(cosine(F.col("query_vec"), F.col("vec")), 6)
+    cands = (
+        probes.join(assigned, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # normalize AFTER pruning: only probed candidates pay the norm
+        # (same arithmetic as unit_normalized — norm as a real column)
+        .withColumn("__norm", l2_norm(F.col("vec")))
+        .filter(F.col("__norm") > 0)
+        .withColumn(
+            "uvec",
+            F.transform(
+                F.col("vec"), lambda x: x.cast("double") / F.col("__norm")
+            ),
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    scored = cands.join(F.broadcast(qu), "query_id").withColumn(
+        "cosine_sim", F.round(dot(F.col("query_vec"), F.col("uvec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -257,25 +321,15 @@ def write_ivf_index(
     separation a production ANN deployment uses. A query via
     :func:`ivf_topk_from_index` then reads only its n_probe cell
     partitions (physical partition pruning on the filesystem layout),
-    instead of re-clustering or scanning the corpus."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    instead of re-clustering or scanning the corpus.
 
-    corpus = df.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("features", array_to_vector("vec"))
-    km = KMeans(
-        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
-    )
-    model = km.fit(corpus)
-    assigned = model.transform(corpus).select("neighbor_id", "vec", "cell")
+    r8: built on the native fixed-point coarse quantizer (see
+    :func:`ivf_topk`); the centroid table persists the quantised
+    (cell, pos, icval) relation, so index-backed answers replay in the
+    same full oracle as the inline operator."""
+    assigned, cent = _ivf_build(df, n_cells, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/cells"
-    )
-    cent = df.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        ["cell", "centroid"],
     )
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
 
@@ -297,33 +351,8 @@ def ivf_topk_from_index(
     inline :func:`ivf_topk` for the same build parameters."""
     cent = spark.read.parquet(f"{path}/centroids")
     assigned = spark.read.parquet(f"{path}/cells")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("query_vec"),
-    )
-    qc = q.crossJoin(F.broadcast(cent)).withColumn(
-        "cdist", cosine(F.col("query_vec"), F.col("centroid"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cdist"), F.asc("cell"))
-    probes = (
-        qc.withColumn("cell_rank", F.row_number().over(wq))
-        .filter(F.col("cell_rank") <= n_probe)
-        .select("query_id", "query_vec", "cell")
-    )
-    cands = probes.join(assigned, "cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = cands.withColumn(
-        "cosine_sim", F.round(cosine(F.col("query_vec"), F.col("vec")), 6)
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    probes = _ivf_probes(queries, cent, n_probe, id_col, vec_col)
+    return _ivf_rerank(probes, assigned, queries, k, id_col, vec_col)
 
 
 def _grid_cells(

@@ -2808,6 +2808,56 @@ SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= {k}
 ORACLES["embedding_topk_ivfpq"] = _ivfpq_sql()
 
 
+def _ivf_sql(n_cells: int = 16, iters: int = 4, n_probe: int = 4, k: int = 5) -> str:
+    """Replay of operators/similarity.py::ivf_topk (r8 native coarse
+    quantizer): the exact-integer k-means CTEs, probe ranking by the
+    fixed-point query·centroid dot (same double rendering and cell
+    tie-break as the Spark window), then the embedding_topk exact-rerank
+    discipline (unit vectors, list_dot_product, round 6) over only the
+    probed candidates."""
+    S2 = 1_000_000_000_000
+    return (
+        "WITH "
+        + _kmeans_cte(n_cells, iters)
+        + f""",
+qcell AS (
+  SELECT p.id AS qid, c.cid AS cell, sum(p.ival * c.icval) AS qc
+  FROM pts p JOIN cent{iters} c ON c.pos = p.pos
+  WHERE p.id < 5
+  GROUP BY p.id, c.cid),
+probed AS (
+  SELECT qid, cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY CAST(qc AS DOUBLE) / {S2} DESC, cell ASC) AS rn
+    FROM qcell)
+  WHERE rn <= {n_probe}),
+cands AS (
+  SELECT pr.qid, a.id
+  FROM probed pr JOIN assign a ON a.cid = pr.cell
+  WHERE a.id != pr.qid),
+cu AS (
+  SELECT vec_id, {_UNIT} AS v FROM embeddings),
+ivf_scored AS (
+  SELECT cn.qid AS query_id, cn.id AS neighbor_id,
+    round(list_dot_product(q.v, c.v), 6) AS cosine_sim
+  FROM cands cn
+  JOIN cu q ON q.vec_id = cn.qid
+  JOIN cu c ON c.vec_id = cn.id),
+ivf_ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM ivf_scored)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ivf_ranked WHERE rank <= {k}
+"""
+    )
+
+
+# r8: the native fixed-point coarse quantizer upgrades IVF from rows-only
+# to a FULL value-hash oracle (training replayed, probes, exact rerank)
+ORACLES["embedding_topk_ivf"] = _ivf_sql()
+
+
 ORACLES["kmv_distinct_users"] = """
 WITH h AS (
   SELECT DISTINCT event_type,

@@ -2265,9 +2265,12 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embedding_topk_ivf")
 def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (coarse k-means cells + n_probe rerank) — the
-    second scale path for similarity search; rows-only check (recall < 1),
-    exact twin is embedding_topk."""
+    """IVF approximate top-k (coarse k-means cells + n_probe exact
+    rerank) — the second scale path for similarity search. r8: the
+    coarse quantizer is the repo's own fixed-point k-means, so the whole
+    operator (training included) carries a FULL value-hash oracle
+    (unrolled CTE replay) despite recall < 1; exact twin is
+    embedding_topk."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(emb, queries_df, k=5)

@@ -185,6 +185,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     "char_entropy": ["partial_count", "Window", "!BatchEvalPython"],
     # IVF-PQ: ADC scoring joins broadcast the codebook/table; no loops
     "embedding_topk_ivfpq": ["BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython"],
+    # r8 native IVF: centroid/query broadcasts + cell equi-join, no MLlib
+    "embedding_topk_ivf": ["BroadcastHashJoin", "!CartesianProduct",
+                           "!BatchEvalPython"],
     # KMV sketches: two-phase bottom-k windows (partition-bounded), all JVM;
     # the only BNLJ in set-ops is the 1-row theta scalar broadcast
     "kmv_distinct_users": ["Window", "partial_count", "!BatchEvalPython"],
