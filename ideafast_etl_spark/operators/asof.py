@@ -32,11 +32,20 @@ def asof_join(
     right_ts: str,
     payload_cols: tuple[str, ...],
     tie_break: str | None = None,
+    bucket: str | None = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join. ``tie_break`` (a right column) makes
     the winner among same-instant right rows deterministic (max wins).
     Output: all left columns + ``payload_cols`` (NULL when no prior right
-    row exists for the key)."""
+    row exists for the key).
+
+    ``bucket`` (e.g. ``"1 day"``) switches to the skew-proof two-phase
+    plan (r8): forward fill is LOCF state, so it decomposes over
+    (key, time-bucket) — fill within the bucket, then each bucket
+    inherits the last non-null payload of the PREVIOUS present buckets
+    (an O(present-buckets) per-key stitch), joined back on the
+    skew-diluted (key, bucket) key. Same winner per row → identical
+    output; a hot key's sort spreads over its buckets."""
     l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_src", F.lit(1))
 
     r_cols = [
@@ -53,13 +62,53 @@ def asof_join(
     order = [F.col("_ts").asc(), F.col("_src").asc()]
     if tie_break:
         order.append(F.col("_tie").asc_nulls_first())
-    w = (
-        Window.partitionBy(on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = u.withColumn("_filled", F.last("_payload", ignorenulls=True).over(w))
+
+    if bucket is None:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = u.withColumn(
+            "_filled", F.last("_payload", ignorenulls=True).over(w)
+        )
+    else:
+        ub = u.withColumn("_bkt", F.window(F.col("_ts"), bucket)["start"])
+        wl = (
+            Window.partitionBy(on, "_bkt")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        loc = ub.withColumn(
+            "_lfilled", F.last("_payload", ignorenulls=True).over(wl)
+        )
+        # one row per present (key, bucket): the bucket's final filled
+        # payload (its last row's LOCF state; NULL when the bucket has no
+        # right row)
+        okey = [F.col("_ts"), F.col("_src")] + (
+            [F.col("_tie")] if tie_break else []
+        )
+        bounds = loc.groupBy(on, "_bkt").agg(
+            F.max_by(F.col("_lfilled"), F.struct(*okey)).alias("_blast")
+        )
+        wu = Window.partitionBy(on).orderBy("_bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        carry = bounds.withColumn(
+            "_carry", F.last("_blast", ignorenulls=True).over(wu)
+        )
+        filled = loc.join(
+            carry.select(
+                F.col(on).alias("_con"), F.col("_bkt").alias("_cbkt"), "_carry"
+            ),
+            (F.col(on) == F.col("_con"))
+            & F.col("_bkt").eqNullSafe(F.col("_cbkt")),
+        ).withColumn("_filled", F.coalesce(F.col("_lfilled"), F.col("_carry")))
+
     out = filled.filter(F.col("_src") == 1)
     for c in payload_cols:
         out = out.withColumn(c, F.col(f"_filled.{c}"))
-    return out.drop("_ts", "_src", "_tie", "_payload", "_filled")
+    return out.drop(
+        "_ts", "_src", "_tie", "_payload", "_filled",
+        "_bkt", "_lfilled", "_con", "_cbkt", "_carry",
+    )

@@ -3380,3 +3380,4 @@ ORACLES["event_transition_matrix_bucketed"] = ORACLES["event_transition_matrix"]
 ORACLES["cusum_drift_bucketed"] = ORACLES["cusum_drift"]
 ORACLES["rolling_zscore_bucketed"] = ORACLES["rolling_zscore_anomaly"]
 ORACLES["time_weighted_avg_bucketed"] = ORACLES["time_weighted_avg"]
+ORACLES["purchase_attribution_bucketed"] = ORACLES["purchase_attribution"]

@@ -3769,6 +3769,38 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("purchase_attribution_bucketed")
+def purchase_attribution_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof twin of `purchase_attribution` (r8): as-of forward fill
+    is LOCF state, so it decomposes over (user, day) — fill within the
+    bucket, inherit the last non-null click of previous present buckets
+    via an O(present-buckets) per-user stitch. Identical winner per row;
+    shares the oracle verbatim."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    return (
+        asof_join(
+            purchases,
+            clicks,
+            on="user_id",
+            left_ts="ts",
+            right_ts="click_ts",
+            payload_cols=("click_id", "click_ts"),
+            bucket="1 day",
+        )
+        .orderBy("event_id")
+    )
+
+
 @register("cohort_retention")
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by signup week, counted in

@@ -259,6 +259,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     "time_weighted_avg_bucketed": ["Window", "Union", "partial_sum",
                                    "!BatchEvalPython",
                                    "!BroadcastNestedLoopJoin"],
+    "purchase_attribution_bucketed": ["Window", "Union", "!BatchEvalPython",
+                                      "!BroadcastNestedLoopJoin",
+                                      "!CartesianProduct"],
     # funnel latency: three keyed min-aggs + equi-joins, exact sort-based
     # percentiles — no per-user windows or sorts
     "funnel_latency_percentiles": ["partial_min", "!Window", "!CartesianProduct", "!BatchEvalPython"],
