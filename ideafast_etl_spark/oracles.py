@@ -391,6 +391,54 @@ ORDER BY numwait DESC, s_name
 LIMIT 50
 """
 
+ORACLES["tpch_q9_product_type_profit"] = """
+SELECT n_name AS nation,
+  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(
+    CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+    - CAST(0.60 AS DECIMAL(3,2)) * CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))
+  ) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+ORACLES["tpch_q16_supplier_part_counts"] = """
+WITH links AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM links
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 11, 15, 21, 25, 31, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLES["tpch_q20_excess_inventory_suppliers"] = """
+WITH per_pair AS (
+  SELECT l_suppkey, l_partkey,
+    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+             THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty_95,
+    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_total
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+WHERE s_suppkey IN (SELECT l_suppkey FROM per_pair WHERE qty_95 * 2 > qty_total)
+ORDER BY s_name
+"""
+
 ORACLES["doc_char_chunks"] = """
 SELECT doc_id,
   CAST(s / 150 AS BIGINT) AS chunk_idx,

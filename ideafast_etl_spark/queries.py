@@ -789,6 +789,134 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("tpch_q9_product_type_profit")
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: product-type profit per nation per year — the widest
+    TPC-H join topology (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders)
+    with a computed profit measure. The testdata has no partsupp, so the
+    supply cost is modeled as 60% of p_retailprice per unit; the join
+    graph and the decimal-exact profit expression are the point and are
+    unchanged. part filters BEFORE the join (name predicate pushed to the
+    scan), nation broadcasts, the fact shuffles once per equi-join key and
+    AQE reorders the rest. Money never leaves DECIMAL until the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    one = F.lit(1).cast(_DEC)
+    cost_rate = F.lit("0.60").cast("decimal(3,2)")
+    profit = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (one - F.col("l_discount").cast(_DEC))
+        - cost_rate
+        * F.col("p_retailprice").cast(_DEC)
+        * F.col("l_quantity").cast(_DEC)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register("tpch_q16_supplier_part_counts")
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: COUNT(DISTINCT supplier) per (brand, type, size) with a
+    NOT-IN supplier exclusion. lineitem stands in for partsupp as the
+    part↔supplier link (no partsupp table) and the negative-balance
+    suppliers stand in for the complaints NOT IN (no s_comment column) —
+    the distinct-agg-over-anti-join structure is unchanged. The link
+    relation collapses to distinct (partkey, suppkey) pairs FIRST (one
+    shuffle that also serves the distinct agg); the handful of excluded
+    suppliers anti-join broadcast-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 11, 15, 21, 25, 31, 35)
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    links = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        links.join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register("tpch_q20_excess_inventory_suppliers")
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested IN chain compiled to semi-joins — suppliers in one
+    nation holding 'excess inventory' of small-named parts. No partsupp
+    availqty exists, so the excess predicate is re-expressed on shipment
+    history: a (supplier, part) pair qualifies when its 1995 shipped
+    quantity exceeds half its all-time shipped quantity (front-loaded
+    supply). The comparison is 2·q95 > q_total in exact DECIMAL — no 0.5
+    float. One shuffle on (suppkey, partkey) computes both sums
+    (conditional agg, single pass); qualifying suppliers semi-join the
+    supplier dim; nation filters broadcast-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_keys = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    qty = F.col("l_quantity").cast(_DEC)
+    in_95 = (F.col("l_shipdate") >= "1995-01-01") & (
+        F.col("l_shipdate") < "1996-01-01"
+    )
+    per_pair = (
+        li.join(
+            F.broadcast(part_keys), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_95, qty).otherwise(F.lit(0).cast(_DEC))).alias(
+                "qty_95"
+            ),
+            F.sum(qty).alias("qty_total"),
+        )
+        .filter(
+            F.col("qty_95") * F.lit(2).cast(_DEC) > F.col("qty_total")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            per_pair, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
 @register("doc_char_chunks")
 def doc_char_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (§2.13 training-data ops): fixed
