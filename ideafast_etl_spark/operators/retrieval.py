@@ -197,3 +197,158 @@ def rrf_fuse(
     return merged.select(
         id_col, *names, F.round(total, 6).alias("rrf_score")
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 30,
+    lam_num: int = 1,
+    lam_den: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein,
+    SIGIR 1998): greedily select ``k`` of the ``pool`` most relevant
+    candidates, each step picking argmax of
+
+        lam * rel(q, d)  -  (1 - lam) * max_{s in selected} sim(d, s)
+
+    with lam = lam_num / lam_den. The retrieval-side answer to near-dup
+    corpora: plain top-k returns paraphrase clusters; MMR returns one
+    representative per cluster plus the next-most-relevant distinct items
+    (eval-set construction, dedup-aware RAG).
+
+    Scale posture: the DISTRIBUTED work is candidate generation — one
+    broadcast-query pass over the corpus plus a per-query top-``pool``
+    window, exactly ``brute_force_topk``'s plan (swap in the IVF/PQ path
+    for a 100 TB corpus). The greedy loop then runs on the BOUNDED
+    (queries x pool) candidate relation: pairwise sims are pool^2 per
+    query, each iteration is a keyed agg + window over that bounded set,
+    and per-iteration ``localCheckpoint`` keeps the plan one step deep
+    (the pagerank discipline). Nothing data-sized enters the loop.
+
+    Float discipline: relevance and pairwise similarities are quantized to
+    integer micro-units (round(cos * 1e6) as long) immediately after the
+    one fixed-order dot product, so every selection compares exact
+    integers — lam_num * rel_fp - (lam_den - lam_num) * maxsim_fp — and
+    ties break on ascending candidate id. The whole greedy trajectory is
+    therefore engine-exact and the oracle replays it as k unrolled CTEs.
+
+    Returns (query_id, neighbor_id, mmr_rank, relevance) with relevance
+    the quantized cosine as a double.
+    """
+    from .similarity import dot, unit_normalized
+
+    spark = df.sparkSession
+    q = unit_normalized(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        "query_id", vec_col, "query_vec",
+    )
+    c = unit_normalized(
+        df.repartition(spark.sparkContext.defaultParallelism, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        "neighbor_id", vec_col, "vec",
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "rel_fp",
+            F.round(dot(F.col("query_vec"), F.col("vec")) * 1e6, 0).cast(
+                "long"
+            ),
+        )
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_fp"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= pool)
+        .select("query_id", "neighbor_id", "rel_fp", "rn", "vec")
+        .localCheckpoint(eager=True)  # bounded: queries x pool rows
+    )
+    a = cand.select(
+        "query_id", F.col("neighbor_id").alias("a"),
+        F.col("vec").alias("av"),
+    )
+    b = cand.select(
+        F.col("query_id").alias("qb"), F.col("neighbor_id").alias("b"),
+        F.col("vec").alias("bv"),
+    )
+    pairs = (
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("a") != F.col("b")))
+        .select(
+            "query_id", "a", "b",
+            F.round(dot(F.col("av"), F.col("bv")) * 1e6, 0)
+            .cast("long").alias("sim_fp"),
+        )
+        .localCheckpoint(eager=True)  # bounded: queries x pool^2 rows
+    )
+    selected = (
+        cand.filter(F.col("rn") == 1)
+        .select(
+            "query_id", "neighbor_id", "rel_fp",
+            F.lit(1).alias("mmr_rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand_slim = cand.select("query_id", "neighbor_id", "rel_fp")
+    for t in range(2, k + 1):
+        # NB: rename the group keys — pairs/cand/selected share attribute
+        # ids through the checkpointed cand lineage, and a join condition
+        # whose two sides resolve to the SAME attribute is dropped as
+        # trivially true, silently joining across queries
+        maxsim = (
+            pairs.join(
+                selected.select(
+                    F.col("query_id").alias("qs"),
+                    F.col("neighbor_id").alias("s"),
+                ),
+                (F.col("query_id") == F.col("qs")) & (F.col("b") == F.col("s")),
+            )
+            .groupBy(
+                F.col("query_id").alias("qm"), F.col("a").alias("am")
+            )
+            .agg(F.max("sim_fp").alias("maxsim_fp"))
+        )
+        rem = cand_slim.join(
+            selected.select(
+                F.col("query_id").alias("qs"),
+                F.col("neighbor_id").alias("s"),
+            ),
+            (F.col("query_id") == F.col("qs"))
+            & (F.col("neighbor_id") == F.col("s")),
+            "left_anti",
+        )
+        w_sc = Window.partitionBy("query_id").orderBy(
+            F.desc("score_fp"), F.asc("neighbor_id")
+        )
+        winner = (
+            rem.join(
+                maxsim,
+                (F.col("query_id") == F.col("qm"))
+                & (F.col("neighbor_id") == F.col("am")),
+            )
+            .select(
+                "query_id", "neighbor_id", "rel_fp",
+                (
+                    F.lit(lam_num) * F.col("rel_fp")
+                    - F.lit(lam_den - lam_num) * F.col("maxsim_fp")
+                ).alias("score_fp"),
+            )
+            .withColumn("rw", F.row_number().over(w_sc))
+            .filter(F.col("rw") == 1)
+            .select(
+                "query_id", "neighbor_id", "rel_fp",
+                F.lit(t).alias("mmr_rank"),
+            )
+        )
+        selected = selected.unionByName(winner).localCheckpoint(eager=True)
+    return selected.select(
+        "query_id", "neighbor_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        (F.col("rel_fp").cast("double") / F.lit(1e6)).alias("relevance"),
+    )

@@ -1623,6 +1623,71 @@ SELECT doc_id, COUNT(*) AS n_terms_hit,
 FROM per GROUP BY doc_id ORDER BY doc_id
 """
 
+def _mmr_sql(k: int = 10, pool: int = 30, lam_num: int = 1, lam_den: int = 2) -> str:
+    """MMR greedy trajectory replayed as k unrolled CTEs (REPRO.md pattern
+    8): sel1 is the pure-relevance argmax; each sel{t} anti-joins the
+    already-selected set, computes max selected-similarity per survivor
+    from the precomputed candidate-pair table, and picks the integer-score
+    argmax with the same (score DESC, id ASC) tie order as the engine."""
+    lm = lam_den - lam_num
+    sels = [
+        "sel1 AS MATERIALIZED (SELECT query_id, neighbor_id, rel_fp,"
+        " 1 AS mmr_rank FROM cand WHERE rn = 1)"
+    ]
+    for t in range(2, k + 1):
+        prev = f"sel{t - 1}"
+        sels.append(f"""win{t} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel_fp, {t} AS mmr_rank FROM (
+    SELECT c.query_id, c.neighbor_id, c.rel_fp,
+      row_number() OVER (PARTITION BY c.query_id
+        ORDER BY {lam_num} * c.rel_fp - {lm} * m.maxsim_fp DESC,
+                 c.neighbor_id ASC) AS rw
+    FROM cand c
+    JOIN (SELECT p.query_id, p.a, MAX(p.sim_fp) AS maxsim_fp
+          FROM pairs p JOIN {prev} s
+            ON p.query_id = s.query_id AND p.b = s.neighbor_id
+          GROUP BY p.query_id, p.a) m
+      ON m.query_id = c.query_id AND m.a = c.neighbor_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} s2
+                      WHERE s2.query_id = c.query_id
+                        AND s2.neighbor_id = c.neighbor_id)
+  ) WHERE rw = 1)""")
+        sels.append(
+            f"sel{t} AS MATERIALIZED (SELECT * FROM {prev}"
+            f" UNION ALL SELECT * FROM win{t})"
+        )
+    union = f"SELECT * FROM sel{k}"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_UNIT} AS qv FROM embeddings WHERE vec_id < 5
+), c0 AS (
+  SELECT vec_id AS neighbor_id, {_UNIT} AS v FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, v,
+    CAST(round(list_dot_product(qv, v) * 1000000) AS BIGINT) AS rel_fp
+  FROM c0, q WHERE neighbor_id != query_id
+), cand AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id, rel_fp, v,
+      CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY rel_fp DESC, neighbor_id ASC) AS INT) AS rn
+    FROM scored)
+  WHERE rn <= {pool}
+), pairs AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS a, b.neighbor_id AS b,
+    CAST(round(list_dot_product(a.v, b.v) * 1000000) AS BIGINT) AS sim_fp
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+), {",".join(sels)}
+SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank,
+  (rel_fp :: DOUBLE) / 1000000.0 AS relevance
+FROM ({union})
+ORDER BY query_id, mmr_rank
+"""
+
+
+ORACLES["mmr_diversified_topk"] = _mmr_sql(k=10, pool=30)
+
 # RRF hybrid retrieval: BM25 CTE chain + unit-vector cosine to probe 0,
 # each row_number-ranked (score DESC, id ASC — the same total order as
 # global_rank) and truncated to top-100; fused with the fixed-order

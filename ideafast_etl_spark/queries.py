@@ -2757,6 +2757,23 @@ def bm25_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register("mmr_diversified_topk")
+def mmr_diversified_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 (§2.13 retrieval): greedy re-rank of the 30
+    most cosine-relevant neighbours of each probe vector, trading relevance
+    against redundancy at lambda=1/2 — the dedup-aware complement of
+    embedding_topk (which returns paraphrase clusters verbatim). Integer
+    micro-unit scores make the whole greedy trajectory engine-exact; the
+    oracle replays all 10 selection steps as unrolled CTEs."""
+    from .operators.retrieval import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return mmr_rerank(emb, probes, k=10, pool=30).orderBy(
+        "query_id", "mmr_rank"
+    )
+
+
 @register("hybrid_retrieval_rrf")
 def hybrid_retrieval_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+dense retrieval via Reciprocal Rank Fusion (§2.13 —

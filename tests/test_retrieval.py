@@ -90,3 +90,78 @@ def test_rrf_fuse_ties_break_by_id(spark):
     out = {r["doc_id"]: r["ra"] for r in
            rrf_fuse([a], rank_names=["ra"]).collect()}
     assert out == {3: 1, 5: 2, 9: 3}
+
+
+# --- MMR diversified re-rank -------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_mmr_rank1_is_pure_relevance_argmax(spark):
+    from ideafast_etl_spark.operators.retrieval import mmr_rerank
+
+    # query is vec 0; vec 1 is the most relevant neighbour by construction
+    corpus = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.5, 0.5, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ],
+    )
+    q = corpus.filter("vec_id = 0")
+    out = mmr_rerank(corpus, q, k=3, pool=4).collect()
+    first = [r for r in out if r.mmr_rank == 1][0]
+    assert first.neighbor_id == 1
+
+
+def test_mmr_diversifies_past_a_near_duplicate(spark):
+    from ideafast_etl_spark.operators.retrieval import mmr_rerank
+
+    # vecs 1 and 2 are near-identical and most relevant; vec 3 is less
+    # relevant but orthogonal to them. Plain top-2 = {1, 2}; MMR at
+    # lambda=1/2 must skip the duplicate and take 3 at rank 2.
+    corpus = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.9, 0.1001, 0.0]),
+            (3, [0.5, 0.0, 0.6]),
+            (4, [0.0, 1.0, 1.0]),
+        ],
+    )
+    q = corpus.filter("vec_id = 0")
+    picks = {
+        r.mmr_rank: r.neighbor_id
+        for r in mmr_rerank(corpus, q, k=3, pool=4).collect()
+    }
+    assert picks[1] in (1, 2)
+    assert picks[2] == 3  # the near-dup of rank 1 is deferred
+    assert picks[3] in (1, 2)  # ...but not lost
+
+
+def test_mmr_no_replacement_and_repartition_determinism(spark):
+    from ideafast_etl_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+        for i in range(40)
+    ]
+    corpus = _vecs(spark, rows)
+    q = corpus.filter("vec_id < 2")
+    a = sorted(map(tuple, mmr_rerank(corpus, q, k=5, pool=12).collect()))
+    b = sorted(
+        map(
+            tuple,
+            mmr_rerank(corpus.repartition(17), q, k=5, pool=12).collect(),
+        )
+    )
+    assert a == b
+    for qid in (0, 1):
+        ids = [r[1] for r in a if r[0] == qid]
+        assert len(ids) == 5 and len(set(ids)) == 5
