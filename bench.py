@@ -42,6 +42,7 @@ EXTENDED = [
     "supplier_reachability",
     "timeseries_gapfill",
     "corpus_prep_e2e",
+    "tpch_q9_product_type_profit",
 ]
 
 

@@ -239,9 +239,14 @@ def mmr_rerank(
     Returns (query_id, neighbor_id, mmr_rank, relevance) with relevance
     the quantized cosine as a double.
     """
+    from ..plan_audit import checkpoints_enabled
     from .similarity import dot, unit_normalized
 
     spark = df.sparkSession
+    do_ckpt = checkpoints_enabled()
+
+    def _ckpt(d: DataFrame) -> DataFrame:
+        return d.localCheckpoint(eager=True) if do_ckpt else d
     q = unit_normalized(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
         "query_id", vec_col, "query_vec",
@@ -268,8 +273,8 @@ def mmr_rerank(
         scored.withColumn("rn", F.row_number().over(w_rel))
         .filter(F.col("rn") <= pool)
         .select("query_id", "neighbor_id", "rel_fp", "rn", "vec")
-        .localCheckpoint(eager=True)  # bounded: queries x pool rows
     )
+    cand = _ckpt(cand)  # bounded: queries x pool rows
     a = cand.select(
         "query_id", F.col("neighbor_id").alias("a"),
         F.col("vec").alias("av"),
@@ -285,16 +290,16 @@ def mmr_rerank(
             F.round(dot(F.col("av"), F.col("bv")) * 1e6, 0)
             .cast("long").alias("sim_fp"),
         )
-        .localCheckpoint(eager=True)  # bounded: queries x pool^2 rows
     )
+    pairs = _ckpt(pairs)  # bounded: queries x pool^2 rows
     selected = (
         cand.filter(F.col("rn") == 1)
         .select(
             "query_id", "neighbor_id", "rel_fp",
             F.lit(1).alias("mmr_rank"),
         )
-        .localCheckpoint(eager=True)
     )
+    selected = _ckpt(selected)
     cand_slim = cand.select("query_id", "neighbor_id", "rel_fp")
     for t in range(2, k + 1):
         # NB: rename the group keys — pairs/cand/selected share attribute
@@ -346,7 +351,7 @@ def mmr_rerank(
                 F.lit(t).alias("mmr_rank"),
             )
         )
-        selected = selected.unionByName(winner).localCheckpoint(eager=True)
+        selected = _ckpt(selected.unionByName(winner))
     return selected.select(
         "query_id", "neighbor_id",
         F.col("mmr_rank").cast("int").alias("mmr_rank"),

@@ -65,6 +65,20 @@ EXPECTATIONS: dict[str, list[str]] = {
     "tpch_q21_waiting_suppliers": ["LeftSemi", "LeftAnti", "!BroadcastNestedLoopJoin"],
     # correlated per-part avg is ONE window over l_partkey, no lineitem self-join
     "tpch_q17_small_quantity_revenue": ["Window", "!BroadcastNestedLoopJoin"],
+    # 5-way join: the part name predicate reaches the scan, nation broadcasts,
+    # the profit sum has a map-side partial phase, and nothing nested-loops
+    "tpch_q9_product_type_profit": ["PushedFilters", "StringContains(p_name,red)",
+                                    "BroadcastHashJoin", "partial_sum",
+                                    "!BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # link distinct + anti-join: the excluded-supplier side broadcasts and the
+    # distinct agg keeps its partial phase; no nested loop
+    "tpch_q16_supplier_part_counts": ["LeftAnti", "BroadcastHashJoin",
+                                      "partial_count", "!CartesianProduct"],
+    # nested-IN chain: part keys broadcast into the fact scan side, the
+    # qualifying suppliers arrive as a LeftSemi hash join, never a loop
+    "tpch_q20_excess_inventory_suppliers": ["LeftSemi", "BroadcastHashJoin",
+                                            "!BroadcastNestedLoopJoin",
+                                            "!CartesianProduct"],
     # deterministic sampling is a pure pushed predicate — NO shuffle at all
     "stratified_sample_docs": ["!Exchange", "Batched: true"],
     # argmax via max_by: partial (map-side) aggregate, no row_number window
@@ -99,6 +113,12 @@ EXPECTATIONS: dict[str, list[str]] = {
     # windows over checkpointed range partitions), merged with a
     # full-outer equi-join — no corpus-sized single-partition window
     "hybrid_retrieval_rrf": ["FullOuter", "!CartesianProduct", "!BatchEvalPython"],
+    # greedy loop is keyed aggs + windows over the bounded candidate set
+    # and nothing drops to Python; audited at k=2 (one loop iteration —
+    # every plan shape of the loop body) because the k=10 plan without its
+    # checkpoints is optimizer-exponential (see VARIANTS)
+    "mmr_diversified_topk": ["HashAggregate", "Window", "LeftAnti",
+                             "!CartesianProduct", "!BatchEvalPython"],
     # bounded df/stats tables broadcast; corpus shuffles only on doc_id.
     # (a BroadcastNestedLoopJoin IS present and correct here: the 1-row
     # corpus-scalars frame cross-joined in — a broadcast scalar, not an
@@ -275,6 +295,28 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+
+def _mmr_audit_k2(spark, sf_dir):
+    """Plan-audit variant of mmr_diversified_topk: the registered k=10
+    query, explained WITHOUT its per-iteration checkpoints, nests nine
+    join+window+anti-join levels and the optimizer's plan exploration goes
+    exponential (the audit never returns). One greedy iteration (k=2)
+    contains every plan shape of the loop body — candidate window, pair
+    hash joins, max-sim keyed agg, anti-join, argmax window — so it is the
+    meaningful (and tractable) audit target. Execution semantics are
+    unaffected: production runs keep the checkpoints."""
+    from ideafast_etl_spark import tables
+    from ideafast_etl_spark.operators.retrieval import mmr_rerank
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return mmr_rerank(emb, emb.filter("vec_id < 5"), k=2, pool=30)
+
+
+# audit-only builders for queries whose registered form cannot be
+# explained un-checkpointed (see each builder's docstring)
+VARIANTS = {"mmr_diversified_topk": _mmr_audit_k2}
+
+
 def main() -> int:
     only = set(sys.argv[1:])
     spark = get_spark("plan-audit")
@@ -284,12 +326,13 @@ def main() -> int:
     for name, markers in EXPECTATIONS.items():
         if only and name not in only:
             continue
+        builder = VARIANTS.get(name, qs.get(name))
         # build + explain inside no_checkpoints(): operators that end in
         # localCheckpoint otherwise explain as a bare `Scan ExistingRDD`,
         # making the audit vacuous (markers missing, negatives trivially
         # true). This returns the full lazy lineage instead.
         with plan_audit.no_checkpoints():
-            plan = plan_of(qs[name](spark, SF_DIR))
+            plan = plan_of(builder(spark, SF_DIR))
         missing = [
             m
             for m in markers
