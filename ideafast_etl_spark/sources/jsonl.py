@@ -50,8 +50,18 @@ def read_jsonl(
     is exactly what a 100 TB ingest cannot do. The text+from_json form has
     identical PERMISSIVE semantics and both outputs stay lazy one-pass
     scans."""
-    lines = spark.read.text(path).filter(F.length("value") > 0)
-    parsed = lines.select(
+    lines = spark.read.text(path)
+    return parse_jsonl_lines(lines, schema)
+
+
+def parse_jsonl_lines(
+    lines: DataFrame, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Split a ``value: string`` line relation into ``(good, quarantine)``
+    under ``schema`` — the shared parse step of ``read_jsonl`` and the
+    streaming ingest twin (streaming/jsonl_ingest.py). Works identically
+    on batch and streaming DataFrames (pure column expressions)."""
+    parsed = lines.filter(F.length("value") > 0).select(
         "value",
         F.from_json(
             "value",
