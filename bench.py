@@ -43,6 +43,7 @@ EXTENDED = [
     "timeseries_gapfill",
     "corpus_prep_e2e",
     "tpch_q9_product_type_profit",
+    "mmr_diversified_topk",
 ]
 
 
