@@ -165,3 +165,65 @@ def test_mmr_no_replacement_and_repartition_determinism(spark):
     for qid in (0, 1):
         ids = [r[1] for r in a if r[0] == qid]
         assert len(ids) == 5 and len(set(ids)) == 5
+
+
+def _mmr_python_twin(vecs, query_ids, k, pool, lam_num=1, lam_den=2):
+    """Bit-exact driver-side replay of mmr_rerank (numpy for the dots,
+    the same integer micro-unit quantization and tie orders)."""
+    import numpy as np
+
+    ids = sorted(vecs)
+    unit = {
+        i: np.asarray(vecs[i]) / np.sqrt(np.dot(vecs[i], vecs[i]))
+        for i in ids
+    }
+
+    def fp(a, b):
+        # fixed left-to-right summation == F.aggregate's fold order
+        s = 0.0
+        for x, y in zip(unit[a], unit[b]):
+            s += float(x) * float(y)
+        return int(np.round(s * 1e6))
+
+    out = []
+    for q in query_ids:
+        cand = sorted(
+            (i for i in ids if i != q),
+            key=lambda i: (-fp(q, i), i),
+        )[:pool]
+        rel = {i: fp(q, i) for i in cand}
+        sel = [max(cand, key=lambda i: (rel[i], -i))]  # argmax rel, id asc
+        while len(sel) < k and len(sel) < len(cand):
+            rem = [i for i in cand if i not in sel]
+            best = max(
+                rem,
+                key=lambda i: (
+                    lam_num * rel[i]
+                    - (lam_den - lam_num) * max(fp(i, s) for s in sel),
+                    -i,
+                ),
+            )
+            sel.append(best)
+        out.extend(
+            (q, n, r + 1, rel[n] / 1e6) for r, n in enumerate(sel)
+        )
+    return sorted(out)
+
+
+def test_mmr_matches_python_twin_fuzz(spark):
+    import numpy as np
+
+    from ideafast_etl_spark.operators.retrieval import mmr_rerank
+
+    for seed in (0, 7, 23):
+        rng = np.random.default_rng(seed)
+        n, dim = 60, 6
+        vecs = {i: rng.normal(size=dim).tolist() for i in range(n)}
+        df = _vecs(spark, [(i, v) for i, v in vecs.items()])
+        q = df.filter("vec_id < 3")
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.mmr_rank, r.relevance)
+            for r in mmr_rerank(df, q, k=6, pool=15).collect()
+        )
+        want = _mmr_python_twin(vecs, [0, 1, 2], k=6, pool=15)
+        assert got == want, f"seed {seed}"
