@@ -60,6 +60,23 @@ def bm25_scores(
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    return _score_bm25_terms(tf, dfreq, dl, terms, k1, b, id_col)
+
+
+def _score_bm25_terms(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    dl: DataFrame,
+    terms: list[str],
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared scoring tail of :func:`bm25_scores` and
+    :func:`bm25_topk_from_index` — ONE implementation so the inline and
+    index-backed paths are float-identical by construction. ``tf`` is
+    (id, t, tf) restricted to the query terms, ``dfreq`` (t, df) carries
+    corpus-wide document frequencies, ``dl`` (id, dl, avgdl, n_docs)."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -357,3 +374,98 @@ def mmr_rerank(
         F.col("mmr_rank").cast("int").alias("mmr_rank"),
         (F.col("rel_fp").cast("double") / F.lit(1e6)).alias("relevance"),
     )
+
+
+N_TERM_BUCKETS = 256
+
+
+def write_bm25_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the BM25 inverted index — the build/probe separation of a
+    production lexical-retrieval deployment (the text counterpart of
+    ``similarity.write_ivf_index``). One tokenize pass writes:
+
+    - ``postings/``  (t, id, tf), PARTITIONED BY the term's hash bucket
+      (``pmod(xxhash64(t), 256)``) — a probe reads only its terms' bucket
+      partitions (filesystem partition pruning), and bucketing rather
+      than term-value partitioning keeps the directory count fixed at 256
+      instead of vocabulary-sized (a web corpus has 1e8+ terms; 1e8 tiny
+      directories is a filesystem DoS, the classic small-files failure);
+    - ``dfreq/``     (t, df) — corpus-wide document frequencies, same
+      bucket layout;
+    - ``doclens/``   (id, dl) per-document token counts;
+    - ``stats/``     1 row (n_docs, sum_dl).
+
+    Scoring from the index replays :func:`bm25_scores` exactly — both
+    paths share ``_score_bm25_terms`` — so index-backed answers inherit
+    the inline operator's differential oracle."""
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
+    )
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    bucket = F.pmod(F.xxhash64("t"), F.lit(N_TERM_BUCKETS)).cast("int")
+    root = path.rstrip("/")
+    tf.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{root}/postings")
+    dfreq.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{root}/dfreq")
+    dl.write.mode("overwrite").parquet(f"{root}/doclens")
+    dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).write.mode("overwrite").parquet(f"{root}/stats")
+
+
+def bm25_scores_from_index(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a query against the persisted index: reads ONLY the query
+    terms' bucket partitions of postings/dfreq (plus the id-keyed doc
+    lengths for the matched docs), never re-tokenizing the corpus. Output
+    is row-identical to ``bm25_scores`` on the indexed corpus."""
+    terms = sorted(set(query_terms))
+    root = path.rstrip("/")
+    # the terms' buckets via ONE literal plan over the engine's own hash
+    # expression (|terms| rows, no corpus scan) — a driver reimplementation
+    # of xxhash64 could drift from the write-side bucket column
+    buckets = sorted({
+        r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "t string")
+        .select(
+            F.pmod(F.xxhash64("t"), F.lit(N_TERM_BUCKETS))
+            .cast("int")
+            .alias("b")
+        )
+        .collect()
+    })
+    tf = (
+        spark.read.parquet(f"{root}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("t").isin(terms))
+        .select(id_col, "t", "tf")
+    )
+    dfreq = (
+        spark.read.parquet(f"{root}/dfreq")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("t").isin(terms))
+        .select("t", "df")
+    )
+    stats = spark.read.parquet(f"{root}/stats")
+    dl = (
+        spark.read.parquet(f"{root}/doclens")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+    )
+    return _score_bm25_terms(tf, dfreq, dl, terms, k1, b, id_col)

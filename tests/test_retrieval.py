@@ -227,3 +227,54 @@ def test_mmr_matches_python_twin_fuzz(spark):
         )
         want = _mmr_python_twin(vecs, [0, 1, 2], k=6, pool=15)
         assert got == want, f"seed {seed}"
+
+
+# --- persisted BM25 index ----------------------------------------------------
+
+
+def test_bm25_index_parity_and_pruning(spark, tmp_path):
+    from ideafast_etl_spark.operators.retrieval import (
+        bm25_scores,
+        bm25_scores_from_index,
+        write_bm25_index,
+    )
+
+    rows = [
+        (i, ("spark query " * (i % 3 + 1)) + "filler words here now x" + str(i))
+        for i in range(80)
+    ]
+    docs = _docs(spark, rows)
+    idx = str(tmp_path / "bm25")
+    write_bm25_index(docs, idx)
+
+    terms = ["spark", "query", "filler"]
+    direct = sorted(map(tuple, bm25_scores(docs, terms).collect()))
+    from_idx = sorted(
+        map(tuple, bm25_scores_from_index(spark, idx, terms).collect())
+    )
+    assert direct == from_idx  # float-identical by shared scoring tail
+
+    # the probe reads only the query terms' bucket partitions
+    probe = bm25_scores_from_index(spark, idx, ["spark"])
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert probe.count() == 80  # every doc contains 'spark'
+
+
+def test_bm25_index_unknown_term_scores_nothing(spark, tmp_path):
+    from ideafast_etl_spark.operators.retrieval import (
+        bm25_scores_from_index,
+        write_bm25_index,
+    )
+
+    docs = _docs(spark, [(1, "alpha beta"), (2, "beta gamma")])
+    idx = str(tmp_path / "bm25b")
+    write_bm25_index(docs, idx)
+    out = bm25_scores_from_index(spark, idx, ["absent"]).collect()
+    assert out == []
