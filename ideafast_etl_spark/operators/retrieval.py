@@ -44,6 +44,8 @@ def bm25_scores(
     BM25 (k1/b defaults per the literature). Returns (id, n_terms_hit,
     score), score rounded to 6 dp."""
     terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
     toks = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
     )
@@ -436,6 +438,8 @@ def bm25_scores_from_index(
     lengths for the matched docs), never re-tokenizing the corpus. Output
     is row-identical to ``bm25_scores`` on the indexed corpus."""
     terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
     root = path.rstrip("/")
     # the terms' buckets via ONE literal plan over the engine's own hash
     # expression (|terms| rows, no corpus scan) — a driver reimplementation

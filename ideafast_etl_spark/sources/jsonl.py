@@ -95,6 +95,8 @@ def write_jsonl_shards(
     executor count or input layout."""
     from ..operators.ranking import global_rank
 
+    if rows_per_shard <= 0:
+        raise ValueError("rows_per_shard must be positive")
     ranked = global_rank(df, order, rank_col="__rank")
     sharded = ranked.withColumn(
         "shard",
