@@ -86,3 +86,71 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
 
     assert read_ingested(spark, corpus).count() == 1
     assert read_ingested(spark, quar).count() == 1
+
+
+def test_jsonl_front_door_feeds_corpus_prep_stream(spark, tmp_path):
+    """Capstone integration: JSONL shards drop in → ingest stream parses/
+    quarantines → corpus-prep stream consumes the accumulated parquet →
+    published survivors equal the batch pipeline on the batch reader's
+    good rows. The full 'new crawl arrives' path, front door to corpus."""
+    import json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ideafast_etl_spark.pipeline.corpus import corpus_prep
+    from ideafast_etl_spark.streaming.corpus import run_corpus_prep_stream
+
+    src, corpus, quar, ckpt = _setup(tmp_path)
+    good_text = (
+        "The river cuts through the valley, and the morning light settles "
+        "on the rooftops. Markets open slowly; traders arrange their "
+        "stalls with practiced care, greeting the first customers warmly."
+    )
+    good_text2 = (
+        "Engineers reviewed the design over several weeks, testing each "
+        "component under load. The final report described the methodology "
+        "and the measured results in considerable detail for posterity."
+    )
+    shard = "\n".join(
+        [
+            json.dumps({"doc_id": 1, "text": good_text}),
+            "THIS LINE IS NOT JSON",
+            json.dumps({"doc_id": 2, "text": good_text2}),
+            json.dumps({"doc_id": 3, "text": good_text}),  # exact dup of 1
+        ]
+    )
+    (tmp_path / "src" / "crawl.jsonl").write_text(shard + "\n")
+    _drain(spark, src, corpus, quar, ckpt)
+
+    surv = str(tmp_path / "surv")
+    rep = str(tmp_path / "rep")
+    prep_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    q = run_corpus_prep_stream(
+        spark,
+        f"{corpus}/batch-*",  # the ingest's batch-id-keyed accumulation
+        prep_schema,
+        str(tmp_path / "prep_accum"),
+        surv,
+        rep,
+        checkpoint_dir=str(tmp_path / "prep_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    good_b, _ = read_jsonl(spark, f"{src}/*.jsonl", SCHEMA)
+    want_surv, _ = corpus_prep(good_b)
+    got = sorted(map(tuple, spark.read.parquet(surv).collect()))
+    want = sorted(map(tuple, want_surv.collect()))
+    assert got == want
+    # the broken line is in quarantine, the dup doc was removed by prep
+    assert read_ingested(spark, quar).count() == 1
+    assert {r[0] for r in got} == {1, 2}
