@@ -49,7 +49,7 @@ def demux_avi(b: bytes) -> list[bytes] | None:
     binary column contract)."""
     try:
         return _demux(b)
-    except (struct.error, IndexError, ValueError):
+    except (struct.error, IndexError, ValueError, OverflowError):
         return None
 
 

@@ -221,7 +221,7 @@ def decode_flac(b: bytes) -> tuple[int, int, np.ndarray] | None:
     ``multimodal.decode_wav``. None for non-FLAC/unsupported/corrupt."""
     try:
         return _decode(b)
-    except (struct.error, IndexError, ValueError, EOFError):
+    except (struct.error, IndexError, ValueError, EOFError, OverflowError):
         return None
 
 

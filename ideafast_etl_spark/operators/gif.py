@@ -107,7 +107,8 @@ def decode_gif(b: bytes) -> tuple[int, int, np.ndarray] | None:
     for malformed bytes — never raises."""
     try:
         return _decode(b)
-    except (struct.error, IndexError, KeyError, ValueError, EOFError):
+    except (struct.error, IndexError, KeyError, ValueError, EOFError,
+            OverflowError):
         return None
 
 

@@ -164,7 +164,10 @@ def decode_jpeg_baseline(b: bytes) -> tuple[int, int, np.ndarray] | None:
     (untrusted binary columns must never raise out of the decode UDF)."""
     try:
         return _decode_jpeg(b)
-    except (struct.error, IndexError, KeyError, ValueError, EOFError):
+    except (
+        struct.error, IndexError, KeyError, ValueError, EOFError,
+        OverflowError,
+    ):
         return None
 
 
@@ -315,6 +318,13 @@ def _decode_scan(frame, scan_tables, qt, huff_dc, huff_ac,
                             s = reader.read_symbol(dlut)
                             diff = _extend(reader.read_bits(s), s)
                             dc_pred[cid] += diff
+                            # Legal baseline DC values fit in 12 bits
+                            # (T.81 table F.1: category <= 11); a
+                            # predictor outside +-2^15 means the stream
+                            # is corrupt — bail before the int32 store
+                            # overflows (untrusted-input contract).
+                            if abs(dc_pred[cid]) > 1 << 15:
+                                return None
                             zz[0] = dc_pred[cid]
                             k = 1
                             while k < 64:
@@ -330,7 +340,7 @@ def _decode_scan(frame, scan_tables, qt, huff_dc, huff_ac,
                                     return None
                                 zz[k] = _extend(reader.read_bits(size), size)
                                 k += 1
-                        except (EOFError, ValueError):
+                        except (EOFError, ValueError, OverflowError):
                             return None
                         coeffs = np.zeros(64, np.int32)
                         coeffs[_ZIGZAG] = zz
@@ -418,7 +428,7 @@ class _ProgressiveState:
                 scan_comps[0], ss, se, ah, al, huff_ac,
                 restart_interval, segments,
             )
-        except (EOFError, ValueError, IndexError):
+        except (EOFError, ValueError, IndexError, OverflowError):
             return False
 
     def _dc_scan(self, scan_comps, ah, al, huff_dc,
@@ -461,6 +471,12 @@ class _ProgressiveState:
                         s = reader.read_symbol(lut)
                         diff = _extend(reader.read_bits(s), s)
                         dc_pred[cid] += diff
+                        # Same corrupt-stream guard as the baseline
+                        # path: a DC predictor past +-2^15 cannot come
+                        # from a legal stream; bail before the int32
+                        # store (shifted by al) overflows.
+                        if abs(dc_pred[cid]) > 1 << 15:
+                            return False
                         cblk[0] = dc_pred[cid] << al
                     else:  # refinement: one correction bit per block
                         if reader.read_bit():

@@ -171,7 +171,8 @@ def mp3_stream_info(b: bytes) -> dict | None:
             "has_id3v1": bool(has_id3v1),
             "audio_bytes": audio_bytes,
         }
-    except (struct.error, IndexError, ValueError, ZeroDivisionError):
+    except (struct.error, IndexError, ValueError, ZeroDivisionError,
+            OverflowError):
         return None
 
 

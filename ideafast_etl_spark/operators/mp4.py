@@ -202,7 +202,7 @@ def demux_mp4(b: bytes) -> list[bytes] | None:
         if any(not magic(f) for f in frames):
             return None
         return frames
-    except (struct.error, IndexError, ValueError):
+    except (struct.error, IndexError, ValueError, OverflowError):
         return None
 
 
@@ -224,7 +224,7 @@ def mp4_stream_info(b: bytes) -> dict | None:
             "duration_s": (dur_units / timescale) if timescale else 0.0,
             "media_bytes": int(sum(sizes)),
         }
-    except (struct.error, IndexError, ValueError):
+    except (struct.error, IndexError, ValueError, OverflowError):
         return None
 
 

@@ -622,5 +622,5 @@ def decode_mp4v_intra(b: bytes) -> tuple[int, int, np.ndarray] | None:
         return w_img, h_img, _planes_to_bgr(y, cbf, crf)
     except NotImplementedError:
         return None
-    except (IndexError, ValueError):
+    except (IndexError, ValueError, OverflowError):
         return None

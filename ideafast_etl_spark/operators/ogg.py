@@ -82,7 +82,7 @@ def ogg_stream_info(b: bytes) -> dict | None:
             "n_pages": n_pages,
             "n_streams": len(streams),
         }
-    except (struct.error, IndexError, ValueError):
+    except (struct.error, IndexError, ValueError, OverflowError):
         return None
 
 

