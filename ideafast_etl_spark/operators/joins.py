@@ -58,6 +58,7 @@ def interval_containment_join(
     payload_cols: tuple[str, ...] = ("patient_id",),
     order_cols: tuple[str, ...] | None = None,
     strategy: str = "auto",
+    bucket_days: int | None = None,
 ) -> DataFrame:
     """J4 — interval-containment join: for each record, find the assignment on
     the same device whose day-normalised wear period contains BOTH the record's
@@ -99,24 +100,43 @@ def interval_containment_join(
     default and the reference's ordering). For equal-length-interval
     fan-out (the planted pathology) this collapses the hot key from
     O(rows) to O(distinct start days).
+
+    ``bucket_days`` (r9 — the last single-task window in the skew
+    story): the prune window and the merge scan both partition by
+    ``device_col`` alone, so a 30 % hot device still sorts 30 % of the
+    union in ONE task. With ``bucket_days`` set (e.g. 30), both
+    decompose over (device, day-bucket) with a per-device boundary
+    stitch — the `sessions.py` phase-2 shape. The stitch relations are
+    tiny: the prune carries max(end) per previous bucket; the scan
+    carries the last-seen survivor struct per previous bucket (after
+    the prune, survivors are O(distinct start days) per device).
+    Identical output; max task size capped at O(device-bucket).
     """
     order_cols = order_cols or (asg_start,)
     prunable = order_cols[0] == asg_start
     if prunable:
-        w_prune = (
-            Window.partitionBy(device_col)
-            .orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
         end_d = F.coalesce(
             normalise_day(F.col(asg_end)), F.current_date().cast("timestamp")
         )
-        assignments = (
-            assignments.withColumn("__end_d", end_d)
-            .withColumn("__cov", F.max("__end_d").over(w_prune))
-            .filter(F.col("__cov").isNull() | (F.col("__cov") < F.col("__end_d")))
-            .drop("__end_d", "__cov")
-        )
+        if bucket_days is None:
+            w_prune = (
+                Window.partitionBy(device_col)
+                .orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            assignments = (
+                assignments.withColumn("__end_d", end_d)
+                .withColumn("__cov", F.max("__end_d").over(w_prune))
+                .filter(
+                    F.col("__cov").isNull() | (F.col("__cov") < F.col("__end_d"))
+                )
+                .drop("__end_d", "__cov")
+            )
+        else:
+            assignments = _bucketed_prune(
+                assignments, device_col, asg_start, end_d, order_cols,
+                bucket_days,
+            )
     if strategy not in ("auto", "join", "merge_scan"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "merge_scan" and not prunable:
@@ -124,7 +144,7 @@ def interval_containment_join(
     if prunable and strategy in ("auto", "merge_scan"):
         return _containment_merge_scan(
             records, assignments, device_col, rec_start, rec_end,
-            asg_start, asg_end, payload_cols,
+            asg_start, asg_end, payload_cols, bucket_days,
         )
     a = assignments.alias("a")
     r = records.alias("r")
@@ -154,6 +174,56 @@ def interval_containment_join(
     return first.select(*out_cols)
 
 
+def _bucketed_prune(
+    assignments: DataFrame,
+    device_col: str,
+    asg_start: str,
+    end_d: Column,
+    order_cols: tuple[str, ...],
+    bucket_days: int,
+) -> DataFrame:
+    """Skew-proof twin of the dominated-assignment prune: the running
+    max of predecessors' end days decomposes over (device, start-day
+    bucket) — bucket-local running max + a per-device carry of each
+    previous bucket's max (one row per present bucket, so the stitch
+    window is O(day-span / bucket_days) per device). NULL start days
+    sort last in the tie-break order, so they land in a +inf sentinel
+    bucket whose carry-in is the max over every real bucket — exactly
+    the predecessors they had in the single window."""
+    start_day = normalise_day(F.col(asg_start))
+    sb = F.coalesce(
+        F.floor(
+            F.datediff(start_day, F.lit("1970-01-01").cast("date"))
+            / bucket_days
+        ),
+        F.lit(2**62),
+    )
+    a = assignments.withColumn("__end_d", end_d).withColumn("__sb", sb)
+    bmax = a.groupBy(device_col, "__sb").agg(F.max("__end_d").alias("__bmax"))
+    w_carry = (
+        Window.partitionBy(device_col)
+        .orderBy("__sb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bmax.withColumn(
+        "__pcov", F.max("__bmax").over(w_carry)
+    ).drop("__bmax")
+    a = a.join(carry, [device_col, "__sb"], "left")
+    w_loc = (
+        Window.partitionBy(device_col, "__sb")
+        .orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # greatest() skips NULLs: local-only, carry-only, and both-NULL all
+    # reduce to the single-window running max of strict predecessors
+    cov = F.greatest(F.max("__end_d").over(w_loc), F.col("__pcov"))
+    return (
+        a.withColumn("__cov", cov)
+        .filter(F.col("__cov").isNull() | (F.col("__cov") < F.col("__end_d")))
+        .drop("__end_d", "__sb", "__pcov", "__cov")
+    )
+
+
 def _containment_merge_scan(
     records: DataFrame,
     assignments: DataFrame,
@@ -163,12 +233,22 @@ def _containment_merge_scan(
     asg_start: str,
     asg_end: str,
     payload_cols: tuple[str, ...],
+    bucket_days: int | None = None,
 ) -> DataFrame:
     """Linear first-containment-match (see interval_containment_join's
     ``merge_scan`` strategy). ``assignments`` arrives already pruned, so
     per device its end days strictly increase in tie-break order and the
     first match for a record is the survivor with the smallest end day
-    >= the record's end day (validated for start containment)."""
+    >= the record's end day (validated for start containment).
+
+    ``bucket_days`` decomposes the day-DESC scan over (device,
+    day-bucket): the running last(survivor) at a row is either a
+    survivor already seen inside its own bucket, or — when none yet —
+    the tail survivor (smallest end day; end days are distinct per
+    device post-prune) of the nearest HIGHER bucket that has one. The
+    carry relation has one row per present (device, bucket), so the
+    per-device stitch window is tiny and the hot device's sort spreads
+    over its buckets."""
     a_start_d = normalise_day(F.col(asg_start))
     a_end_d = F.coalesce(
         normalise_day(F.col(asg_end)), F.current_date().cast("timestamp")
@@ -203,12 +283,50 @@ def _containment_merge_scan(
     # smallest end day >= the record's end day. desc_nulls_first parks
     # null-day records before every survivor (they can never match);
     # tag desc makes a same-day survivor visible to its records.
-    w = (
-        Window.partitionBy(device_col)
-        .orderBy(F.col("__day").desc_nulls_first(), F.col("__tag").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    m = F.last("__s", ignorenulls=True).over(w)
+    if bucket_days is None:
+        w = (
+            Window.partitionBy(device_col)
+            .orderBy(F.col("__day").desc_nulls_first(), F.col("__tag").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        m = F.last("__s", ignorenulls=True).over(w)
+    else:
+        # null days sort FIRST in the desc scan → +inf sentinel bucket
+        # (only records can land there; survivors' __day is never null)
+        bkt = F.coalesce(
+            F.floor(
+                F.datediff(F.col("__day"), F.lit("1970-01-01").cast("date"))
+                / bucket_days
+            ),
+            F.lit(2**62),
+        )
+        u = u.withColumn("__bkt", bkt)
+        w_loc = (
+            Window.partitionBy(device_col, "__bkt")
+            .orderBy(F.col("__day").desc_nulls_first(), F.col("__tag").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        m_loc = F.last("__s", ignorenulls=True).over(w_loc)
+        tails = (
+            u.filter(F.col("__tag") == 1)
+            .groupBy(device_col, "__bkt")
+            .agg(F.min_by("__s", "__day").alias("__tail"))
+        )
+        bkts = (
+            u.select(device_col, "__bkt")
+            .distinct()
+            .join(tails, [device_col, "__bkt"], "left")
+        )
+        w_carry = (
+            Window.partitionBy(device_col)
+            .orderBy(F.col("__bkt").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = bkts.withColumn(
+            "__cin", F.last("__tail", ignorenulls=True).over(w_carry)
+        ).select(device_col, "__bkt", "__cin")
+        u = u.join(carry, [device_col, "__bkt"], "left")
+        m = F.coalesce(m_loc, F.col("__cin"))
     ok = (
         m.isNotNull()
         & (m["__a_start"] <= F.col("__r_start"))

@@ -722,6 +722,10 @@ WITH r AS (
 SELECT rec_id, cust, "start", "end", assignment_id FROM j WHERE rn = 1
 """
 
+ORACLES["interval_containment_join_bucketed"] = ORACLES[
+    "interval_containment_join"
+]
+
 ORACLES["asof_latest_order"] = """
 SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
 FROM events e

@@ -65,6 +65,10 @@ class PipelineConfig:
     # the O(delta) writes (compaction touches only the fragmented
     # partition; all others hardlink).
     compact_after_files: int | None = 16
+    # r9: decompose the stage-4 interval join's per-device windows over
+    # (device, day-bucket) — set when one device can carry a large share
+    # of the recording feed (skew-proof twin, identical output)
+    interval_bucket_days: int | None = None
 
 
 def _limit(df: DataFrame, n: int | None) -> DataFrame:
@@ -144,6 +148,7 @@ class DreemPipeline:
             work.select("hash", "device_id", "start", "end"),
             assignments,
             order_cols=("start_wear", "patient_id"),
+            bucket_days=self.config.interval_bucket_days,
         )
         resolved = joined.filter(F.col("patient_id").isNotNull()).select(
             "hash", "patient_id"

@@ -1406,6 +1406,37 @@ def interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("interval_containment_join_bucketed")
+def interval_join_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 skew-proof twin of ``interval_containment_join``: the dominated
+    prune and the merge scan both decompose over (cust, 30-day bucket)
+    with per-device boundary stitches, so a hot customer's sort spreads
+    over its buckets instead of one task. Shares the single-window
+    oracle — identical output by construction."""
+    orders = _t(spark, sf_dir, "orders")
+    records = orders.select(
+        F.col("o_orderkey").alias("rec_id"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("start"),
+        F.col("o_orderdate").alias("end"),
+    )
+    assignments = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderdate").alias("start_wear"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("end_wear"),
+        F.col("o_orderkey").alias("assignment_id"),
+    )
+    return interval_containment_join(
+        records,
+        assignments,
+        record_key="rec_id",
+        device_col="cust",
+        payload_cols=("assignment_id",),
+        order_cols=("start_wear", "assignment_id"),
+        bucket_days=30,
+    )
+
+
 @register("asof_latest_order")
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operator Spark lacks natively — union-tag + forward-fill):
@@ -2324,6 +2355,12 @@ def dreem_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (G1) → per-group upload stats (G4). Orders play the recording feed;
     customer/nation are the lookup dims; per-customer 90-day windows are the
     wear assignments."""
+    return _dreem_e2e(spark, sf_dir, bucket_days=None)
+
+
+def _dreem_e2e(
+    spark: SparkSession, sf_dir: str, bucket_days: int | None
+) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -2361,6 +2398,7 @@ def dreem_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         device_col="cust",
         payload_cols=("patient_id",),
         order_cols=("start_wear", "patient_id"),
+        bucket_days=bucket_days,
     )
 
     grouped = assign_group_id(

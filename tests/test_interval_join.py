@@ -157,3 +157,102 @@ def test_prune_skipped_when_order_not_led_by_start(spark, assignments):
     ).collect()
     # 11-06 is in both B and C; min patient_id = B-PATIENT
     assert out[0]["patient_id"] == "B-PATIENT"
+
+
+@pytest.mark.parametrize("bucket_days", [1, 7])
+def test_bucketed_boundary_cases_match_single_window(
+    spark, assignments, bucket_days
+):
+    """r9 skew-proof twin: every boundary case resolves identically with
+    the (device, day-bucket) decomposition — including matches that must
+    cross a bucket boundary via the carry-in survivor."""
+    cases = [
+        ("2021-11-05T09:00:00", "2021-11-05T11:00:00", "B-PATIENT"),
+        ("2021-11-06T23:00:00", "2021-11-06T23:30:00", "B-PATIENT"),
+        ("2021-11-12T10:00:00", "2021-11-12T12:00:00", "A-PATIENT"),
+        ("2021-11-01T10:00:00", "2021-11-01T12:00:00", None),
+        ("2021-11-03T23:00:00", "2021-11-04T01:00:00", None),
+        ("2021-11-07T23:00:00", "2021-11-08T01:00:00", None),
+        ("2021-11-06T08:00:00", "2021-11-06T09:00:00", "B-PATIENT"),
+    ]
+    records = spark.createDataFrame(
+        [
+            (f"r{i}", "NR1-DEVICE", _dt(s), _dt(e))
+            for i, (s, e, _) in enumerate(cases)
+        ],
+        ["hash", "device_id", "start", "end"],
+    )
+    out = {
+        r["hash"]: r["patient_id"]
+        for r in interval_containment_join(
+            records,
+            assignments,
+            order_cols=("start_wear", "patient_id"),
+            bucket_days=bucket_days,
+        ).collect()
+    }
+    assert out == {f"r{i}": want for i, (_, _, want) in enumerate(cases)}
+
+
+def test_bucketed_parity_fuzz_with_hot_device(spark):
+    """Strategy-parity fuzz: random intervals with 30 % of records AND
+    assignments on one hot device — bucketed output must be row-identical
+    to the single-window merge scan and to the join strategy, for several
+    bucket widths (including one so wide everything shares a bucket and
+    one so narrow every day is its own)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(99)
+    n_rec, n_asg = 400, 120
+    devs = [
+        "HOT" if rng.random() < 0.3 else f"D{rng.integers(0, 20)}"
+        for _ in range(n_rec)
+    ]
+    base = _dt("2021-01-01T00:00:00")
+    from datetime import timedelta
+
+    recs = []
+    for i, d in enumerate(devs):
+        s = base + timedelta(days=int(rng.integers(0, 120)), hours=int(rng.integers(0, 24)))
+        e = s + timedelta(hours=int(rng.integers(0, 72)))
+        recs.append((f"r{i}", d, s, e))
+    # a few null-endpoint records (never match, must survive as NULL rows)
+    recs.append(("rnull", "HOT", None, base))
+    recs.append(("rnull2", "D1", base, None))
+    asgs = []
+    for i in range(n_asg):
+        d = "HOT" if rng.random() < 0.3 else f"D{rng.integers(0, 20)}"
+        s = base + timedelta(days=int(rng.integers(0, 120)))
+        e = (
+            None
+            if rng.random() < 0.1
+            else s + timedelta(days=int(rng.integers(1, 40)))
+        )
+        asgs.append((d, f"P{i:03d}", s, e))
+    records = spark.createDataFrame(
+        recs, "hash string, device_id string, start timestamp, end timestamp"
+    )
+    assignments = spark.createDataFrame(
+        asgs,
+        "device_id string, patient_id string, "
+        "start_wear timestamp, end_wear timestamp",
+    )
+
+    def run(**kw):
+        return sorted(
+            (r["hash"], r["patient_id"])
+            for r in interval_containment_join(
+                records,
+                assignments,
+                order_cols=("start_wear", "patient_id"),
+                **kw,
+            ).collect()
+        )
+
+    want = run(strategy="join")
+    assert run() == want  # single-window merge scan
+    for bd in (1, 7, 30, 100000):
+        assert run(bucket_days=bd) == want, f"bucket_days={bd}"
+    # bucketed prune + join strategy (prune decomposition alone)
+    assert run(strategy="join", bucket_days=7) == want

@@ -271,10 +271,19 @@ def _semantic_dedup_auto(spark, sf_dir):
     return semantic_dedup(emb, k=None, iters=4, threshold=0.9)
 
 
+def _dreem_e2e_bucketed(spark, sf_dir):
+    from ideafast_etl_spark.queries import _dreem_e2e
+
+    return _dreem_e2e(spark, sf_dir, bucket_days=30)
+
+
 # production-posture twins of oracle-pinned queries (see module docstring)
 SCALE_VARIANTS = {
     "analyze_table_stats_hll": _stats_hll,
     "semantic_dedup_auto": _semantic_dedup_auto,
+    # r9: interval join with (device, 30-day-bucket) windows — the skewed
+    # sweep's hot-device answer for the last single-task window
+    "dreem_pipeline_e2e_bucketed": _dreem_e2e_bucketed,
 }
 
 
