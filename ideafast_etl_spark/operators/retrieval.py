@@ -75,7 +75,7 @@ def _score_bm25_terms(
     id_col: str,
 ) -> DataFrame:
     """Shared scoring tail of :func:`bm25_scores` and
-    :func:`bm25_topk_from_index` — ONE implementation so the inline and
+    :func:`bm25_scores_from_index` — ONE implementation so the inline and
     index-backed paths are float-identical by construction. ``tf`` is
     (id, t, tf) restricted to the query terms, ``dfreq`` (t, df) carries
     corpus-wide document frequencies, ``dl`` (id, dl, avgdl, n_docs)."""
@@ -405,24 +405,34 @@ def write_bm25_index(
     Scoring from the index replays :func:`bm25_scores` exactly — both
     paths share ``_score_bm25_terms`` — so index-backed answers inherit
     the inline operator's differential oracle."""
-    toks = df.select(
-        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
+    # persist the term-frequency relation: dl/postings/dfreq/stats all
+    # fan out from it, and without the pin each write re-triggers the
+    # explode/tokenize lineage — three corpus tokenizations per build
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
+        )
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("tf"))
+        .persist()
     )
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
-    bucket = F.pmod(F.xxhash64("t"), F.lit(N_TERM_BUCKETS)).cast("int")
-    root = path.rstrip("/")
-    tf.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{root}/postings")
-    dfreq.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{root}/dfreq")
-    dl.write.mode("overwrite").parquet(f"{root}/doclens")
-    dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).write.mode("overwrite").parquet(f"{root}/stats")
+    try:
+        dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+        bucket = F.pmod(F.xxhash64("t"), F.lit(N_TERM_BUCKETS)).cast("int")
+        root = path.rstrip("/")
+        tf.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{root}/postings")
+        dfreq.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{root}/dfreq")
+        dl.write.mode("overwrite").parquet(f"{root}/doclens")
+        dl.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ).write.mode("overwrite").parquet(f"{root}/stats")
+    finally:
+        tf.unpersist()
 
 
 def bm25_scores_from_index(

@@ -47,22 +47,36 @@ def run_corpus_prep_stream(
     text_col: str = "text",
     retention=None,
     fmt: str = "parquet",
+    compact_after_batches: int | None = None,
 ) -> StreamingQuery:
     """Drain ``source_dir``; per micro-batch extend the raw corpus and
     publish fresh ``survivors``/``report`` snapshots. ``retention``
     optionally narrows the accumulated relation before the chain (the
     bounded-horizon production knob); omit for exact full-history parity
-    with ``corpus_prep`` on the union of all drained files."""
+    with ``corpus_prep`` on the union of all drained files.
+    ``compact_after_batches`` folds committed batch directories into one
+    consolidated snapshot at that directory count (accum module)."""
+    from .accum import (
+        _batch_dirs,
+        compact_accumulation,
+        guard_fresh_checkpoint,
+        read_accumulation,
+    )
+
     if checkpoint_dir is None:
         checkpoint_dir = accum_dir.rstrip("/") + ".checkpoint"
+    guard_fresh_checkpoint(checkpoint_dir, accum_dir)
 
     def _cycle(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(
             f"{accum_dir.rstrip('/')}/batch-{batch_id}"
         )
-        hist = spark.read.option("recursiveFileLookup", "true").parquet(
-            accum_dir
-        )
+        if (
+            compact_after_batches is not None
+            and len(_batch_dirs(accum_dir)) >= compact_after_batches
+        ):
+            compact_accumulation(spark, accum_dir, checkpoint_dir)
+        hist = read_accumulation(spark, accum_dir)
         if retention is not None:
             hist = retention(hist)
         survivors, report = corpus_prep(hist, text_col)

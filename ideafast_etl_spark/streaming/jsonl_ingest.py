@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..sources.jsonl import parse_jsonl_lines
+from .accum import compact_accumulation, guard_fresh_checkpoint
 
 
 def run_jsonl_ingest_stream(
@@ -35,14 +36,21 @@ def run_jsonl_ingest_stream(
     corpus_dir: str,
     quarantine_dir: str,
     checkpoint_dir: str | None = None,
+    compact_after_batches: int | None = None,
 ) -> StreamingQuery:
     """Drain ``source_dir`` (``*.jsonl`` text files) into the accumulated
     corpus + quarantine relations. Exactly-once per shard via the file
     source's checkpointed file log; idempotent per micro-batch via
     batch-id-keyed overwrite. Returns the started query (availableNow —
-    call ``awaitTermination()`` to drain)."""
+    call ``awaitTermination()`` to drain).
+
+    ``compact_after_batches``: fold committed batch directories into one
+    consolidated snapshot whenever either accumulation holds that many
+    (accum.compact_accumulation) — bounds the directory growth of a
+    long-lived ingest without giving back the O(delta) writes."""
     if checkpoint_dir is None:
         checkpoint_dir = corpus_dir.rstrip("/") + ".checkpoint"
+    guard_fresh_checkpoint(checkpoint_dir, corpus_dir, quarantine_dir)
 
     def _cycle(batch_df: DataFrame, batch_id: int) -> None:
         good, quarantine = parse_jsonl_lines(batch_df, schema)
@@ -54,6 +62,12 @@ def run_jsonl_ingest_stream(
         ).write.mode("overwrite").parquet(
             f"{quarantine_dir.rstrip('/')}/batch-{batch_id}"
         )
+        if compact_after_batches is not None:
+            from .accum import _batch_dirs
+
+            for d in (corpus_dir, quarantine_dir):
+                if len(_batch_dirs(d)) >= compact_after_batches:
+                    compact_accumulation(spark, d, checkpoint_dir)
 
     stream = (
         spark.readStream.format("text")
@@ -70,7 +84,8 @@ def run_jsonl_ingest_stream(
 
 
 def read_ingested(spark: SparkSession, accum_dir: str) -> DataFrame:
-    """The accumulated relation across all drained batches."""
-    return spark.read.option("recursiveFileLookup", "true").parquet(
-        accum_dir
-    )
+    """The accumulated relation across all drained batches (compaction-
+    and crash-window-aware — see accum.read_accumulation)."""
+    from .accum import read_accumulation
+
+    return read_accumulation(spark, accum_dir)

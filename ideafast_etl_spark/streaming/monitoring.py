@@ -100,6 +100,7 @@ def run_detector_stream(
     checkpoint_dir: str | None = None,
     retention: Callable[[DataFrame], DataFrame] | None = None,
     fmt: str = "parquet",
+    compact_after_batches: int | None = None,
 ) -> StreamingQuery:
     """Drain ``source_dir`` and maintain a detection-report snapshot.
 
@@ -113,17 +114,30 @@ def run_detector_stream(
     overwrite mode, so a batch replayed after a crash between the write and
     the checkpoint commit overwrites its own output rather than appending a
     duplicate. ``checkpoint_dir`` defaults to ``<accum_dir>.checkpoint`` —
-    it is never omitted, because without it a restart renumbers batches."""
+    it is never omitted, because without it a restart renumbers batches.
+    ``compact_after_batches`` folds committed batch directories into one
+    consolidated snapshot at that directory count (accum module)."""
+    from .accum import (
+        _batch_dirs,
+        compact_accumulation,
+        guard_fresh_checkpoint,
+        read_accumulation,
+    )
+
     if checkpoint_dir is None:
         checkpoint_dir = accum_dir.rstrip("/") + ".checkpoint"
+    guard_fresh_checkpoint(checkpoint_dir, accum_dir)
 
     def _cycle(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(
             f"{accum_dir.rstrip('/')}/batch-{batch_id}"
         )
-        hist = spark.read.option("recursiveFileLookup", "true").parquet(
-            accum_dir
-        )
+        if (
+            compact_after_batches is not None
+            and len(_batch_dirs(accum_dir)) >= compact_after_batches
+        ):
+            compact_accumulation(spark, accum_dir, checkpoint_dir)
+        hist = read_accumulation(spark, accum_dir)
         if retention is not None:
             hist = retention(hist)
         _publish(detector(hist), out_dir)

@@ -137,12 +137,12 @@ def process_near_dup_batch(
     module level so a crash replay (same batch id, same rows) is directly
     testable. Both sinks overwrite their ``batch-<id>`` subdirectory, so
     re-running a batch converges instead of double-appending."""
-    import os
+    from .accum import live_paths, read_accumulation
 
     sigs = with_minhash(batch_df, text_col).select(id_col, "minhash")
     state = (
-        spark.read.option("recursiveFileLookup", "true").parquet(state_dir)
-        if os.path.isdir(state_dir) and os.listdir(state_dir)
+        read_accumulation(spark, state_dir)
+        if live_paths(state_dir)
         else None
     )
     # A replayed batch sees its own previous (uncommitted-in-checkpoint)
@@ -188,19 +188,29 @@ def run_streaming_near_dup(
     fmt: str = "parquet",
     dup_log: list | None = None,
     dup_log_dir: str | None = None,
+    compact_after_batches: int | None = None,
 ) -> StreamingQuery:
     """Drain available files; per micro-batch detect near-dups against the
     signature state, sink the duplicate pairs to ``dup_log_dir`` (default
     ``<state_dir>.dups``) and the survivors' signatures to the state —
     both as batch-id-keyed overwrites, so replays converge. ``dup_log``
     is an optional driver-side DEBUG mirror of the pair log; leave it
-    None in production (no unbounded driver state)."""
-    import os
+    None in production (no unbounded driver state).
+    ``compact_after_batches`` folds committed batch directories of both
+    accumulations into consolidated snapshots at that directory count
+    (accum module); the own-batch replay exclusion keeps working because
+    a replayable batch is uncommitted and is never folded."""
+    from .accum import (
+        _batch_dirs,
+        compact_accumulation,
+        guard_fresh_checkpoint,
+    )
 
     if checkpoint_dir is None:
         checkpoint_dir = state_dir.rstrip("/") + ".checkpoint"
     if dup_log_dir is None:
         dup_log_dir = state_dir.rstrip("/") + ".dups"
+    guard_fresh_checkpoint(checkpoint_dir, state_dir, dup_log_dir)
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         process_near_dup_batch(
@@ -208,6 +218,10 @@ def run_streaming_near_dup(
             sim_threshold=sim_threshold, text_col=text_col, id_col=id_col,
             dup_log=dup_log,
         )
+        if compact_after_batches is not None:
+            for d in (state_dir, dup_log_dir):
+                if len(_batch_dirs(d)) >= compact_after_batches:
+                    compact_accumulation(spark, d, checkpoint_dir)
 
     stream = spark.readStream.format(fmt).schema(schema).load(source_dir)
     return (

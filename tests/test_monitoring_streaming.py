@@ -157,13 +157,17 @@ def test_psi_drift_stream_flags_shift_against_pinned_reference(spark, tmp_path):
 
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     """A replayed micro-batch (crash between the accum write and the
-    checkpoint commit) must not double-append (r7 ADVICE): deleting the
-    checkpoint and re-draining the same files re-delivers them under the
-    same batch ids, and the batch-id-keyed overwrite layout absorbs the
-    replay — the accumulated relation holds each row exactly once and the
-    published snapshot still equals the batch detector."""
+    checkpoint commit) must not double-append (r7 ADVICE): re-running the
+    cycle body under the same batch id overwrites its own directory, so
+    the accumulated relation holds each row exactly once and the
+    published snapshot still equals the batch detector. A FRESH
+    checkpoint over the populated accumulation, by contrast, now REFUSES
+    to start (r8 ADVICE): renumbering batches from 0 would silently
+    overwrite history the moment the source content differs."""
     import os
     import shutil
+
+    import pytest
 
     f1 = _rows(0, [0, 1, 5], 7, [1.0, 2.0, 3.0])
     src = _feed(spark, tmp_path, "replaysrc", f1)
@@ -172,7 +176,10 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
 
     q = run_gap_report_stream(spark, src, SCHEMA, accum, out, **kw)
     q.awaitTermination(120)
-    shutil.rmtree(ckpt)  # simulate a lost commit: full replay from batch 0
+    # crash replay: the cycle body re-runs batch 0 over the same rows
+    spark.createDataFrame(f1, SCHEMA).write.mode("overwrite").parquet(
+        f"{accum}/batch-0"
+    )
     q = run_gap_report_stream(spark, src, SCHEMA, accum, out, **kw)
     q.awaitTermination(120)
 
@@ -187,6 +194,10 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     # the published report is a symlink to a versioned snapshot — the swap
     # is an atomic os.replace, so out_dir never ceases to exist mid-publish
     assert os.path.islink(out)
+
+    shutil.rmtree(ckpt)  # lost checkpoint over live data: refuse, not renumber
+    with pytest.raises(ValueError, match="checkpoint"):
+        run_gap_report_stream(spark, src, SCHEMA, accum, out, **kw)
 
 
 def test_retention_bounds_detection_history(spark, tmp_path):

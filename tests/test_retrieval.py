@@ -168,22 +168,30 @@ def test_mmr_no_replacement_and_repartition_determinism(spark):
 
 
 def _mmr_python_twin(vecs, query_ids, k, pool, lam_num=1, lam_den=2):
-    """Bit-exact driver-side replay of mmr_rerank (numpy for the dots,
-    the same integer micro-unit quantization and tie orders)."""
-    import numpy as np
+    """Bit-exact driver-side replay of mmr_rerank: every float op copies
+    the engine's — norms via the same explicit left-to-right fold as
+    ``l2_norm`` (numpy's pairwise summation diverges above dim 8), and
+    rounding half-AWAY-from-zero like Spark's ``F.round`` (np.round is
+    half-to-even and flips exact .5 micro-unit ties)."""
+    import math
 
     ids = sorted(vecs)
-    unit = {
-        i: np.asarray(vecs[i]) / np.sqrt(np.dot(vecs[i], vecs[i]))
-        for i in ids
-    }
+
+    def _norm(v):
+        s = 0.0
+        for x in v:
+            s += float(x) * float(x)
+        return math.sqrt(s)
+
+    unit = {i: [float(x) / _norm(vecs[i]) for x in vecs[i]] for i in ids}
 
     def fp(a, b):
         # fixed left-to-right summation == F.aggregate's fold order
         s = 0.0
         for x, y in zip(unit[a], unit[b]):
-            s += float(x) * float(y)
-        return int(np.round(s * 1e6))
+            s += x * y
+        v = s * 1e6
+        return int(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5))
 
     out = []
     for q in query_ids:

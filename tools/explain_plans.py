@@ -313,8 +313,12 @@ def _mmr_audit_k2(spark, sf_dir):
 
 
 # audit-only builders for queries whose registered form cannot be
-# explained un-checkpointed (see each builder's docstring)
+# explained un-checkpointed (see each builder's docstring). The audited
+# plan is the VARIANT's, not the registered query's — the tag is appended
+# to the audit name in stdout and PLANS.md so the artifact doesn't
+# overstate coverage (r8 ADVICE).
 VARIANTS = {"mmr_diversified_topk": _mmr_audit_k2}
+VARIANT_TAGS = {"mmr_diversified_topk": "@k=2-variant"}
 
 
 def main() -> int:
@@ -339,10 +343,11 @@ def main() -> int:
             if ((m[1:] in plan) if m.startswith("!") else (m not in plan))
         ]
         status = "OK" if not missing else f"MISSING {missing}"
-        print(f"{name}: {status}")
+        label = name + VARIANT_TAGS.get(name, "")
+        print(f"{label}: {status}")
         if missing:
             failures.append(name)
-        sections.append(f"## {name}\n\nexpect: {markers}\nstatus: {status}\n\n```\n{plan}\n```\n")
+        sections.append(f"## {label}\n\nexpect: {markers}\nstatus: {status}\n\n```\n{plan}\n```\n")
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
             "# Physical plans (sf0.01) — audited markers\n\n"
