@@ -321,6 +321,27 @@ VARIANTS = {"mmr_diversified_topk": _mmr_audit_k2}
 VARIANT_TAGS = {"mmr_diversified_topk": "@k=2-variant"}
 
 
+def audit_query(spark, name: str, markers: list[str], sf_dir: str = SF_DIR,
+                qs: dict | None = None) -> tuple[str, list[str]]:
+    """Build + explain one audit entry; returns (plan, missing_markers).
+    Shared by main() and the pytest gate (tests/test_plan_audits.py) so a
+    plan regression between rounds fails CI, not just the by-hand run.
+
+    The build + explain happens inside no_checkpoints(): operators that
+    end in localCheckpoint otherwise explain as a bare `Scan
+    ExistingRDD`, making the audit vacuous (markers missing, negatives
+    trivially true). This returns the full lazy lineage instead."""
+    builder = VARIANTS.get(name) or (qs if qs is not None else entrymod.queries()).get(name)
+    with plan_audit.no_checkpoints():
+        plan = plan_of(builder(spark, sf_dir))
+    missing = [
+        m
+        for m in markers
+        if ((m[1:] in plan) if m.startswith("!") else (m not in plan))
+    ]
+    return plan, missing
+
+
 def main() -> int:
     only = set(sys.argv[1:])
     spark = get_spark("plan-audit")
@@ -330,18 +351,7 @@ def main() -> int:
     for name, markers in EXPECTATIONS.items():
         if only and name not in only:
             continue
-        builder = VARIANTS.get(name, qs.get(name))
-        # build + explain inside no_checkpoints(): operators that end in
-        # localCheckpoint otherwise explain as a bare `Scan ExistingRDD`,
-        # making the audit vacuous (markers missing, negatives trivially
-        # true). This returns the full lazy lineage instead.
-        with plan_audit.no_checkpoints():
-            plan = plan_of(builder(spark, SF_DIR))
-        missing = [
-            m
-            for m in markers
-            if ((m[1:] in plan) if m.startswith("!") else (m not in plan))
-        ]
+        plan, missing = audit_query(spark, name, markers, qs=qs)
         status = "OK" if not missing else f"MISSING {missing}"
         label = name + VARIANT_TAGS.get(name, "")
         print(f"{label}: {status}")
