@@ -176,6 +176,12 @@ def kmeans_fit(
             )
             .localCheckpoint(eager=True)  # k·dim rows: truncate lineage
         )
+    return _assign_to_centroids(pts, cent, id_col), cent
+
+
+def _assign_to_centroids(pts: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """kmeans_fit's assignment step against a FIXED centroid relation
+    (cid, pos, icval): fixed-point cosine, ties to the lowest cid."""
     sims = (
         pts.join(F.broadcast(cent), "pos")
         .groupBy("__id", "cid")
@@ -186,7 +192,7 @@ def kmeans_fit(
             ).alias("sim")
         )
     )
-    assign = (
+    return (
         sims.withColumn(
             "rn",
             F.row_number().over(
@@ -202,7 +208,24 @@ def kmeans_fit(
             F.round(F.col("sim"), 6).alias("sim"),
         )
     )
-    return assign, cent
+
+
+def kmeans_assign_to(
+    df: DataFrame,
+    cent: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign vectors to an EXISTING quantised centroid relation
+    (cid, pos, icval) — the exact arithmetic of :func:`kmeans_fit`'s
+    final assignment, exposed for incremental maintenance: a persisted
+    coarse quantizer stays fixed between scheduled retrains while new
+    vectors stream in (similarity.append_ivf_index). Bit-identical to
+    what kmeans_fit would have assigned these vectors given the same
+    centroids."""
+    return _assign_to_centroids(
+        _pos_exploded(df, id_col, vec_col), cent, id_col
+    )
 
 
 def kmeans_assign(

@@ -405,6 +405,39 @@ def write_bm25_index(
     Scoring from the index replays :func:`bm25_scores` exactly — both
     paths share ``_score_bm25_terms`` — so index-backed answers inherit
     the inline operator's differential oracle."""
+    _write_bm25(df, path, text_col, id_col, mode="overwrite")
+
+
+def append_bm25_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """O(delta) index maintenance for a growing corpus (the streaming
+    corpus twin drains new documents every cycle; a full
+    :func:`write_bm25_index` rebuild per drain re-tokenizes history).
+    New documents' postings and doc-lengths APPEND into their existing
+    term-hash bucket partitions — partition-local file adds, nothing
+    rewritten — and the dfreq/stats relations are additive: each
+    increment appends per-term df deltas and one (n_docs, sum_dl) delta
+    row, which the probe sums at read time. All counts are integers, so
+    the summed increments equal a full rebuild EXACTLY and the
+    incremental index inherits the inline operator's oracle through the
+    shared scoring tail.
+
+    Precondition: ``df`` holds documents whose ids are NOT already
+    indexed (the state store's append_new contract — dedup upstream);
+    re-appending an indexed id would double its postings.
+
+    Reference analog: the incremental hash-state append
+    (/root/reference/dags/dreem.py:48-67) — extend, never rebuild."""
+    _write_bm25(df, path, text_col, id_col, mode="append")
+
+
+def _write_bm25(
+    df: DataFrame, path: str, text_col: str, id_col: str, mode: str
+) -> None:
     # persist the term-frequency relation: dl/postings/dfreq/stats all
     # fan out from it, and without the pin each write re-triggers the
     # explode/tokenize lineage — three corpus tokenizations per build
@@ -421,16 +454,16 @@ def write_bm25_index(
         dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
         bucket = F.pmod(F.xxhash64("t"), F.lit(N_TERM_BUCKETS)).cast("int")
         root = path.rstrip("/")
-        tf.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
+        tf.withColumn("bucket", bucket).write.mode(mode).partitionBy(
             "bucket"
         ).parquet(f"{root}/postings")
-        dfreq.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
+        dfreq.withColumn("bucket", bucket).write.mode(mode).partitionBy(
             "bucket"
         ).parquet(f"{root}/dfreq")
-        dl.write.mode("overwrite").parquet(f"{root}/doclens")
+        dl.write.mode(mode).parquet(f"{root}/doclens")
         dl.agg(
             F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-        ).write.mode("overwrite").parquet(f"{root}/stats")
+        ).write.mode(mode).parquet(f"{root}/stats")
     finally:
         tf.unpersist()
 
@@ -470,13 +503,19 @@ def bm25_scores_from_index(
         .filter(F.col("t").isin(terms))
         .select(id_col, "t", "tf")
     )
+    # dfreq and stats are stored ADDITIVELY (append_bm25_index writes
+    # per-increment delta rows); summing the integer deltas here makes
+    # the incremental index bit-identical to a full rebuild
     dfreq = (
         spark.read.parquet(f"{root}/dfreq")
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("t").isin(terms))
-        .select("t", "df")
+        .groupBy("t")
+        .agg(F.sum("df").alias("df"))
     )
-    stats = spark.read.parquet(f"{root}/stats")
+    stats = spark.read.parquet(f"{root}/stats").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    )
     dl = (
         spark.read.parquet(f"{root}/doclens")
         .crossJoin(F.broadcast(stats))

@@ -334,6 +334,55 @@ def write_ivf_index(
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_ivf_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Extend a persisted IVF index with new vectors — O(delta)
+    maintenance for a growing corpus. The coarse quantizer (centroids)
+    stays FIXED between scheduled retrains, the production IVF pattern:
+    new vectors are assigned with :func:`clustering.kmeans_assign_to`
+    (kmeans_fit's exact fixed-point assignment arithmetic) and their
+    rows APPEND into the matching ``cell=N`` partitions — partition-
+    local file adds, no rewrite of existing cells, probe cost unchanged
+    (the probe still reads only its n_probe cell partitions).
+
+    Parity contract: after appends, :func:`ivf_topk_from_index` answers
+    are bit-identical to an index whose quantizer was trained on the
+    ORIGINAL corpus with every vector (old and new) assigned against it
+    — i.e. exactly the fixed-quantizer semantics the index-backed probe
+    documents. A retrain (full :func:`write_ivf_index` over the union)
+    re-fits the centroids and is a scheduled, not per-increment, event.
+
+    Precondition: ``new_df`` ids are not already indexed (append_new
+    contract; dedup upstream)."""
+    from .clustering import kmeans_assign_to
+
+    cent = spark.read.parquet(f"{path}/centroids")
+    assign = kmeans_assign_to(
+        new_df,
+        cent.select(F.col("cell").alias("cid"), "pos", "icval"),
+        vec_col,
+        id_col,
+    )
+    assigned = new_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).join(
+        assign.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("cluster_id").cast("int").alias("cell"),
+        ),
+        "neighbor_id",
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
+
+
 def ivf_topk_from_index(
     spark,
     path: str,

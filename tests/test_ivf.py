@@ -74,3 +74,55 @@ def test_persisted_index_matches_inline(spark, corpus, queries, tmp_path):
     )
     cells = [d for d in os.listdir(f"{path}/cells") if d.startswith("cell=")]
     assert len(cells) == 4  # physical partition-per-cell layout
+
+
+def test_ivf_append_matches_fixed_quantizer_assignment(spark, corpus, tmp_path):
+    """r9 incremental maintenance: appending new vectors against the
+    persisted (fixed) quantizer probes bit-identically to assigning the
+    whole union against those same centroids — and the appended rows
+    land inside existing cell partitions (partition-local file adds)."""
+    import os
+
+    from ideafast_etl_spark.operators.clustering import kmeans_assign_to
+    from ideafast_etl_spark.operators.similarity import (
+        _ivf_probes,
+        _ivf_rerank,
+        append_ivf_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    old = corpus.filter(F.col("vec_id") < 90)
+    new = corpus.filter(F.col("vec_id") >= 90)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(old, idx, n_cells=4)
+    cells_before = set(os.listdir(f"{idx}/cells"))
+    append_ivf_index(spark, idx, new)
+    assert set(os.listdir(f"{idx}/cells")) == cells_before  # no new dirs
+
+    q = corpus.filter(F.col("vec_id") % 30 == 3)
+    got = sorted(
+        map(tuple, ivf_topk_from_index(spark, idx, q, k=5, n_probe=2).collect())
+    )
+
+    # the parity twin: the SAME fixed centroids, every vector assigned
+    # against them via the engine's own assignment arithmetic
+    cent = spark.read.parquet(f"{idx}/centroids")
+    assign = kmeans_assign_to(
+        corpus, cent.select(F.col("cell").alias("cid"), "pos", "icval")
+    )
+    assigned = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    ).join(
+        assign.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cluster_id").cast("int").alias("cell"),
+        ),
+        "neighbor_id",
+    )
+    probes = _ivf_probes(q, cent, 2, "vec_id", "embedding")
+    want = sorted(
+        map(tuple, _ivf_rerank(probes, assigned, q, 5, "vec_id", "embedding").collect())
+    )
+    assert got == want

@@ -286,3 +286,63 @@ def test_bm25_index_unknown_term_scores_nothing(spark, tmp_path):
     write_bm25_index(docs, idx)
     out = bm25_scores_from_index(spark, idx, ["absent"]).collect()
     assert out == []
+
+
+def test_bm25_incremental_append_equals_full_rebuild(spark, tmp_path):
+    """r9 incremental maintenance: building on corpus A then appending
+    corpus B must probe bit-identically to a full rebuild over A∪B (all
+    index counts are integers and the additive dfreq/stats deltas sum
+    exactly), and both must equal the inline scorer."""
+    from ideafast_etl_spark.operators.retrieval import (
+        append_bm25_index,
+        bm25_scores,
+        bm25_scores_from_index,
+        write_bm25_index,
+    )
+
+    rows_a = [
+        (i, ("spark query " * (i % 3 + 1)) + f"alpha beta w{i}")
+        for i in range(50)
+    ]
+    rows_b = [
+        (100 + i, ("query engine " * (i % 2 + 1)) + f"beta gamma w{i}")
+        for i in range(30)
+    ]
+    docs_a, docs_b = _docs(spark, rows_a), _docs(spark, rows_b)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_bm25_index(docs_a, inc)
+    append_bm25_index(docs_b, inc)
+    write_bm25_index(docs_a.unionByName(docs_b), full)
+
+    terms = ["spark", "query", "beta", "gamma"]
+    got_inc = sorted(
+        map(tuple, bm25_scores_from_index(spark, inc, terms).collect())
+    )
+    got_full = sorted(
+        map(tuple, bm25_scores_from_index(spark, full, terms).collect())
+    )
+    inline = sorted(
+        map(
+            tuple,
+            bm25_scores(docs_a.unionByName(docs_b), terms).collect(),
+        )
+    )
+    assert got_inc == got_full == inline
+
+    # a second increment keeps the invariant (multi-delta stats sum)
+    rows_c = [(200 + i, f"gamma delta spark w{i}") for i in range(20)]
+    docs_c = _docs(spark, rows_c)
+    append_bm25_index(docs_c, inc)
+    all_docs = docs_a.unionByName(docs_b).unionByName(docs_c)
+    write_bm25_index(all_docs, full)
+    got_inc = sorted(
+        map(tuple, bm25_scores_from_index(spark, inc, terms).collect())
+    )
+    got_full = sorted(
+        map(tuple, bm25_scores_from_index(spark, full, terms).collect())
+    )
+    assert got_inc == got_full
+    assert got_inc == sorted(
+        map(tuple, bm25_scores(all_docs, terms).collect())
+    )
