@@ -224,6 +224,7 @@ def minhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    candidates: str = "all",
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signature → banded candidates → exact
     Jaccard verify on candidates only. Returns (id_a, id_b, jaccard_sim)
@@ -244,7 +245,24 @@ def minhash_near_dup_pairs(
     Under ``plan_audit.no_checkpoints()`` the persist/localCheckpoint pair
     is skipped and the full lazy lineage is returned so ``.explain``
     audits the real plan (the checkpointed form explains as only a
-    ``Scan ExistingRDD``)."""
+    ``Scan ExistingRDD``).
+
+    ``candidates`` (r9 — duplicate-density skew): with ``"all"`` a band
+    bucket of n docs yields C(n, 2) candidate pairs, which is correct —
+    the TRUE near-dup pair set of an n-member dup cluster IS quadratic —
+    but unrunnable when one cluster holds a large corpus share (a 30 %
+    single-template corpus at 100x hung the all-pairs probe). ``"star"``
+    links every bucket member to the bucket's MIN id instead: O(n)
+    candidates per bucket, an agg + one equi-join (AQE-splittable probe
+    side) in place of the self-join. The verified star pairs preserve
+    dedup/clustering connectivity whenever intra-bucket similarity is
+    transitive (true for template dup clusters; verification still
+    rejects hash-collision members individually), at the cost of not
+    ENUMERATING every in-cluster pair — the production posture for
+    degenerate duplicate density, and the semantics its own differential
+    oracle replays (``minhash_near_dup_star``)."""
+    if candidates not in ("all", "star"):
+        raise ValueError(f"unknown candidates mode {candidates!r}")
     do_ckpt = checkpoints_enabled()
     sh = shingle_rows(_spread(df, id_col), text_col, id_col)
     if do_ckpt:
@@ -280,20 +298,31 @@ def minhash_near_dup_pairs(
         banded = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
             id_col, "bk.band", "bk.band_key"
         )
-        cands = (
-            banded.alias("l")
-            .join(
-                banded.alias("r"),
-                (F.col("l.band") == F.col("r.band"))
-                & (F.col("l.band_key") == F.col("r.band_key"))
-                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        if candidates == "star":
+            reps = banded.groupBy("band", "band_key").agg(
+                F.min(id_col).alias("id_a")
             )
-            .select(
-                F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"),
+            cands = (
+                banded.join(reps, ["band", "band_key"])
+                .filter(F.col(id_col) > F.col("id_a"))
+                .select("id_a", F.col(id_col).alias("id_b"))
+                .distinct()
             )
-            .distinct()
-        )
+        else:
+            cands = (
+                banded.alias("l")
+                .join(
+                    banded.alias("r"),
+                    (F.col("l.band") == F.col("r.band"))
+                    & (F.col("l.band_key") == F.col("r.band_key"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+                )
+                .select(
+                    F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"),
+                )
+                .distinct()
+            )
         ra = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
         rb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
         # no forced broadcast OR forced shuffle on the verify legs: post-
@@ -445,6 +474,7 @@ def near_dup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    candidates: str = "all",
 ) -> DataFrame:
     """Near-duplicate clustering: connected components over the verified
     MinHash-LSH pair graph — each involved document labeled with the minimum
@@ -455,10 +485,17 @@ def near_dup_clusters(
     (each round: label ← min(label, neighbours' labels)), which converges in
     O(component diameter) rounds; production-scale corpora use the same loop
     (large-star/small-star) since components are tiny in practice.
-    Returns (doc_id, cluster_id) for documents that appear in ≥1 pair."""
-    pairs = minhash_near_dup_pairs(df, text_col, id_col, threshold).select(
-        "id_a", "id_b"
-    )
+    Returns (doc_id, cluster_id) for documents that appear in ≥1 pair.
+
+    ``candidates="star"`` routes the pair generation through the bucket-
+    representative candidates (see :func:`minhash_near_dup_pairs`) — the
+    degenerate-duplicate-density posture. A welcome side effect for THIS
+    operator: a giant dup cluster's pair graph becomes a star around its
+    min-id member, so label propagation converges in 2 rounds instead of
+    O(cluster diameter)."""
+    pairs = minhash_near_dup_pairs(
+        df, text_col, id_col, threshold, candidates=candidates
+    ).select("id_a", "id_b")
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).persist()
@@ -552,6 +589,7 @@ def simhash_near_dup_pairs(
     bits: int = SIMHASH_BITS,
     n_bands: int = 4,
     max_df_ratio: float = 0.25,
+    candidates: str = "all",
 ) -> DataFrame:
     """SimHash near-dup: pairs whose fingerprints differ in ≤ ``max_hamming``
     bits. Banded multi-probe candidate generation (pigeonhole: a pair within
@@ -563,8 +601,15 @@ def simhash_near_dup_pairs(
     from the fingerprint: unweighted SimHash over raw tokens collapses when
     common function words dominate every document's bit votes (observed:
     ~16% of all pairs within hamming 3). The document-frequency cut is the
-    deterministic, corpus-derived stand-in for IDF weighting."""
+    deterministic, corpus-derived stand-in for IDF weighting.
+
+    ``candidates="star"``: bucket-representative candidates (member ↔
+    bucket-min pairs) instead of the quadratic in-bucket self-join — the
+    degenerate-duplicate-density posture; see
+    :func:`minhash_near_dup_pairs` for the semantics trade."""
     assert max_hamming < n_bands, "pigeonhole completeness needs max_hamming < n_bands"
+    if candidates not in ("all", "star"):
+        raise ValueError(f"unknown candidates mode {candidates!r}")
     band_bits = bits // n_bands
     toks = _spread(df, id_col).select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("t")
@@ -611,22 +656,39 @@ def simhash_near_dup_pairs(
     banded = fp.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("bk")).select(
         id_col, "simhash", "bk.band", "bk.band_key"
     )
-    cands = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    if candidates == "star":
+        reps = banded.groupBy("band", "band_key").agg(
+            F.min(id_col).alias("id_a"),
+            F.min_by("simhash", id_col).alias("sh_a"),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
+        cands = (
+            banded.join(reps, ["band", "band_key"])
+            .filter(F.col(id_col) > F.col("id_a"))
+            .select(
+                "id_a",
+                F.col(id_col).alias("id_b"),
+                "sh_a",
+                F.col("simhash").alias("sh_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        cands = (
+            banded.alias("l")
+            .join(
+                banded.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.band_key") == F.col("r.band_key"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.simhash").alias("sh_a"),
+                F.col("r.simhash").alias("sh_b"),
+            )
+            .distinct()
+        )
     return (
         cands.withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

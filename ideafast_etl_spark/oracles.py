@@ -912,7 +912,28 @@ FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE {_JACCARD} >= 0.2
 """
 
-ORACLES["minhash_near_dup"] = f"""
+_MINHASH_CANDS_ALL = """
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+# bucket-representative candidates (dedup.py candidates="star"): every
+# bucket member pairs with the bucket's MIN doc id only
+_MINHASH_CANDS_STAR = """
+  SELECT DISTINCT reps.id_a AS id_a, m.doc_id AS id_b
+  FROM banded m
+  JOIN (
+    SELECT band, band_key, MIN(doc_id) AS id_a
+    FROM banded GROUP BY band, band_key
+  ) reps
+    ON m.band = reps.band AND m.band_key = reps.band_key
+   AND m.doc_id > reps.id_a
+"""
+
+
+def _minhash_pairs_sql(cands_sql: str = _MINHASH_CANDS_ALL) -> str:
+    return f"""
 WITH sh AS ({_SHINGLES}),
 hs AS (
   SELECT doc_id, shingles,
@@ -928,17 +949,17 @@ banded AS (
          array_to_string(mh[(b.range * {LSH_ROWS} + 1):(b.range * {LSH_ROWS} + {LSH_ROWS})], ',') AS band_key
   FROM sig, range({LSH_BANDS}) b
 ),
-cands AS (
-  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM banded l JOIN banded r
-    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-)
+cands AS ({cands_sql})
 SELECT c.id_a, c.id_b, {_JACCARD} AS jaccard_sim
 FROM cands c
 JOIN sh a ON a.doc_id = c.id_a
 JOIN sh b ON b.doc_id = c.id_b
 WHERE {_JACCARD} >= 0.2
 """
+
+
+ORACLES["minhash_near_dup"] = _minhash_pairs_sql()
+ORACLES["minhash_near_dup_star"] = _minhash_pairs_sql(_MINHASH_CANDS_STAR)
 
 def _simhash_sql(bits: int = 32) -> str:
     votes = ",\n    ".join(
@@ -999,6 +1020,29 @@ WITH sims AS (
          l.simhash AS sa, r.simhash AS sb
   FROM banded l JOIN banded r
     ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cands
+WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+ORACLES["simhash_near_dup_star"] = f"""
+WITH sims AS (
+  {_simhash_df_filtered_sql()}
+), banded AS (
+  SELECT doc_id, simhash, b.range AS band,
+         (simhash >> (b.range * 8)) & 255 AS band_key
+  FROM sims, range(4) b
+), cands AS (
+  SELECT DISTINCT reps.id_a, m.doc_id AS id_b, reps.sa, m.simhash AS sb
+  FROM banded m
+  JOIN (
+    SELECT band, band_key, MIN(doc_id) AS id_a,
+           arg_min(simhash, doc_id) AS sa
+    FROM banded GROUP BY band, band_key
+  ) reps
+    ON m.band = reps.band AND m.band_key = reps.band_key
+   AND m.doc_id > reps.id_a
 )
 SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM cands
@@ -1069,6 +1113,23 @@ WHERE (id_a % 5 = 0 AND id_b % 5 != 0) OR (id_b % 5 = 0 AND id_a % 5 != 0)
 ORACLES["near_dup_clusters"] = f"""
 WITH RECURSIVE pairs AS (
   {ORACLES["minhash_near_dup"]}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+FROM reach
+GROUP BY a
+"""
+
+ORACLES["near_dup_clusters_star"] = f"""
+WITH RECURSIVE pairs AS (
+  {ORACLES["minhash_near_dup_star"]}
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION ALL

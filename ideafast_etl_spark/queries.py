@@ -1690,6 +1690,16 @@ def minhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dup_pairs(docs, threshold=0.2)
 
 
+@register("minhash_near_dup_star")
+def minhash_near_dup_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 degenerate-duplicate-density posture: bucket-representative
+    candidates (member ↔ bucket-min) instead of the in-bucket self-join —
+    O(members) candidates per band bucket where "all" is quadratic. Own
+    full oracle (the star semantics replayed in SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_pairs(docs, threshold=0.2, candidates="star")
+
+
 @register("incremental_near_dup")
 def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup step: which INCOMING documents (doc_id % 5 == 0,
@@ -1718,6 +1728,15 @@ def near_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm-independent, so the oracle verifies it with a recursive CTE."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.near_dup_clusters(docs, threshold=0.2)
+
+
+@register("near_dup_clusters_star")
+def near_dup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the STAR pair graph (r9 duplicate-density
+    posture): a giant dup cluster becomes a star around its min-id member,
+    so propagation converges in 2 rounds instead of O(diameter)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(docs, threshold=0.2, candidates="star")
 
 
 @register("embedding_topk")
@@ -2344,6 +2363,14 @@ def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded multi-probe candidates + bit_count(xor) verify."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+@register("simhash_near_dup_star")
+def simhash_near_dup_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with bucket-representative candidates (r9 duplicate-density
+    posture; see minhash_near_dup_star)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=3, candidates="star")
 
 
 @register("dreem_pipeline_e2e")

@@ -124,3 +124,51 @@ def test_ngram_hot_shingle_cap_warns_and_trims(spark):
             df, threshold=0.3, block_col=None, hot_doc_freq=2
         )
     assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(1, 2)}
+
+
+def test_star_candidates_preserve_dup_cluster_connectivity(spark):
+    """r9 duplicate-density posture: on a planted template cluster (every
+    member pairwise-similar) the star pair graph links each member to the
+    cluster's min id, so near_dup_clusters(candidates='star') produces
+    EXACTLY the same components as the full quadratic enumeration — with
+    O(members) candidates instead of C(n, 2)."""
+    template = " ".join(f"w{i}" for i in range(40))
+    rows = [(i, f"{template} u{i}a u{i}b") for i in range(30)]
+    rows += [
+        (100 + i, f"entirely different prose number{i} topic{i} item{i} "
+                  f"thing{i} extra{i} more{i} words{i} here{i}")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    full = sorted(
+        map(tuple, dedup.near_dup_clusters(docs, threshold=0.5).collect())
+    )
+    star = sorted(
+        map(
+            tuple,
+            dedup.near_dup_clusters(
+                docs, threshold=0.5, candidates="star"
+            ).collect(),
+        )
+    )
+    assert full == star
+    assert [(i, 0) for i in range(30)] == [p for p in full if p[0] < 100]
+
+    # the star pair list is the bounded one: every pair anchors at a
+    # bucket-min representative (the unique suffix words split the
+    # cluster across a few band keys, so there can be a handful of
+    # anchors — one per bucket — but never the quadratic enumeration)
+    pairs = dedup.minhash_near_dup_pairs(
+        docs, threshold=0.5, candidates="star"
+    ).collect()
+    hot = [(r.id_a, r.id_b) for r in pairs if r.id_b < 100]
+    anchors = {a for a, _ in hot}
+    assert hot and len(anchors) <= 8  # few bucket reps, not every doc
+    assert len(hot) < 30 * 29 // 2  # bounded, not C(30, 2)
+
+    # simhash star mode: same star shape over its own verify
+    sp = dedup.simhash_near_dup_pairs(
+        docs, max_hamming=3, candidates="star"
+    ).collect()
+    assert all(r.id_a < r.id_b for r in sp)

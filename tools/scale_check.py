@@ -122,6 +122,29 @@ QUERIES = [
 ]
 
 
+# The dedup family's own skew axis is DUPLICATE DENSITY, not join-key
+# frequency (r8 verdict #3): --dup-skew plants ~30% of documents as one
+# near-dup template cluster (shared 80-word template + 3 doc-unique
+# words → pairwise Jaccard ≈ 0.87, shared band keys) and ~30% of
+# embeddings as jittered copies of one template vector (cosine ≈ 1).
+# Expected outcomes, measured by DUP_QUERIES: the all-pairs band join
+# is quadratic in the hot cluster (the TRUE pair output itself is
+# C(0.3n, 2) — unrunnable by construction, not by defect); the *_star
+# posture bounds candidates per bucket at O(members); semantic_dedup's
+# max_cluster_size sub-blocking bounds the pairwise stage.
+DUP_QUERIES = [
+    "exact_dedup",
+    "minhash_near_dup_star",
+    "simhash_near_dup_star",
+    "near_dup_clusters_star",
+    "semantic_dedup",
+    "semantic_dedup_auto",
+    # the quadratic-output baselines go last: at higher factors they are
+    # EXPECTED to be killed/timed out by the operator's own cost
+    "minhash_near_dup",
+    "simhash_near_dup",
+]
+
 # Queries that read the skewed keys (user_id / l_suppkey / o_custkey and
 # the joins above them) — the default sweep set under --skew.
 SKEW_QUERIES = [
@@ -166,7 +189,58 @@ def _skew_remap(key_col: str, selector_col: str):
     return extra
 
 
-def generate(spark, dst: str, k: int, skew: bool = False) -> None:
+_DUP_TEMPLATE = " ".join(f"dupword{i}" for i in range(80))
+
+
+def _dup_doc_remap(p):
+    """~30% of documents (by row-hash, replica-independent) become near
+    copies of ONE global template: the shared 80-word body plus 3
+    doc-unique words keeps pairwise Jaccard ≈ 0.87 (near-dup, not exact)
+    while the hot cluster's members share most band keys — the
+    degenerate duplicate-density pathology. Applied AFTER the replica
+    word-suffix perturbation so the cluster is global across replicas."""
+    uniq = F.concat_ws(
+        " ",
+        F.concat(F.lit("u"), (F.col("doc_id") * 3).cast("string")),
+        F.concat(F.lit("u"), (F.col("doc_id") * 3 + 1).cast("string")),
+        F.concat(F.lit("u"), (F.col("doc_id") * 3 + 2).cast("string")),
+    )
+    return p.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(_HOT_DEN)) < _HOT_NUM,
+            F.concat(F.lit(_DUP_TEMPLATE + " "), uniq),
+        ).otherwise(F.col("text")),
+    )
+
+
+def _dup_vec_remap(dim: int):
+    """~30% of embeddings become tiny deterministic jitters of one
+    template vector (cosine between any two hot vectors ≈ 1 ≥ every
+    semantic-dedup threshold) — the embedding-side duplicate-density
+    plant."""
+    def extra(p):
+        jit = [
+            F.pmod(F.xxhash64(F.col("vec_id") * 131 + i), F.lit(1000))
+            .cast("double") / 1e6
+            for i in range(dim)
+        ]
+        hot_vec = F.array(
+            *[F.lit(1.0 + 0.01 * i) + jit[i] for i in range(dim)]
+        )
+        return p.withColumn(
+            "embedding",
+            F.when(
+                F.pmod(F.xxhash64(F.col("vec_id")), F.lit(_HOT_DEN))
+                < _HOT_NUM,
+                hot_vec.cast(p.schema["embedding"].dataType),
+            ).otherwise(F.col("embedding")),
+        )
+    return extra
+
+
+def generate(spark, dst: str, k: int, skew: bool = False,
+             dup_skew: bool = False) -> None:
     def read(name):
         return tables.load(spark, name, SRC)
 
@@ -229,9 +303,8 @@ def generate(spark, dst: str, k: int, skew: bool = False) -> None:
     # left replicas of the same doc ~identical, making the TRUE pair
     # output C(k,2) per doc — at 100x that is legitimate-but-quadratic
     # output growth that says nothing about operator scaling.
-    shifted(
-        "documents", ["doc_id"],
-        extra=lambda p: p.withColumn(
+    def _doc_suffix(p):
+        return p.withColumn(
             "text",
             F.array_join(
                 F.transform(
@@ -242,10 +315,22 @@ def generate(spark, dst: str, k: int, skew: bool = False) -> None:
                 ),
                 " ",
             ),
+        )
+
+    shifted(
+        "documents", ["doc_id"],
+        extra=(
+            (lambda p: _dup_doc_remap(_doc_suffix(p)))
+            if dup_skew
+            else _doc_suffix
         ),
         nfiles=nf,
     )
-    shifted("embeddings", ["vec_id"], nfiles=nf)
+    if dup_skew:
+        dim = len(read("embeddings").select("embedding").first()[0])
+        shifted("embeddings", ["vec_id"], extra=_dup_vec_remap(dim), nfiles=nf)
+    else:
+        shifted("embeddings", ["vec_id"], nfiles=nf)
     shifted(
         "events", ["event_id", "user_id"],
         extra=_skew_remap("user_id", "event_id") if skew else None,
@@ -291,14 +376,38 @@ def main() -> None:
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skew = "--skew" in flags
+    dup_skew = "--dup-skew" in flags
     show_plan = "--plan" in flags
     aqe_scaled = "--aqe-scaled" in flags
+    # r8 lesson: sweep timings are only comparable from a quiet box — a
+    # contended run once mid-round read as a 2x regression that wasn't
+    # there. Stamp every run with the load average and refuse to time on
+    # a busy box unless --force.
+    load1, load5, _ = os.getloadavg()
+    ncpu = os.cpu_count() or 1
+    print(
+        f"# loadavg at start: {load1:.2f} / {load5:.2f} (5 min) on "
+        f"{ncpu} cpus",
+        flush=True,
+    )
+    if load1 > 0.25 * ncpu and "--force" not in flags:
+        print(
+            f"REFUSING: 1-min loadavg {load1:.2f} > 25% of {ncpu} cpus — "
+            "timings from a contended box are not comparable across "
+            "rounds. Re-run when quiet, or pass --force to proceed "
+            "(results will carry the loadavg stamp)."
+        )
+        sys.exit(2)
     k = int(args[0]) if len(args) > 0 else 10
     dst = args[1] if len(args) > 1 else "/tmp/sfx1"
     names = (
         args[2].split(",")
         if len(args) > 2
-        else (SKEW_QUERIES if skew else QUERIES)
+        else (
+            DUP_QUERIES
+            if dup_skew
+            else (SKEW_QUERIES if skew else QUERIES)
+        )
     )
     # the 100x dataset squeezed through one local JVM needs the resources a
     # cluster run would spread across executors: shuffle partitions sized to
@@ -324,8 +433,9 @@ def main() -> None:
     else:
         spark = get_spark("scale-check", extra_conf=aqe_conf)
     if not os.path.isdir(dst):
-        print(f"# generating {k}x{' SKEWED' if skew else ''} dataset at {dst}", flush=True)
-        generate(spark, dst, k, skew=skew)
+        tag = " SKEWED" if skew else (" DUP-DENSE" if dup_skew else "")
+        print(f"# generating {k}x{tag} dataset at {dst}", flush=True)
+        generate(spark, dst, k, skew=skew, dup_skew=dup_skew)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     qs = entrymod.queries()
     qs.update(SCALE_VARIANTS)
@@ -350,7 +460,11 @@ def main() -> None:
             plan = cnt._jdf.queryExecution().executedPlan().toString()
             tag = "  [skew-split FIRED]" if "skew=true" in plan else "  [no skew-split]"
         print(f"{name}: {dt:.2f}s ({n} rows){tag}", flush=True)
-    print(f"total: {total:.2f}s over {len(names)} queries at {k}x sf0.1")
+    load1, load5, _ = os.getloadavg()
+    print(
+        f"total: {total:.2f}s over {len(names)} queries at {k}x sf0.1 "
+        f"(loadavg at end: {load1:.2f} / {load5:.2f})"
+    )
 
 
 if __name__ == "__main__":
