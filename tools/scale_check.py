@@ -31,6 +31,10 @@ Flags:
            as SCALE.md's AQE threshold recipe prescribes (and disables
            broadcast for the probe, since a broadcast join has no skewed
            shuffle to split).
+  --timeout=SECS  per-query wall budget via job-group cancellation; for
+           sweep sets that include queries EXPECTED to be pathological
+           (the quadratic-output dedup baselines under --dup-skew at
+           100x) so the overrun is recorded instead of hanging the box.
 
 (defaults: 10x, /tmp/sfx1, the full QUERIES list; generation is skipped if
 dest exists). Scale-posture variants (names ending in ``_hll`` / ``_auto``)
@@ -42,6 +46,7 @@ from __future__ import annotations
 
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -379,6 +384,15 @@ def main() -> None:
     dup_skew = "--dup-skew" in flags
     show_plan = "--plan" in flags
     aqe_scaled = "--aqe-scaled" in flags
+    # --timeout=SECS: per-query wall budget enforced by job-group
+    # cancellation. Exists for the queries the sweep EXPECTS to be
+    # pathological (the quadratic-output dedup baselines at 100x
+    # dup-density): the sweep records the overrun as a measured fact
+    # instead of hanging the harness.
+    timeout_s = None
+    for a in flags:
+        if a.startswith("--timeout="):
+            timeout_s = float(a.split("=", 1)[1])
     # r8 lesson: sweep timings are only comparable from a quiet box — a
     # contended run once mid-round read as a 2x regression that wasn't
     # there. Stamp every run with the load average and refuse to time on
@@ -441,6 +455,20 @@ def main() -> None:
     qs.update(SCALE_VARIANTS)
     total = 0.0
     for name in names:
+        sc = spark.sparkContext
+        group = f"scale-{name}"
+        cancelled = threading.Event()
+        timer = None
+        if timeout_s:
+            def _cancel(g=group, ev=cancelled):
+                ev.set()
+                sc.cancelJobGroup(g)
+
+            timer = threading.Timer(timeout_s, _cancel)
+            timer.daemon = True
+            timer.start()
+        sc.setJobGroup(group, name, interruptOnCancel=True)
+        t0 = time.time()
         try:
             qs[name](spark, dst).count()  # warm: plan + codegen compiled
             t = time.time()
@@ -452,8 +480,20 @@ def main() -> None:
             n = cnt.collect()[0]["n"]
             dt = time.time() - t
         except Exception as e:
-            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+            if cancelled.is_set():
+                print(
+                    f"{name}: TIMED-OUT >{timeout_s:.0f}s "
+                    f"(cancelled at {time.time() - t0:.0f}s wall — the "
+                    "measured fact, not a harness defect)",
+                    flush=True,
+                )
+            else:
+                print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
+            sc._jsc.clearJobGroup()  # no PySpark-level clearJobGroup
         total += dt
         tag = ""
         if show_plan:
