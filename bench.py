@@ -44,6 +44,10 @@ EXTENDED = [
     "corpus_prep_e2e",
     "tpch_q9_product_type_profit",
     "mmr_diversified_topk",
+    # r9: the dup-density-safe candidate posture and the skew-capped
+    # interval join (scale rationale in SCALE.md round-9 sections)
+    "minhash_near_dup_star",
+    "interval_containment_join_bucketed",
 ]
 
 

@@ -86,32 +86,64 @@ def batch_near_dups(
     state_sigs: DataFrame | None,
     id_col: str = "doc_id",
     sim_threshold: float = 0.5,
+    candidates: str = "all",
 ) -> DataFrame:
     """(incoming_id, matched_id, est_jaccard) for batch docs matching the
     state or an EARLIER batch doc (id order breaks in-batch ties, so one
     survivor per in-batch dup cluster). Plan: banded equi-join incoming ×
-    seen only, then the signature verify on candidates."""
+    seen only, then the signature verify on candidates.
+
+    ``candidates`` mirrors the batch operators' dup-density posture
+    (operators/dedup.py, r9): the state side is survivor-only (a hot
+    near-dup cluster leaves ONE state row), so the only quadratic leg is
+    the in-batch self-join — a single dup-dense drop of n hot docs emits
+    ~C(0.3 n, 2) pairs under ``"all"``. ``"star"`` pairs each incoming
+    doc with its band bucket's min-id representative instead (state
+    survivors included, so cross-batch matches still surface):
+    O(members) candidates per bucket, same survivor set whenever hot
+    members actually resemble their representative (the chain-shaped
+    corner where A~B, B~C but A~C fails is the same documented contract
+    change as the batch star posture)."""
+    if candidates not in ("all", "star"):
+        raise ValueError(f"unknown candidates mode {candidates!r}")
     b = _bands(batch_sigs, id_col)
     if state_sigs is not None:
         seen = _bands(state_sigs, id_col).union(b)
     else:
         seen = b
-    cand = (
-        b.alias("l")
-        .join(
-            seen.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") > F.col(f"r.{id_col}")),
+    if candidates == "star":
+        reps = seen.groupBy("band", "band_key").agg(
+            F.min(id_col).alias("matched_id"),
+            F.min_by("minhash", id_col).alias("__mb"),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("incoming_id"),
-            F.col(f"r.{id_col}").alias("matched_id"),
-            F.col("l.minhash").alias("__ma"),
-            F.col("r.minhash").alias("__mb"),
+        cand = (
+            b.join(reps, ["band", "band_key"])
+            .filter(F.col(id_col) > F.col("matched_id"))
+            .select(
+                F.col(id_col).alias("incoming_id"),
+                "matched_id",
+                F.col("minhash").alias("__ma"),
+                "__mb",
+            )
+            .dropDuplicates(["incoming_id", "matched_id"])
         )
-        .dropDuplicates(["incoming_id", "matched_id"])
-    )
+    else:
+        cand = (
+            b.alias("l")
+            .join(
+                seen.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.band_key") == F.col("r.band_key"))
+                & (F.col(f"l.{id_col}") > F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("incoming_id"),
+                F.col(f"r.{id_col}").alias("matched_id"),
+                F.col("l.minhash").alias("__ma"),
+                F.col("r.minhash").alias("__mb"),
+            )
+            .dropDuplicates(["incoming_id", "matched_id"])
+        )
     return (
         cand.withColumn(
             "est_jaccard",
@@ -132,6 +164,7 @@ def process_near_dup_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     dup_log: list | None = None,
+    candidates: str = "all",
 ) -> None:
     """One micro-batch cycle of the streaming near-dup job — exposed at
     module level so a crash replay (same batch id, same rows) is directly
@@ -153,7 +186,7 @@ def process_near_dup_batch(
         state = state.filter(~own)
         if not state.take(1):
             state = None
-    dups = batch_near_dups(sigs, state, id_col, sim_threshold)
+    dups = batch_near_dups(sigs, state, id_col, sim_threshold, candidates)
     # Sink the pairs first; the written parquet is then re-read for the
     # anti-join, so the banded join executes exactly once per batch.
     pair_dir = f"{dup_log_dir.rstrip('/')}/batch-{batch_id}"
@@ -189,6 +222,7 @@ def run_streaming_near_dup(
     dup_log: list | None = None,
     dup_log_dir: str | None = None,
     compact_after_batches: int | None = None,
+    candidates: str = "all",
 ) -> StreamingQuery:
     """Drain available files; per micro-batch detect near-dups against the
     signature state, sink the duplicate pairs to ``dup_log_dir`` (default
@@ -199,7 +233,11 @@ def run_streaming_near_dup(
     ``compact_after_batches`` folds committed batch directories of both
     accumulations into consolidated snapshots at that directory count
     (accum module); the own-batch replay exclusion keeps working because
-    a replayable batch is uncommitted and is never folded."""
+    a replayable batch is uncommitted and is never folded.
+    ``candidates="star"`` applies the batch operators' dup-density
+    posture to the in-batch self-join (see :func:`batch_near_dups`) —
+    the setting for drop directories that can contain dup-dense
+    deliveries."""
     from .accum import (
         _batch_dirs,
         compact_accumulation,
@@ -216,7 +254,7 @@ def run_streaming_near_dup(
         process_near_dup_batch(
             spark, batch_df, batch_id, state_dir, dup_log_dir,
             sim_threshold=sim_threshold, text_col=text_col, id_col=id_col,
-            dup_log=dup_log,
+            dup_log=dup_log, candidates=candidates,
         )
         if compact_after_batches is not None:
             for d in (state_dir, dup_log_dir):

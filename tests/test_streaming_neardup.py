@@ -178,3 +178,63 @@ def test_crash_replay_converges(spark, tmp_path):
         .collect()
     )
     assert pairs == [(6, 5), (10, 5)]
+
+
+def test_star_candidates_dup_dense_batch(spark, tmp_path):
+    """r9 dup-density posture on the streaming twin: a single dup-dense
+    drop (12 near-copies of one template + 2 distinct docs) produces the
+    SAME survivor set under candidates="star" as under "all", while the
+    pair log is linear in the hot cluster (members-1) instead of
+    quadratic (C(members,2)) — and a cross-batch state match still
+    surfaces through the bucket representative."""
+    from ideafast_etl_spark.streaming.neardup import run_streaming_near_dup
+
+    hot = [
+        (100 + i, BASE.replace("quiet", f"word{i}")) for i in range(12)
+    ]
+    rows = hot + [(200, OTHER), (201, "short unrelated fragment")]
+
+    def _run(mode, tag):
+        src, state, ckpt = (
+            str(tmp_path / f"s-{tag}"),
+            str(tmp_path / f"st-{tag}"),
+            str(tmp_path / f"ck-{tag}"),
+        )
+        _write(spark, src, rows)
+        q = run_streaming_near_dup(
+            spark, src, SCHEMA, state, checkpoint_dir=ckpt,
+            candidates=mode,
+        )
+        q.awaitTermination(120)
+        # wave 2: another near-copy must match the surviving state rep
+        _write(spark, src, [(300, BASE.replace("quiet", "hush"))])
+        q = run_streaming_near_dup(
+            spark, src, SCHEMA, state, checkpoint_dir=ckpt,
+            candidates=mode,
+        )
+        q.awaitTermination(120)
+        ids = {
+            r.doc_id
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(state)
+            .collect()
+        }
+        pairs = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(state + ".dups")
+            .collect()
+        )
+        return ids, sorted((r.incoming_id, r.matched_id) for r in pairs)
+
+    star_ids, star_pairs = _run("star", "star")
+    all_ids, all_pairs = _run("all", "all")
+    assert star_ids == all_ids == {100, 200, 201}
+    # same suppression decisions either way
+    assert {p[0] for p in star_pairs} == {p[0] for p in all_pairs} == (
+        {100 + i for i in range(1, 12)} | {300}
+    )
+    # star pairs are linear in the hot cluster (each member matches its
+    # bucket representatives, not every smaller member); the all-pairs
+    # baseline logs the quadratic blow-up star exists to avoid
+    assert len(star_pairs) < len(all_pairs) / 2
+    assert all(inc > rep for inc, rep in star_pairs)
