@@ -450,14 +450,26 @@ def grid_near_dup_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_dims: int = 3,
+    candidates: str = "all",
 ) -> DataFrame:
     """Two-corpus variant of :func:`grid_near_dup_pairs` — every (left,
     right) pair with cosine ≥ threshold, deterministic-complete (the left
     side probes its 3^d neighbourhood, the right side keeps its home cell;
     any qualifying pair's cells differ ≤1 per blocked dim). The incremental
-    dedup shape: new batch × seen corpus without rescoring seen × seen."""
+    dedup shape: new batch × seen corpus without rescoring seen × seen.
+
+    ``candidates="star"``: the SEEN side is reduced to one min-id
+    representative per full-dimension fine-quantization group before the
+    grid join (see :func:`grid_near_dup_pairs` — near-identical seen
+    vectors are represented by one row), so a dup-dense seen corpus
+    costs O(groups), not O(members), per probing new vector. A new
+    vector similar to a group member is matched through the
+    representative (jitter-scale groups make the two interchangeable up
+    to the verify threshold)."""
     import math
 
+    if candidates not in ("all", "star"):
+        raise ValueError(f"unknown candidates mode {candidates!r}")
     r = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
     lu = _grid_cells(left, id_col, vec_col, r, block_dims)
     ru = _grid_cells(right, id_col, vec_col, r, block_dims)
@@ -466,11 +478,33 @@ def grid_near_dup_join(
         F.col("uv").alias("va"),
         F.explode(_probe_keys(block_dims)).alias("ck"),
     )
-    b = ru.select(
-        F.col("pid").alias("id_b"),
-        F.col("uv").alias("vb"),
-        _home_key(block_dims).alias("ck"),
-    )
+    if candidates == "star":
+        fk = F.array_join(
+            F.transform(
+                F.col("uv"),
+                lambda x: F.floor(x / F.lit(r)).cast("long").cast("string"),
+            ),
+            ":",
+        )
+        b = (
+            ru.withColumn("__fk", fk)
+            .groupBy("__fk")
+            .agg(
+                F.min("pid").alias("id_b"),
+                F.min_by("uv", "pid").alias("vb"),
+                *[
+                    F.min_by(F.col(f"c{i}"), "pid").alias(f"c{i}")
+                    for i in range(block_dims)
+                ],
+            )
+            .select("id_b", "vb", _home_key(block_dims).alias("ck"))
+        )
+    else:
+        b = ru.select(
+            F.col("pid").alias("id_b"),
+            F.col("uv").alias("vb"),
+            _home_key(block_dims).alias("ck"),
+        )
     return (
         a.join(b, "ck")
         .filter(F.col("id_a") != F.col("id_b"))
@@ -486,6 +520,7 @@ def grid_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_dims: int = 3,
+    candidates: str = "all",
 ) -> DataFrame:
     """Embedding-cosine near-dup with DETERMINISTIC-COMPLETE grid blocking —
     the scale path for the near-duplicate regime (threshold ≥ ~0.8), with
@@ -509,11 +544,93 @@ def grid_near_dup_pairs(
     corpus' actual near-dup density — the verify stage is linear in candidate
     pairs, which an adversarial corpus can inflate; salting the cell key is
     the standard mitigation (operators/skew.py).
+
+    ``candidates`` (r9 — duplicate-density skew, mirroring
+    operators/dedup.py): with ``"all"``, a corpus where 30 % of vectors
+    are jitters of one point puts the whole hot cluster in ONE grid
+    cell, and both the cell self-join and the TRUE pair output are
+    ~C(0.3 n, 2) — quadratic by construction (the 100× dup-dense sweep
+    cancels it at its timeout). ``"star"`` absorbs near-identical
+    vectors first: group by the FULL-dimension fine quantization
+    ``floor(uv_i / r)`` over every component (a jitter cluster's spread
+    is ≪ r, so it collapses into one — occasionally a few, when a
+    component straddles a floor boundary — fine groups, while unrelated
+    vectors virtually never agree on all D floors), emit each member
+    against its group's min-id representative (verified), then run the
+    NORMAL grid all-pairs over the representatives only. On a corpus
+    with no near-identical mass every vector is its own representative
+    and star output ≡ all-pairs output; on a dup-dense corpus the hot
+    cluster contributes O(members) intra pairs plus a handful of
+    representatives to the quadratic stage. The lost corner — a non-rep
+    member pairing with a vector OUTSIDE its fine group — is the same
+    represented-through-the-rep contract as the dedup star posture.
     """
     import math
 
+    if candidates not in ("all", "star"):
+        raise ValueError(f"unknown candidates mode {candidates!r}")
     r = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
     u = _grid_cells(df, id_col, vec_col, r, block_dims)
+    if candidates == "star":
+        fk = F.array_join(
+            F.transform(
+                F.col("uv"),
+                lambda x: F.floor(x / F.lit(r)).cast("long").cast("string"),
+            ),
+            ":",
+        )
+        g = u.withColumn("__fk", fk)
+        # min_by(c_i) rides along with the min-pid row, which is exactly
+        # the representative's own cell index
+        reps = g.groupBy("__fk").agg(
+            F.min("pid").alias("pid"),
+            F.min_by("uv", "pid").alias("uv"),
+            *[
+                F.min_by(F.col(f"c{i}"), "pid").alias(f"c{i}")
+                for i in range(block_dims)
+            ],
+        )
+        intra = (
+            g.join(
+                reps.select(
+                    "__fk",
+                    F.col("pid").alias("id_a"),
+                    F.col("uv").alias("va"),
+                ),
+                "__fk",
+            )
+            .filter(F.col("pid") > F.col("id_a"))
+            .withColumn(
+                "cosine_sim", F.round(dot(F.col("va"), F.col("uv")), 6)
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+            .select(
+                "id_a", F.col("pid").alias("id_b"), "cosine_sim"
+            )
+        )
+        u = reps  # the quadratic stage sees one row per fine group
+        a = u.select(
+            F.col("pid").alias("id_a"),
+            F.col("uv").alias("va"),
+            F.explode(_probe_keys(block_dims)).alias("ck"),
+        )
+        b = u.select(
+            F.col("pid").alias("id_b"),
+            F.col("uv").alias("vb"),
+            _home_key(block_dims).alias("ck"),
+        )
+        cross = (
+            a.join(b, "ck")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine_sim", F.round(dot(F.col("va"), F.col("vb")), 6)
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+            .select("id_a", "id_b", "cosine_sim")
+        )
+        # disjoint by construction: intra pairs share a fine group, cross
+        # pairs are two distinct groups' representatives
+        return intra.unionByName(cross)
     a = u.select(
         F.col("pid").alias("id_a"),
         F.col("uv").alias("va"),

@@ -1398,6 +1398,68 @@ WHERE round(list_dot_product(a.v, b.v), 6) >= 0.95
 """
 
 
+# Star posture of embedding_near_dup (r9): same augmentation and unit
+# vectors, then the star semantics replayed literally — full-dimension fine
+# quantization floor(v_i / r) at r = sqrt(2 - 2*0.95) (sqrt is correctly
+# rounded in IEEE 754, so the SQL-computed r equals the Python-computed
+# literal the Spark plan carries), min-id representative per fine group,
+# verified member→rep pairs, then the normal 3-dim grid all-pairs over the
+# representatives only.
+ORACLES["embedding_near_dup_star"] = """
+WITH aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         [emb0[i] * (1 + 0.001 * (((i - 1) % 7) - 3))
+          FOR i IN generate_series(1, len(emb0))]
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb0
+        FROM embeddings WHERE vec_id % 10 = 0)
+), e AS (
+  SELECT vec_id,
+         list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS v
+  FROM aug
+), fine AS (
+  SELECT vec_id, v,
+         array_to_string(
+           list_transform(v, x ->
+             CAST(CAST(floor(x / sqrt(2 - 2 * 0.95)) AS BIGINT) AS VARCHAR)),
+           ':') AS fk
+  FROM e
+), reps AS (
+  SELECT fk, min(vec_id) AS rid FROM fine GROUP BY fk
+), reps_v AS (
+  SELECT r.fk, r.rid, f.v AS rv,
+         CAST(floor(f.v[1] / sqrt(2 - 2 * 0.95)) AS BIGINT) AS c0,
+         CAST(floor(f.v[2] / sqrt(2 - 2 * 0.95)) AS BIGINT) AS c1,
+         CAST(floor(f.v[3] / sqrt(2 - 2 * 0.95)) AS BIGINT) AS c2
+  FROM reps r JOIN fine f ON f.vec_id = r.rid
+), intra AS (
+  SELECT rp.rid AS id_a, m.vec_id AS id_b,
+         round(list_dot_product(rp.rv, m.v), 6) AS cosine_sim
+  FROM fine m JOIN reps_v rp ON m.fk = rp.fk
+  WHERE m.vec_id > rp.rid
+    AND round(list_dot_product(rp.rv, m.v), 6) >= 0.95
+), offs AS (
+  SELECT o0, o1, o2
+  FROM (VALUES (-1), (0), (1)) t0(o0),
+       (VALUES (-1), (0), (1)) t1(o1),
+       (VALUES (-1), (0), (1)) t2(o2)
+), cross_pairs AS (
+  SELECT a.rid AS id_a, b.rid AS id_b,
+         round(list_dot_product(a.rv, b.rv), 6) AS cosine_sim
+  FROM reps_v a
+  JOIN offs ON TRUE
+  JOIN reps_v b
+    ON b.c0 = a.c0 + o0 AND b.c1 = a.c1 + o1 AND b.c2 = a.c2 + o2
+  WHERE a.rid < b.rid
+    AND round(list_dot_product(a.rv, b.rv), 6) >= 0.95
+)
+SELECT id_a, id_b, cosine_sim FROM intra
+UNION ALL
+SELECT id_a, id_b, cosine_sim FROM cross_pairs
+"""
+
+
 # Corpus hygiene (§2.13): eval-set 4-gram overlap, the same slice arithmetic
 # as queries.decontaminate_ngrams (i runs so every gram has exactly 4 tokens).
 ORACLES["decontaminate_ngrams"] = f"""

@@ -1779,6 +1779,21 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_near_dup_star")
+def embedding_near_dup_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-density posture of `embedding_near_dup` (r9, mirroring the
+    minhash/simhash star queries): every vector pairs only with the min-id
+    representative of each grid cell it probes — ≤ 27 candidates per
+    vector where the all-pairs contract is quadratic in a hot cluster
+    (and its TRUE output is too, so no plan can save it). Oracle replays
+    the star semantics in SQL: same cells, same per-cell min-id reps,
+    same 3^3 probe neighbourhood, same rounded-dot verify."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.grid_near_dup_pairs(
+        _augmented_embeddings(emb), threshold=0.95, candidates="star"
+    )
+
+
 @register("window_function_suite")
 def window_function_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-window coverage in one pass: lag/lead, row_number, ntile,

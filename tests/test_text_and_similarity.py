@@ -121,3 +121,89 @@ def test_grid_near_dup_plan_is_equi_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grid_near_dup_star_equals_all_without_near_identical_mass(spark):
+    # on a corpus whose only near-dups are jitter pairs (each pair shares a
+    # fine group), star emits exactly the all-pairs result: jitter pairs
+    # surface as member->rep, everything else is its own representative
+    import random
+
+    rng = random.Random(7)
+    vecs = []
+    for i in range(40):
+        vecs.append((i, [rng.uniform(-1, 1) for _ in range(16)]))
+    for src, nid in ((0, 100), (17, 101)):
+        base = vecs[src][1]
+        vecs.append(
+            (nid, [x * (1 + 0.001 * ((k % 5) - 2)) for k, x in enumerate(base)])
+        )
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    star = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in similarity.grid_near_dup_pairs(
+            df, threshold=0.95, candidates="star"
+        ).collect()
+    }
+    allp = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in similarity.grid_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert star == allp and (0, 100) in star
+
+
+def test_grid_near_dup_star_linear_on_hot_cluster(spark):
+    # 30 hot jitters of one template + 10 spread vectors: all-pairs emits
+    # the quadratic C(30+1, 2) hot component; star emits O(members) —
+    # every hot member against the min-id representative — and keeps the
+    # component connected (every hot id appears in some surviving pair)
+    hot = [
+        (
+            200 + i,
+            [
+                (1.0 + 0.01 * k) * (1 + 0.0001 * ((i * 7 + k) % 5 - 2))
+                for k in range(16)
+            ],
+        )
+        for i in range(30)
+    ]
+    cold = [
+        (i, [float((i * 5 + k * 3) % 11) - 5.0 for k in range(16)])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(hot + cold, ["vec_id", "embedding"])
+    star = similarity.grid_near_dup_pairs(
+        df, threshold=0.95, candidates="star"
+    ).collect()
+    allp = similarity.grid_near_dup_pairs(df, threshold=0.95).collect()
+    all_ids = {r["id_a"] for r in allp} | {r["id_b"] for r in allp}
+    star_ids = {r["id_a"] for r in star} | {r["id_b"] for r in star}
+    assert star_ids == all_ids == {200 + i for i in range(30)}
+    assert len(allp) == 30 * 29 // 2          # the quadratic component
+    assert len(star) < 2 * 30                 # linear in members
+
+
+def test_grid_near_dup_join_star_matches_through_representative(spark):
+    # seen side holds a dup-dense cluster; a new vector near the cluster
+    # must still match (through the representative), and the candidate
+    # fan-out per new vector is O(seen fine groups), not O(members)
+    seen = [
+        (
+            10 + i,
+            [
+                (1.0 + 0.01 * k) * (1 + 0.0001 * ((i * 3 + k) % 5 - 2))
+                for k in range(16)
+            ],
+        )
+        for i in range(20)
+    ]
+    new = [(500, [(1.0 + 0.01 * k) * 1.0001 for k in range(16)]),
+           (501, [float(k % 3) - 1.0 for k in range(16)])]
+    sdf = spark.createDataFrame(seen, ["vec_id", "embedding"])
+    ndf = spark.createDataFrame(new, ["vec_id", "embedding"])
+    star = similarity.grid_near_dup_join(
+        ndf, sdf, threshold=0.95, candidates="star"
+    ).collect()
+    matched = {r["id_a"] for r in star}
+    assert matched == {500}           # the near vector matches, the far one not
+    assert all(r["id_b"] == 10 for r in star)  # through the min-id rep only

@@ -51,6 +51,9 @@ EXPECTATIONS: dict[str, list[str]] = {
     # flagged in VERDICT r1 (markers prefixed '!' must be ABSENT)
     "embedding_near_dup": ["!BroadcastNestedLoopJoin", "!CartesianProduct", "Join"],
     "incremental_embedding_near_dup": ["!BroadcastNestedLoopJoin", "!CartesianProduct", "Join"],
+    # the dup-density posture must stay equi-join shaped too, and its fine-
+    # group absorption is an aggregate (min_by), not another join
+    "embedding_near_dup_star": ["!BroadcastNestedLoopJoin", "!CartesianProduct", "Join", "min_by"],
     # two-phase salted agg: partial on (key, salt), final on key
     "salted_event_counts": ["partial_count", "HashAggregate", "_salt"],
     # metadata path is pure JVM column expressions — no Python in the plan

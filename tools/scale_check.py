@@ -142,12 +142,14 @@ DUP_QUERIES = [
     "minhash_near_dup_star",
     "simhash_near_dup_star",
     "near_dup_clusters_star",
+    "embedding_near_dup_star",
     "semantic_dedup",
     "semantic_dedup_auto",
     # the quadratic-output baselines go last: at higher factors they are
     # EXPECTED to be killed/timed out by the operator's own cost
     "minhash_near_dup",
     "simhash_near_dup",
+    "embedding_near_dup",
 ]
 
 # Queries that read the skewed keys (user_id / l_suppkey / o_custkey and
