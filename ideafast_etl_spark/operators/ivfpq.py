@@ -135,11 +135,11 @@ def ivfpq_topk(
             "approx_sim"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "approx_sim", "rank")
-    )
+    from .similarity import ranked_topk
+
+    return ranked_topk(
+        scored,
+        ["query_id"],
+        [F.desc("approx_sim"), F.asc("neighbor_id")],
+        k,
+    ).select("query_id", "neighbor_id", "approx_sim", "rank")

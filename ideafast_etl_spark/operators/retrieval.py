@@ -218,6 +218,94 @@ def rrf_fuse(
     )
 
 
+def _mmr_greedy_driver(
+    spark, cand: DataFrame, k: int, lam_num: int, lam_den: int
+) -> DataFrame:
+    """Driver-side integer replay of the MMR greedy loop over the
+    checkpointed, config-bounded candidate relation (see
+    :func:`mmr_rerank` ``loop="driver"``). Collects only integer
+    micro-unit scores — the pairwise similarities are still computed by
+    the engine's fixed-order float fold — so the selection trajectory is
+    identical to the distributed loop's bit for bit."""
+    from .similarity import dot
+
+    a = cand.select(
+        "query_id", F.col("neighbor_id").alias("a"),
+        F.col("vec").alias("av"),
+    )
+    b = cand.select(
+        F.col("query_id").alias("qb"), F.col("neighbor_id").alias("b"),
+        F.col("vec").alias("bv"),
+    )
+    pair_rows = (
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("a") != F.col("b")))
+        .select(
+            "query_id", "a", "b",
+            F.round(dot(F.col("av"), F.col("bv")) * 1e6, 0)
+            .cast("long").alias("sim_fp"),
+        )
+        .collect()
+    )
+    cand_rows = cand.select(
+        "query_id", "neighbor_id", "rel_fp", "rn"
+    ).collect()
+
+    sim: dict = {}
+    for r in pair_rows:
+        sim[(r["query_id"], r["a"], r["b"])] = r["sim_fp"]
+    rel: dict = {}
+    by_q: dict = {}
+    for r in cand_rows:
+        rel[(r["query_id"], r["neighbor_id"])] = r["rel_fp"]
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rn"], r["neighbor_id"])
+        )
+
+    out = []
+    for qid, members in by_q.items():
+        ids = [n for _, n in sorted(members)]  # rn order = rel desc, id asc
+        sel = [ids[0]]
+        while len(sel) < k and len(sel) < len(ids):
+            best = None
+            best_score = None
+            for i in ids:
+                if i in sel:
+                    continue
+                score = lam_num * rel[(qid, i)] - (lam_den - lam_num) * max(
+                    sim[(qid, i, s)] for s in sel
+                )
+                # row_number ties break on ascending neighbor id; ids is
+                # already id-ascending within equal relevance, but equal
+                # SCORES can pair ids from different relevance ranks
+                if (
+                    best is None
+                    or score > best_score
+                    or (score == best_score and i < best)
+                ):
+                    best, best_score = i, score
+            sel.append(best)
+        out.extend(
+            (qid, n, t + 1, rel[(qid, n)]) for t, n in enumerate(sel)
+        )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", cand.schema["query_id"].dataType),
+            T.StructField(
+                "neighbor_id", cand.schema["neighbor_id"].dataType
+            ),
+            T.StructField("mmr_rank", T.IntegerType()),
+            T.StructField("rel_fp", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema).select(
+        "query_id", "neighbor_id", "mmr_rank",
+        (F.col("rel_fp").cast("double") / F.lit(1e6)).alias("relevance"),
+    )
+
+
 def mmr_rerank(
     df: DataFrame,
     queries: DataFrame,
@@ -227,6 +315,7 @@ def mmr_rerank(
     lam_den: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    loop: str = "auto",
 ) -> DataFrame:
     """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein,
     SIGIR 1998): greedily select ``k`` of the ``pool`` most relevant
@@ -242,18 +331,32 @@ def mmr_rerank(
     Scale posture: the DISTRIBUTED work is candidate generation — one
     broadcast-query pass over the corpus plus a per-query top-``pool``
     window, exactly ``brute_force_topk``'s plan (swap in the IVF/PQ path
-    for a 100 TB corpus). The greedy loop then runs on the BOUNDED
-    (queries x pool) candidate relation: pairwise sims are pool^2 per
-    query, each iteration is a keyed agg + window over that bounded set,
-    and per-iteration ``localCheckpoint`` keeps the plan one step deep
-    (the pagerank discipline). Nothing data-sized enters the loop.
+    for a 100 TB corpus). The greedy loop's input is then the BOUNDED
+    (queries x pool) candidate relation — config-sized, independent of
+    corpus size — so ``loop`` picks where the k-step recursion runs:
+
+    - ``"distributed"``: each iteration is a keyed agg + window over the
+      candidate relation with per-iteration ``localCheckpoint`` (the
+      pagerank discipline). Right when |queries| is itself large (offline
+      eval-set construction over millions of probes).
+    - ``"driver"``: collect ONLY the integer micro-unit scores (rel_fp,
+      sim_fp — every float op already happened JVM-side) and run the
+      integer argmax loop on the driver, then ship the k winners back via
+      ``createDataFrame``. Same bounded-collect discipline as BPE's
+      1-row winner (tokenizer.py) and prefix-sum's per-partition offsets
+      (ranking.py); it replaces k-1 sequential barrier jobs with two
+      small collects.
+    - ``"auto"`` (default): driver when the collected pair relation is
+      under ~2M rows (|cand| * pool), distributed above.
 
     Float discipline: relevance and pairwise similarities are quantized to
     integer micro-units (round(cos * 1e6) as long) immediately after the
     one fixed-order dot product, so every selection compares exact
     integers — lam_num * rel_fp - (lam_den - lam_num) * maxsim_fp — and
     ties break on ascending candidate id. The whole greedy trajectory is
-    therefore engine-exact and the oracle replays it as k unrolled CTEs.
+    therefore engine-exact whichever ``loop`` runs it (strategy-parity
+    fuzzed in ``tests/test_retrieval.py``), and the oracle replays it as
+    k unrolled CTEs.
 
     Returns (query_id, neighbor_id, mmr_rank, relevance) with relevance
     the quantized cosine as a double.
@@ -285,15 +388,25 @@ def mmr_rerank(
             ),
         )
     )
-    w_rel = Window.partitionBy("query_id").orderBy(
-        F.desc("rel_fp"), F.asc("neighbor_id")
-    )
-    cand = (
-        scored.withColumn("rn", F.row_number().over(w_rel))
-        .filter(F.col("rn") <= pool)
-        .select("query_id", "neighbor_id", "rel_fp", "rn", "vec")
-    )
+    from .similarity import ranked_topk
+
+    cand = ranked_topk(
+        scored,
+        ["query_id"],
+        [F.desc("rel_fp"), F.asc("neighbor_id")],
+        pool,
+        rank_name="rn",
+    ).select("query_id", "neighbor_id", "rel_fp", "rn", "vec")
     cand = _ckpt(cand)  # bounded: queries x pool rows
+    if loop == "auto":
+        # cand is checkpointed and config-bounded — counting it is a
+        # metadata-cheap job, and |cand| * pool bounds the pair relation
+        # the driver loop would collect
+        loop = "driver" if cand.count() * pool <= 2_000_000 else "distributed"
+    if loop == "driver":
+        return _mmr_greedy_driver(
+            spark, cand, k, lam_num, lam_den
+        )
     a = cand.select(
         "query_id", F.col("neighbor_id").alias("a"),
         F.col("vec").alias("av"),

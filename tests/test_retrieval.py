@@ -218,7 +218,8 @@ def _mmr_python_twin(vecs, query_ids, k, pool, lam_num=1, lam_den=2):
     return sorted(out)
 
 
-def test_mmr_matches_python_twin_fuzz(spark):
+@pytest.mark.parametrize("loop", ["driver", "distributed"])
+def test_mmr_matches_python_twin_fuzz(spark, loop):
     import numpy as np
 
     from ideafast_etl_spark.operators.retrieval import mmr_rerank
@@ -231,10 +232,42 @@ def test_mmr_matches_python_twin_fuzz(spark):
         q = df.filter("vec_id < 3")
         got = sorted(
             (r.query_id, r.neighbor_id, r.mmr_rank, r.relevance)
-            for r in mmr_rerank(df, q, k=6, pool=15).collect()
+            for r in mmr_rerank(df, q, k=6, pool=15, loop=loop).collect()
         )
         want = _mmr_python_twin(vecs, [0, 1, 2], k=6, pool=15)
-        assert got == want, f"seed {seed}"
+        assert got == want, f"seed {seed} loop {loop}"
+
+
+def test_mmr_loop_strategy_parity_with_planted_ties(spark):
+    """driver ≡ distributed on a tie-heavy corpus: clusters of identical
+    vectors force exact micro-unit score ties, so any tie-break divergence
+    between the window's (desc score, asc id) and the driver argmax shows
+    up as a different trajectory."""
+    from ideafast_etl_spark.operators.retrieval import mmr_rerank
+
+    rows = []
+    for i in range(36):
+        base = i % 4  # nine identical copies of each of 4 directions
+        rows.append(
+            (i, [1.0 if d == base else 0.25 for d in range(6)])
+        )
+    corpus = _vecs(spark, rows)
+    q = corpus.filter("vec_id < 2")
+    a = sorted(
+        map(
+            tuple,
+            mmr_rerank(corpus, q, k=8, pool=20, loop="driver").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            mmr_rerank(
+                corpus, q, k=8, pool=20, loop="distributed"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 16
 
 
 # --- persisted BM25 index ----------------------------------------------------

@@ -176,6 +176,13 @@ EXPECTATIONS: dict[str, list[str]] = {
     "line_dedup_first_wins": ["partial_min", "!Window", "!BatchEvalPython", "!CartesianProduct"],
     # chunking: Generate (explode) AFTER per-doc starts — no shuffle, no Python
     "doc_chunks": ["Generate", "!BatchEvalPython", "Batched: true"],
+    # brute-force top-k: the per-query rank filter must trigger Spark 4's
+    # WindowGroupLimit map-side prune ("row_number(), 5, Partial") — each
+    # scan task keeps only its local top-k per query before the exchange,
+    # so the per-query window task never sorts the full scored relation
+    # (the straggler a bare window would create; see similarity.ranked_topk)
+    "embedding_topk": ["row_number(), 5, Partial", "WindowGroupLimit",
+                       "!CartesianProduct", "!BatchEvalPython"],
     # PQ ADC: codebook/table joins broadcast; scoring is keyed agg, no loops
     "embedding_topk_pq": ["BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython"],
     # exact percentile: sort-based agg with map-side partials, all JVM
@@ -312,7 +319,12 @@ def _mmr_audit_k2(spark, sf_dir):
     from ideafast_etl_spark.operators.retrieval import mmr_rerank
 
     emb = tables.load(spark, "embeddings", sf_dir)
-    return mmr_rerank(emb, emb.filter("vec_id < 5"), k=2, pool=30)
+    # loop="distributed": the audit's subject is the distributed greedy
+    # loop's plan — the driver strategy's final DataFrame is a
+    # createDataFrame of k winners with no plan to audit
+    return mmr_rerank(
+        emb, emb.filter("vec_id < 5"), k=2, pool=30, loop="distributed"
+    )
 
 
 # audit-only builders for queries whose registered form cannot be
