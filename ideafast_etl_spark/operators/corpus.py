@@ -86,10 +86,17 @@ def repetition_stats(
     Plan shape: one explode + two hash aggregations and one row_number
     window, all keyed on doc_id (uniform), all whole-stage-codegen; no
     Python, no driver state. Fractions are int/int double divisions
-    (bit-identical across engines).
+    (bit-identical across engines). Bigrams are zipped from the token
+    ARRAY at explode time (adjacent slices), never via a
+    lead()-over-(doc, pos) window: that window shuffles and per-doc-sorts
+    EVERY token row, and on a row-size-skewed corpus (one giant document
+    = one unsplittable sort task) it was the operator's 100x blowup —
+    the giant-doc sweep (tools/scale_check.py --doc-skew) measured the
+    window form at 53x between 10x and 100x; the zip form has no
+    token-row shuffle at all.
     """
     toks = df.select(
-        F.col(id_col), F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok")
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     )
     base = toks.groupBy(id_col).agg(
         F.count("*").alias("n_words"),
@@ -110,15 +117,17 @@ def repetition_stats(
         )
 
     top_word = _top(toks, "tok", "top_word", "__wc")
-    wlead = Window.partitionBy(id_col).orderBy("pos")
-    bigrams = (
-        toks.select(
-            F.col(id_col),
-            F.concat_ws(" ", "tok", F.lead("tok", 1).over(wlead)).alias("bigram"),
-            F.lead("tok", 1).over(wlead).alias("__nxt"),
-        )
-        .filter(F.col("__nxt").isNotNull())
-        .select(id_col, "bigram")
+    bigrams = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("t")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
     )
     top_bigram = _top(bigrams, "bigram", "top_bigram", "__bc")
     return (

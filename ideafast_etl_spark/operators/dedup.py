@@ -763,29 +763,47 @@ def substring_dup_spans(
             )
         ).alias("g"),
     ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.w").alias("w"))
-    dup_w = (
-        wins.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("w")
-    )
-    dups = wins.join(dup_w, "w").select(id_col, "pos")
-    w_doc = Window.partitionBy(id_col).orderBy("pos")
-    prev_max_end = F.max(F.col("pos") + (min_len - 1)).over(
-        w_doc.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = dups.withColumn(
-        "new_island",
-        F.when(
-            prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
-        ).otherwise(0),
-    ).withColumn("island", F.sum("new_island").over(w_doc))
-    return (
-        flagged.groupBy(id_col, "island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + (min_len - 1)).alias("span_end"),
-            F.count(F.lit(1)).alias("n_windows"),
+    # the window relation feeds BOTH the count branch and the join probe;
+    # without the persist the tokenize+explode (the dominant cost — one
+    # window string per token) runs twice. Measured on the giant-doc
+    # corpus (tools/scale_check.py --doc-skew, 10x): 49.7 s -> 20.1 s
+    # (uniform 10x: 4.2 s -> 3.2 s). Gated like minhash's shingle persist
+    # so plan audits see the real lineage; the small span result is
+    # materialised before the cache is released (the minhash pattern).
+    do_ckpt = checkpoints_enabled()
+    if do_ckpt:
+        wins = wins.persist()
+    try:
+        dup_w = (
+            wins.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+            .select("w")
         )
-        .select(id_col, "span_start", "span_end", "n_windows")
-    )
+        dups = wins.join(dup_w, "w").select(id_col, "pos")
+        w_doc = Window.partitionBy(id_col).orderBy("pos")
+        prev_max_end = F.max(F.col("pos") + (min_len - 1)).over(
+            w_doc.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        flagged = dups.withColumn(
+            "new_island",
+            F.when(
+                prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
+            ).otherwise(0),
+        ).withColumn("island", F.sum("new_island").over(w_doc))
+        spans = (
+            flagged.groupBy(id_col, "island")
+            .agg(
+                F.min("pos").alias("span_start"),
+                (F.max("pos") + (min_len - 1)).alias("span_end"),
+                F.count(F.lit(1)).alias("n_windows"),
+            )
+            .select(id_col, "span_start", "span_end", "n_windows")
+        )
+        if not do_ckpt:
+            return spans  # plan-audit path: full lineage, nothing cached
+        out = spans.localCheckpoint(eager=True)
+    finally:
+        if do_ckpt:
+            wins.unpersist()
+    return out

@@ -157,7 +157,16 @@ def bfs_hops(
         F.col(dst_col).cast("long").alias("dst"),
     )
     if do_ckpt:
-        e = e.persist()
+        # persist PRE-PARTITIONED on the join key. While the frontier is
+        # small each hop's join broadcasts it (observed BroadcastHashJoin
+        # — edges never move); once a frontier outgrows the broadcast
+        # threshold and AQE falls back to a shuffle join, the cached
+        # plan's outputPartitioning already satisfies the edge side's
+        # requirement, so only the frontier shuffles — the edge table is
+        # never re-shuffled per hop in either regime
+        e = e.repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "src"
+        ).persist()
     visited = _ck(
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
         .distinct()

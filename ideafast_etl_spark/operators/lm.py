@@ -74,8 +74,11 @@ def train_ngram_lm(
     ngram_counts = grams.groupBy("ctx", "w").agg(
         F.count(F.lit(1)).alias("c_nw")
     )
-    context_counts = grams.groupBy("ctx").agg(
-        F.count(F.lit(1)).alias("c_ctx")
+    # c(ctx) = Σ_w c(ctx, w): roll up the (much smaller) ngram table
+    # instead of re-shuffling the full per-occurrence gram relation a
+    # second time (Catalyst reuses the ngram_counts exchange)
+    context_counts = ngram_counts.groupBy("ctx").agg(
+        F.sum("c_nw").alias("c_ctx")
     )
     vocab = (
         df.select(
@@ -102,14 +105,28 @@ def score_perplexity(
     mean natural-log probability (6 dp), perplexity = exp(-avg) (4 dp).
     Unseen (ctx, w) falls back to ``k / (c_ctx + k*V)``; an unseen context
     scores the uniform ``1/V``. Deterministic at any parallelism: the sum
-    is over fixed-point longs (see module docstring)."""
-    grams = _grams(df, n, text_col, id_col)
+    is over fixed-point longs (see module docstring).
+
+    The per-occurrence gram stream is reduced to DISTINCT (id, ctx, w)
+    rows with an occurrence count BEFORE the lookup joins — a repeated
+    gram contributes c_occ * lp_fp, an exact integer multiply, so the
+    per-doc total is unchanged bit for bit while the join probe shrinks
+    from occurrences to distinct grams. On repetitive documents that gap
+    is the whole game: the giant-doc sweep (tools/scale_check.py
+    --doc-skew — 1% of docs are 500 repeats of themselves) measured the
+    occurrence-stream form super-linear between 10x and 100x because the
+    giants' token mass swamped four string-keyed join shuffles; the
+    distinct form keeps per-doc join work O(distinct grams)."""
+    grams = _grams(df, n, text_col, id_col).groupBy(
+        id_col, "ctx", "w"
+    ).agg(F.count(F.lit(1)).alias("c_occ"))
     joined = (
         grams.join(ngram_counts, ["ctx", "w"], "left")
         .join(context_counts, ["ctx"], "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
+            F.col("c_occ"),
             F.coalesce(F.col("c_nw"), F.lit(0)).alias("c_nw"),
             F.coalesce(F.col("c_ctx"), F.lit(0)).alias("c_ctx"),
             F.col("n_vocab"),
@@ -122,11 +139,11 @@ def score_perplexity(
         )
         * F.lit(_FP)
     ).cast("long")
-    per_doc = joined.select(F.col(id_col), lp_fp.alias("lp")).groupBy(
-        id_col
-    ).agg(
-        F.count(F.lit(1)).alias("n_ngrams"),
-        F.sum("lp").alias("__s"),
+    per_doc = joined.select(
+        F.col(id_col), F.col("c_occ"), lp_fp.alias("lp")
+    ).groupBy(id_col).agg(
+        F.sum("c_occ").alias("n_ngrams"),
+        F.sum(F.col("c_occ") * F.col("lp")).alias("__s"),
     )
     # report avg_logprob via INTEGER-space rounding: S and n are exact
     # integers, so round(S/n) agrees across engines even at exact .5
@@ -171,7 +188,11 @@ def score_kn_perplexity(
     bit-identically in any engine, and the per-doc sum uses the same
     fixed-point-long discipline as :func:`score_perplexity`. Plan shape:
     three extra vocabulary-sized aggregates (continuation counts) that
-    join on the same gram keys — no new shuffle classes."""
+    join on the same gram keys — no new shuffle classes. Like
+    :func:`score_perplexity`, the probe side is the DISTINCT (id, ctx, w)
+    relation with an occurrence count (c_occ * lp_fp is an exact integer
+    multiply), so repetitive giant documents cost O(distinct grams) in
+    every join, not O(tokens)."""
     n1p_ctx = ngram_counts.groupBy("ctx").agg(
         F.count(F.lit(1)).alias("n1p_ctx")
     )
@@ -179,7 +200,9 @@ def score_kn_perplexity(
         F.count(F.lit(1)).alias("n1p_left")
     )
     n_types = ngram_counts.agg(F.count(F.lit(1)).alias("n_types"))
-    grams = _grams(df, n, text_col, id_col)
+    grams = _grams(df, n, text_col, id_col).groupBy(
+        id_col, "ctx", "w"
+    ).agg(F.count(F.lit(1)).alias("c_occ"))
     joined = (
         grams.join(ngram_counts, ["ctx", "w"], "left")
         .join(context_counts, ["ctx"], "left")
@@ -189,6 +212,7 @@ def score_kn_perplexity(
         .crossJoin(F.broadcast(vocab))
         .select(
             F.col(id_col),
+            F.col("c_occ"),
             F.coalesce(F.col("c_nw"), F.lit(0)).cast("double").alias("c_nw"),
             F.coalesce(F.col("c_ctx"), F.lit(0)).cast("double").alias("c_ctx"),
             F.coalesce(F.col("n1p_ctx"), F.lit(0)).cast("double").alias("n1p_ctx"),
@@ -206,11 +230,11 @@ def score_kn_perplexity(
     ) + ((d * F.col("n1p_ctx")) / F.col("c_ctx")) * pcont
     p = F.when(F.col("c_ctx") > 0, p_seen_ctx).otherwise(pcont)
     lp_fp = F.round(F.log(p) * F.lit(_FP)).cast("long")
-    per_doc = joined.select(F.col(id_col), lp_fp.alias("lp")).groupBy(
-        id_col
-    ).agg(
-        F.count(F.lit(1)).alias("n_ngrams"),
-        F.sum("lp").alias("__s"),
+    per_doc = joined.select(
+        F.col(id_col), F.col("c_occ"), lp_fp.alias("lp")
+    ).groupBy(id_col).agg(
+        F.sum("c_occ").alias("n_ngrams"),
+        F.sum(F.col("c_occ") * F.col("lp")).alias("__s"),
     )
     # report avg_logprob via INTEGER-space rounding: S and n are exact
     # integers, so round(S/n) agrees across engines even at exact .5

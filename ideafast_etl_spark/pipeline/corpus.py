@@ -9,14 +9,14 @@ actually runs, with per-stage accounting.
 Every stage is one of this repo's oracle-verified operators
 (operators/cleaning.py, functions/text.py), so the WHOLE pipeline gets a
 composed DuckDB oracle: stage-by-stage document and token counts must
-match bit-for-bit. No UDFs anywhere; the only shuffles are the line-
-content window, the dedup hash window, and the five tiny stage
-aggregates.
+match bit-for-bit. No UDFs anywhere; the only shuffles are line_dedup's
+two content shuffles, the sha256-keyed exact-dedup hash aggregate, and
+the five tiny stage aggregates.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -42,20 +42,47 @@ def corpus_prep(
     corpus (doc_id, text) after the final dedup rung, and the per-stage
     (stage, n_docs, n_tokens) accounting. The streaming twin
     (streaming/corpus.py) publishes both as snapshots per drain."""
+    from ..plan_audit import checkpoints_enabled
+
+    do_ckpt = checkpoints_enabled()
+
+    def _ck(d: DataFrame) -> DataFrame:
+        # each stage feeds BOTH its report aggregate and the next stage
+        # (and d4 feeds the returned corpus): without the checkpoint the
+        # report's five union branches re-execute the cumulative chain —
+        # O(stages^2) full-corpus work, and the 100x giant-doc sweep's
+        # timeout. Gated so plan audits explain the real lineage.
+        return d.localCheckpoint(eager=True) if do_ckpt else d
+
     s0 = _stage("0_raw", docs.select(F.col(text_col).alias("text")))
-    d1 = line_dedup(docs, text_col, with_text=True).select("doc_id", "text")
+    d1 = _ck(
+        line_dedup(docs, text_col, with_text=True).select("doc_id", "text")
+    )
     s1 = _stage("1_line_dedup", d1)
-    d2 = d1.filter(T.quality_score(F.col("text")) >= QUALITY_THRESHOLD)
+    d2 = _ck(d1.filter(T.quality_score(F.col("text")) >= QUALITY_THRESHOLD))
     s2 = _stage("2_quality", d2)
-    d3 = d2.select("doc_id", pii_redact_col(F.col("text")).alias("text"))
+    d3 = _ck(d2.select("doc_id", pii_redact_col(F.col("text")).alias("text")))
     s3 = _stage("3_pii_redacted", d3)
+    # exact dedup keyed on sha256(normalized text) with a min_by hash
+    # aggregate — the line_dedup posture, for the same two reasons: a
+    # window PARTITIONED BY the normalized text ships the full document
+    # string as a shuffle key and sorts it (one giant doc = one giant
+    # sort key), and boilerplate-identical docs funnel into one window
+    # task while min_by collapses them map-side. sha256 equality as
+    # exact identity is the repo-wide convention (X1 record hash,
+    # exact_dedup).
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    w = Window.partitionBy("__norm").orderBy("doc_id")
-    d4 = (
-        d3.withColumn("__norm", norm)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__norm", "__rn")
+    d4 = _ck(
+        d3.groupBy(F.sha2(norm, 256).alias("__k"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "text"), F.col("doc_id")
+            ).alias("__win")
+        )
+        .select(
+            F.col("__win.doc_id").alias("doc_id"),
+            F.col("__win.text").alias("text"),
+        )
     )
     s4 = _stage("4_exact_dedup", d4)
     report = (

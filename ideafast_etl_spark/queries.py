@@ -3853,10 +3853,16 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim by the oracle."""
     from .operators.lm import score_kn_perplexity, train_ngram_lm
     from .operators.ranking import global_rank, rank_buckets
+    from .plan_audit import checkpoints_enabled
 
     docs = _t(spark, sf_dir, "documents")
     nc, cc, v = train_ngram_lm(docs, n=2)
     scored = score_kn_perplexity(docs, nc, cc, v, n=2)
+    if checkpoints_enabled():
+        # scored is doc-count-sized (id, perplexity); materialise it once —
+        # total and the rank stage otherwise each re-execute the full
+        # train+score join DAG over the corpus
+        scored = scored.localCheckpoint(eager=True)
     total = scored.count()
     ranked = global_rank(
         scored.select("doc_id", "perplexity"),

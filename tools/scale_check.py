@@ -35,6 +35,17 @@ Flags:
            sweep sets that include queries EXPECTED to be pathological
            (the quadratic-output dedup baselines under --dup-skew at
            100x) so the overrun is recorded instead of hanging the box.
+  --doc-skew  generate with ROW-SIZE skew (the third skew axis after key
+           frequency and duplicate density): ~1% of documents are inflated
+           to ~500x their length (the body repeated — a crawl's runaway
+           page / log dump / concatenated boilerplate). Key-uniform
+           shuffles can't see this pathology: the unit of work the engine
+           cannot split is the single giant ROW, which explodes into one
+           task's worth of token/window/shingle rows and then sorts inside
+           one per-doc window partition. Default query list narrows to
+           DOCSKEW_QUERIES (the per-token text family); pair with
+           tools/task_skew_probe.py on the generated dir to read max-task
+           rather than wall clock.
 
 (defaults: 10x, /tmp/sfx1, the full QUERIES list; generation is skipped if
 dest exists). Scale-posture variants (names ending in ``_hll`` / ``_auto``)
@@ -152,6 +163,36 @@ DUP_QUERIES = [
     "embedding_near_dup",
 ]
 
+# The per-token text family — the operators whose work is proportional to
+# DOCUMENT LENGTH, not document count: explodes into token/window/line/
+# shingle rows, per-doc windows (gaps-and-islands, entropy, repetition
+# tops), per-doc aggregations. The default sweep set under --doc-skew.
+# Giant docs cannot be split by any shuffle/AQE trick — the row is the
+# atom — so what these measure is whether per-doc work stays O(doc_len)
+# (and the harness probe: how big the largest single task gets).
+DOCSKEW_QUERIES = [
+    "text_stats",
+    "lang_id",
+    "gopher_quality",
+    "c4_line_filter",
+    "pii_scrub",
+    "char_entropy",
+    "line_dedup_first_wins",
+    "doc_chunks",
+    "repetition_stats",
+    "bpe_token_counts",
+    "ngram_lm_perplexity",
+    "kneser_ney_perplexity",
+    "ccnet_perplexity_buckets",
+    "dsir_selection",
+    "substring_dup_spans",
+    "span_dedup",
+    "minhash_near_dup",
+    "exact_dedup",
+    "curriculum_packing",
+    "corpus_prep_e2e",
+]
+
 # Queries that read the skewed keys (user_id / l_suppkey / o_custkey and
 # the joins above them) — the default sweep set under --skew.
 SKEW_QUERIES = [
@@ -221,6 +262,33 @@ def _dup_doc_remap(p):
     )
 
 
+# --doc-skew: 1% of documents inflated ~500x (selector hashes doc_id, so
+# the share holds at any factor and the same base docs are giant in every
+# replica — after key shifting each replica's giant is a distinct doc).
+_GIANT_NUM, _GIANT_DEN, _GIANT_REPEAT = 1, 100, 500
+
+
+def _giant_doc_remap(p):
+    """Row-size skew plant: the selected documents' text becomes the
+    original body repeated ``_GIANT_REPEAT`` times (~500x length — a
+    runaway crawl page). Repetition (rather than synthetic filler) keeps
+    the giant realistic for dedup operators: its DISTINCT shingle set
+    stays small (it IS maximally self-duplicated text), so set-based
+    operators should stay flat while per-token/per-window operators carry
+    the full inflated row count. n_chars is recomputed so length-reading
+    queries (curriculum_packing) see the true size."""
+    return p.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(_GIANT_DEN))
+            < _GIANT_NUM,
+            F.array_join(
+                F.array_repeat(F.col("text"), _GIANT_REPEAT), " "
+            ),
+        ).otherwise(F.col("text")),
+    ).withColumn("n_chars", F.length("text"))
+
+
 def _dup_vec_remap(dim: int):
     """~30% of embeddings become tiny deterministic jitters of one
     template vector (cosine between any two hot vectors ≈ 1 ≥ every
@@ -247,7 +315,7 @@ def _dup_vec_remap(dim: int):
 
 
 def generate(spark, dst: str, k: int, skew: bool = False,
-             dup_skew: bool = False) -> None:
+             dup_skew: bool = False, doc_skew: bool = False) -> None:
     def read(name):
         return tables.load(spark, name, SRC)
 
@@ -324,15 +392,13 @@ def generate(spark, dst: str, k: int, skew: bool = False,
             ),
         )
 
-    shifted(
-        "documents", ["doc_id"],
-        extra=(
-            (lambda p: _dup_doc_remap(_doc_suffix(p)))
-            if dup_skew
-            else _doc_suffix
-        ),
-        nfiles=nf,
-    )
+    if dup_skew:
+        doc_extra = lambda p: _dup_doc_remap(_doc_suffix(p))  # noqa: E731
+    elif doc_skew:
+        doc_extra = lambda p: _giant_doc_remap(_doc_suffix(p))  # noqa: E731
+    else:
+        doc_extra = _doc_suffix
+    shifted("documents", ["doc_id"], extra=doc_extra, nfiles=nf)
     if dup_skew:
         dim = len(read("embeddings").select("embedding").first()[0])
         shifted("embeddings", ["vec_id"], extra=_dup_vec_remap(dim), nfiles=nf)
@@ -384,6 +450,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skew = "--skew" in flags
     dup_skew = "--dup-skew" in flags
+    doc_skew = "--doc-skew" in flags
     show_plan = "--plan" in flags
     aqe_scaled = "--aqe-scaled" in flags
     # --timeout=SECS: per-query wall budget enforced by job-group
@@ -422,7 +489,11 @@ def main() -> None:
         else (
             DUP_QUERIES
             if dup_skew
-            else (SKEW_QUERIES if skew else QUERIES)
+            else (
+                DOCSKEW_QUERIES
+                if doc_skew
+                else (SKEW_QUERIES if skew else QUERIES)
+            )
         )
     )
     # the 100x dataset squeezed through one local JVM needs the resources a
@@ -449,9 +520,19 @@ def main() -> None:
     else:
         spark = get_spark("scale-check", extra_conf=aqe_conf)
     if not os.path.isdir(dst):
-        tag = " SKEWED" if skew else (" DUP-DENSE" if dup_skew else "")
+        tag = (
+            " SKEWED"
+            if skew
+            else (
+                " DUP-DENSE"
+                if dup_skew
+                else (" GIANT-DOC" if doc_skew else "")
+            )
+        )
         print(f"# generating {k}x{tag} dataset at {dst}", flush=True)
-        generate(spark, dst, k, skew=skew, dup_skew=dup_skew)
+        generate(
+            spark, dst, k, skew=skew, dup_skew=dup_skew, doc_skew=doc_skew
+        )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     qs = entrymod.queries()
     qs.update(SCALE_VARIANTS)
