@@ -68,7 +68,7 @@ def test_compaction_read_equivalence(spark, tmp_path):
     assert got == sorted(map(tuple, good_b.select("doc_id", "text").collect()))
     assert read_ingested(spark, quar).count() == quar_b.count() == 3
     # directories actually folded: at most the post-compaction tail remains
-    assert os.path.isdir(f"{corpus}/compact-1")
+    assert os.path.isdir(f"{corpus}/compactdata-1")
     assert set(_batch_dirs(corpus)) == {2}
 
 
@@ -133,7 +133,7 @@ def test_crash_window_read_stays_exact_and_repairs(spark, tmp_path):
     assert compact_accumulation(spark, corpus, ckpt) == 2
     shutil.copytree(str(tmp_path / "saved-batch-1"), f"{corpus}/batch-1")
 
-    assert {os.path.basename(p) for p in live_paths(corpus)} == {"compact-1"}
+    assert {os.path.basename(p) for p in live_paths(corpus)} == {"compactdata-1"}
     got = sorted(r.doc_id for r in read_accumulation(spark, corpus).collect())
     assert got == [1, 2]  # no double count
     compact_accumulation(spark, corpus, ckpt)  # repair pass
@@ -175,9 +175,142 @@ def test_detector_stream_with_compaction_keeps_batch_parity(spark, tmp_path):
 
     # batch 0 folded during batch 1's cycle; batch 1 (not yet committed
     # at its own cycle time) remains as the tail
-    assert os.path.isdir(f"{accum}/compact-0")
+    assert os.path.isdir(f"{accum}/compactdata-0")
     assert set(_batch_dirs(accum)) == {1}
     both = spark.createDataFrame(r1 + r2, schema)
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, cusum_drift(both, threshold=20.0).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Object-store commit protocol (r9 verdict #1): the compaction commit is a
+# single manifest-file PUT — no renames anywhere in the Python commit path —
+# and every crash window (mid-data-write, mid-manifest-write "pointer
+# crash", post-commit pre-removal) reads exact and self-repairs.
+# ---------------------------------------------------------------------------
+
+import json
+import shutil
+
+from ideafast_etl_spark.streaming.accum import (
+    _compact_dir,
+    _manifest_path,
+    _read_manifest,
+)
+
+
+def _fake_accum(spark, root, ckpt, batches, committed):
+    """Fabricate an accumulation + checkpoint exactly as N drained
+    micro-batches leave them: one batch-<id> parquet dir per drain, an
+    offsets entry per started batch, a commits marker per finished one."""
+    os.makedirs(f"{ckpt}/offsets", exist_ok=True)
+    os.makedirs(f"{ckpt}/commits", exist_ok=True)
+    for bid, ids in batches.items():
+        spark.createDataFrame(
+            [(i, f"t{i}") for i in ids], SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/batch-{bid}")
+        with open(f"{ckpt}/offsets/{bid}", "w") as f:
+            f.write("{}")
+    for bid in committed:
+        with open(f"{ckpt}/commits/{bid}", "w") as f:
+            f.write("{}")
+
+
+def _ids(spark, root):
+    return sorted(r.doc_id for r in read_accumulation(spark, root).collect())
+
+
+def test_commit_protocol_is_rename_free(spark, tmp_path, monkeypatch):
+    """Simulated rename-less filesystem (object store: create/PUT/delete
+    only): compaction — including a second fold that rewrites the
+    previous snapshot — must complete without ever calling a rename."""
+
+    def boom(*a, **k):  # pragma: no cover - the assertion IS the test
+        raise AssertionError("rename used in the accumulation commit path")
+
+    monkeypatch.setattr(os, "rename", boom)
+    monkeypatch.setattr(os, "replace", boom)
+    monkeypatch.setattr(shutil, "move", boom)
+
+    root, ckpt = str(tmp_path / "acc"), str(tmp_path / "ck")
+    _fake_accum(spark, root, ckpt, {0: [1], 1: [2]}, {0, 1})
+    assert compact_accumulation(spark, root, ckpt) == 2
+    assert _ids(spark, root) == [1, 2]
+    # second fold: previous snapshot + a new committed batch
+    _fake_accum(spark, root, ckpt, {2: [3]}, {2})
+    assert compact_accumulation(spark, root, ckpt) == 1
+    assert _ids(spark, root) == [1, 2, 3]
+    assert {os.path.basename(p) for p in live_paths(root)} == {"compactdata-2"}
+
+
+def test_pointer_crash_truncated_manifest_is_ignored_and_repaired(
+    spark, tmp_path
+):
+    """Crash mid-manifest-write: the truncated manifest fails its
+    checksum, so readers resolve the PREVIOUS snapshot plus the
+    still-present batch dirs — exact rows, no double count — and the
+    next compaction discards the remnants and re-commits."""
+    root, ckpt = str(tmp_path / "acc"), str(tmp_path / "ck")
+    _fake_accum(spark, root, ckpt, {0: [1], 1: [2]}, {0, 1})
+    assert compact_accumulation(spark, root, ckpt) == 2
+
+    # a crashed second compaction: data dir fully written, manifest cut
+    # off halfway through the PUT
+    _fake_accum(spark, root, ckpt, {2: [3]}, {2})
+    spark.read.parquet(f"{root}/compactdata-1", f"{root}/batch-2").write.mode(
+        "overwrite"
+    ).parquet(f"{root}/compactdata-2")
+    full = json.dumps(
+        {"payload": {"hwm": 2, "data": "compactdata-2"}, "sha256": "0" * 64}
+    )
+    with open(_manifest_path(root, 2), "w") as f:
+        f.write(full[: len(full) // 2])
+
+    assert _read_manifest(_manifest_path(root, 2)) is None
+    assert _compact_dir(root)[0] == 1  # previous commit still authoritative
+    assert _ids(spark, root) == [1, 2, 3]  # compactdata-1 + batch-2, once
+
+    assert compact_accumulation(spark, root, ckpt) == 1  # repair + re-commit
+    assert _ids(spark, root) == [1, 2, 3]
+    assert _compact_dir(root)[0] == 2
+    assert not os.path.exists(f"{root}/batch-2")
+
+
+def test_crash_after_data_before_manifest_is_invisible(spark, tmp_path):
+    """Crash between the snapshot data write and the manifest PUT: the
+    unreferenced compactdata dir is invisible to readers and removed by
+    the next compaction's repair pass."""
+    root, ckpt = str(tmp_path / "acc"), str(tmp_path / "ck")
+    _fake_accum(spark, root, ckpt, {0: [1], 1: [2]}, {0, 1})
+    # the crashed attempt: data landed, commit (manifest) never did
+    spark.read.parquet(f"{root}/batch-0", f"{root}/batch-1").write.parquet(
+        f"{root}/compactdata-1"
+    )
+    assert _compact_dir(root) is None
+    assert _ids(spark, root) == [1, 2]  # batch dirs only, no double count
+
+    assert compact_accumulation(spark, root, ckpt) == 2  # retry overwrites
+    assert _ids(spark, root) == [1, 2]
+    assert _compact_dir(root)[0] == 1
+
+
+def test_legacy_rename_committed_snapshot_still_reads_and_migrates(
+    spark, tmp_path
+):
+    """A pre-r10 ``compact-<id>`` dir (rename-committed, no manifest)
+    counts as committed; the next compaction folds it into a
+    manifest-committed snapshot and removes it."""
+    root, ckpt = str(tmp_path / "acc"), str(tmp_path / "ck")
+    _fake_accum(spark, root, ckpt, {2: [3]}, {2})
+    spark.createDataFrame(
+        [(1, "t1"), (2, "t2")], SCHEMA
+    ).coalesce(1).write.parquet(f"{root}/compact-1")
+
+    assert _compact_dir(root)[0] == 1
+    assert _ids(spark, root) == [1, 2, 3]
+
+    assert compact_accumulation(spark, root, ckpt) == 1
+    assert _ids(spark, root) == [1, 2, 3]
+    assert not os.path.exists(f"{root}/compact-1")
+    assert {os.path.basename(p) for p in live_paths(root)} == {"compactdata-2"}
