@@ -24,9 +24,12 @@ summation order is identical in any engine at any parallelism. The idf's
 
 from __future__ import annotations
 
+import os
+import re
+import shutil
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dedup import _tokens
@@ -493,6 +496,133 @@ def mmr_rerank(
 
 N_TERM_BUCKETS = 256
 
+_BM25_RELS = ("postings", "dfreq", "doclens", "stats")
+_BM25_META = "_meta"
+_BM25_GEN_RE = re.compile(
+    r"^(postings|dfreq|doclens|stats)-g(\d+)$"
+)
+
+
+def _bm25_live(root: str) -> tuple[int, dict[str, str]]:
+    """(generation id, {relation: live directory path}) — resolved
+    through the newest valid generation manifest (state/manifest.py),
+    falling back to the flat gen-0 layout ``write_bm25_index`` creates.
+    The manifest is only considered committed if every relation's data
+    directory exists (they are written BEFORE the manifest PUT)."""
+    from ..state.manifest import latest_manifest
+
+    def _valid(payload: dict) -> bool:
+        dirs = payload.get("dirs", {})
+        return all(
+            os.path.isdir(os.path.join(root, str(dirs.get(rel, ""))))
+            for rel in _BM25_RELS
+        )
+
+    got = latest_manifest(os.path.join(root, _BM25_META), valid=_valid)
+    if got is None:
+        return 0, {rel: os.path.join(root, rel) for rel in _BM25_RELS}
+    gen, payload = got
+    return gen, {
+        rel: os.path.join(root, str(payload["dirs"][rel]))
+        for rel in _BM25_RELS
+    }
+
+
+def _bm25_repair(root: str) -> None:
+    """Delete-only cleanup of crash remnants: generation data dirs no
+    committed manifest references (a crashed compaction's partial write,
+    or a superseded generation whose removal was interrupted), the flat
+    gen-0 dirs once a manifest generation is live, and manifests other
+    than the winning one."""
+    from ..state.manifest import prune_manifests
+
+    if not os.path.isdir(root):
+        return
+    gen, dirs = _bm25_live(root)
+    live = {os.path.basename(p) for p in dirs.values()}
+    for e in os.scandir(root):
+        if not e.is_dir() or e.name in live:
+            continue
+        if _BM25_GEN_RE.match(e.name) or (gen > 0 and e.name in _BM25_RELS):
+            shutil.rmtree(e.path, ignore_errors=True)
+    prune_manifests(
+        os.path.join(root, _BM25_META), gen if gen > 0 else None
+    )
+
+
+def compact_bm25_index(spark: SparkSession, path: str) -> dict:
+    """Fold the additive index back to its canonical minimal form (r9
+    verdict #2: without this, a year of streaming drains leaves one
+    dfreq delta row per (term, increment) and one stats row per
+    increment — the same unbounded metadata growth
+    ``compact_accumulation`` bounds for batch dirs).
+
+    Consolidation is pure integer aggregation, so probe results are
+    bit-identical pre/post (the probe already sums deltas at read
+    time; compaction just moves the sum to rest): dfreq folds to one
+    row per term, stats to one row, and postings/doclens — which carry
+    no duplicate keys, only small files — fold to one file per bucket
+    partition / a bounded file count.
+
+    Commit is the object-store-safe manifest PUT (state/manifest.py):
+    the new generation's four relation dirs are written first
+    (``<rel>-g<gen>``, invisible until referenced), then one manifest
+    file commits them; superseded generations are deleted afterwards
+    (crash-repaired on the next run). Appends keep working after any
+    number of compactions — ``_write_bm25`` resolves the live
+    generation through the same manifest. Single maintenance writer:
+    do not run concurrently with an append.
+
+    Returns {"generation", "folded_dfreq_rows", "folded_stats_rows"}.
+    """
+    root = path.rstrip("/")
+    _bm25_repair(root)
+    gen, dirs = _bm25_live(root)
+    new_gen = gen + 1
+    names = {rel: f"{rel}-g{new_gen}" for rel in _BM25_RELS}
+
+    dfreq = spark.read.parquet(dirs["dfreq"])
+    stats = spark.read.parquet(dirs["stats"])
+    dfreq_rows = dfreq.count()
+    stats_rows = stats.count()
+    # one consolidated row per term / one stats row; postings and doclens
+    # have unique keys already — fold small files only. repartition on the
+    # partition column lands each bucket in exactly one task → one file
+    # per bucket directory regardless of how many appends preceded.
+    (
+        dfreq.groupBy("bucket", "t")
+        .agg(F.sum("df").alias("df"))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .parquet(os.path.join(root, names["dfreq"]))
+    )
+    stats.agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    ).coalesce(1).write.parquet(os.path.join(root, names["stats"]))
+    (
+        spark.read.parquet(dirs["postings"])
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .parquet(os.path.join(root, names["postings"]))
+    )
+    dl = spark.read.parquet(dirs["doclens"])
+    dl.repartition(max(1, dl.rdd.getNumPartitions() // 8)).write.parquet(
+        os.path.join(root, names["doclens"])
+    )
+
+    from ..state.manifest import put_manifest
+
+    put_manifest(os.path.join(root, _BM25_META), new_gen, {"dirs": names})
+    # committed from here; remnant removal is repaired on crash
+    for p in dirs.values():
+        shutil.rmtree(p, ignore_errors=True)
+    _bm25_repair(root)
+    return {
+        "generation": new_gen,
+        "folded_dfreq_rows": int(dfreq_rows),
+        "folded_stats_rows": int(stats_rows),
+    }
+
 
 def write_bm25_index(
     df: DataFrame,
@@ -551,6 +681,15 @@ def append_bm25_index(
 def _write_bm25(
     df: DataFrame, path: str, text_col: str, id_col: str, mode: str
 ) -> None:
+    root = path.rstrip("/")
+    if mode == "overwrite":
+        # a fresh index: clear every generation + manifest, restart flat
+        shutil.rmtree(root, ignore_errors=True)
+        dirs = {rel: os.path.join(root, rel) for rel in _BM25_RELS}
+    else:
+        # appends land in the LIVE generation's directories — compaction
+        # (compact_bm25_index) may have moved them off the flat layout
+        _, dirs = _bm25_live(root)
     # persist the term-frequency relation: dl/postings/dfreq/stats all
     # fan out from it, and without the pin each write re-triggers the
     # explode/tokenize lineage — three corpus tokenizations per build
@@ -566,17 +705,16 @@ def _write_bm25(
         dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
         dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
         bucket = F.pmod(F.xxhash64("t"), F.lit(N_TERM_BUCKETS)).cast("int")
-        root = path.rstrip("/")
         tf.withColumn("bucket", bucket).write.mode(mode).partitionBy(
             "bucket"
-        ).parquet(f"{root}/postings")
+        ).parquet(dirs["postings"])
         dfreq.withColumn("bucket", bucket).write.mode(mode).partitionBy(
             "bucket"
-        ).parquet(f"{root}/dfreq")
-        dl.write.mode(mode).parquet(f"{root}/doclens")
+        ).parquet(dirs["dfreq"])
+        dl.write.mode(mode).parquet(dirs["doclens"])
         dl.agg(
             F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-        ).write.mode(mode).parquet(f"{root}/stats")
+        ).write.mode(mode).parquet(dirs["stats"])
     finally:
         tf.unpersist()
 
@@ -597,6 +735,7 @@ def bm25_scores_from_index(
     if not terms:
         raise ValueError("query_terms must be non-empty")
     root = path.rstrip("/")
+    _, dirs = _bm25_live(root)
     # the terms' buckets via ONE literal plan over the engine's own hash
     # expression (|terms| rows, no corpus scan) — a driver reimplementation
     # of xxhash64 could drift from the write-side bucket column
@@ -611,7 +750,7 @@ def bm25_scores_from_index(
         .collect()
     })
     tf = (
-        spark.read.parquet(f"{root}/postings")
+        spark.read.parquet(dirs["postings"])
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("t").isin(terms))
         .select(id_col, "t", "tf")
@@ -620,17 +759,17 @@ def bm25_scores_from_index(
     # per-increment delta rows); summing the integer deltas here makes
     # the incremental index bit-identical to a full rebuild
     dfreq = (
-        spark.read.parquet(f"{root}/dfreq")
+        spark.read.parquet(dirs["dfreq"])
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("t").isin(terms))
         .groupBy("t")
         .agg(F.sum("df").alias("df"))
     )
-    stats = spark.read.parquet(f"{root}/stats").agg(
+    stats = spark.read.parquet(dirs["stats"]).agg(
         F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
     )
     dl = (
-        spark.read.parquet(f"{root}/doclens")
+        spark.read.parquet(dirs["doclens"])
         .crossJoin(F.broadcast(stats))
         .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
     )

@@ -1,0 +1,117 @@
+"""Object-store-safe commit-by-manifest: an append-only log of small,
+immutable, self-checksummed JSON files.
+
+The repo's persisted artifacts (streaming accumulations, the BM25 and
+IVF index directories) need a commit primitive that works where the
+100 TB posture actually runs — object storage, where directory rename
+is neither atomic nor guaranteed to exist. The primitive here uses
+only create-file / delete operations (single-key PUT semantics):
+
+- a writer stages bulk data into its FINAL directory first (invisible
+  until referenced; a crashed attempt is simply overwritten by the
+  retry);
+- the COMMIT POINT is the creation of one manifest file
+  ``<meta>/<id>.json`` holding an integer commit id, an arbitrary
+  payload, and a sha256 self-checksum. Manifests are never modified in
+  place;
+- readers resolve state by picking the highest-id manifest that parses
+  and checksums. A manifest truncated by a crash (or observed mid-PUT)
+  fails the checksum and is ignored, so the previous commit stays
+  authoritative;
+- cleanup of superseded data/manifests happens strictly AFTER the new
+  manifest lands and is delete-only, hence crash-repairable.
+
+Same shape as Delta's ``_last_checkpoint`` / Iceberg's metadata files;
+the POSIX cousin is the state store's atomic pointer swap
+(state/store.py:158) — this module is the variant that holds without
+rename semantics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+
+def _canonical(payload: dict) -> str:
+    return json.dumps(payload, sort_keys=True)
+
+
+def manifest_path(meta_dir: str, commit_id: int) -> str:
+    # zero-padded so lexical order equals numeric order in object listings
+    return os.path.join(meta_dir, f"{commit_id:020d}.json")
+
+
+def put_manifest(meta_dir: str, commit_id: int, payload: dict) -> str:
+    """THE commit point: one immutable, self-checksummed file created
+    with PUT semantics (no rename). A crash mid-write leaves a file
+    that fails the checksum and is ignored by readers."""
+    body = _canonical(payload)
+    doc = json.dumps(
+        {
+            "id": commit_id,
+            "payload": payload,
+            "sha256": hashlib.sha256(body.encode()).hexdigest(),
+        }
+    )
+    os.makedirs(meta_dir, exist_ok=True)
+    path = manifest_path(meta_dir, commit_id)
+    with open(path, "w") as f:
+        f.write(doc)
+        f.flush()
+        os.fsync(f.fileno())
+    return path
+
+
+def read_manifest(path: str) -> tuple[int, dict] | None:
+    """(commit id, payload) if the file parses and self-checksums;
+    None for truncated / corrupt / foreign files."""
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        payload = doc["payload"]
+        if (
+            hashlib.sha256(_canonical(payload).encode()).hexdigest()
+            != doc["sha256"]
+        ):
+            return None
+        return int(doc["id"]), payload
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def latest_manifest(
+    meta_dir: str, valid=None
+) -> tuple[int, dict] | None:
+    """The highest-id manifest that parses, checksums, and (optionally)
+    satisfies ``valid(payload)`` — e.g. "its data directory exists"."""
+    if not os.path.isdir(meta_dir):
+        return None
+    best = None
+    for e in os.scandir(meta_dir):
+        got = read_manifest(e.path) if e.is_file() else None
+        if got is None or (valid is not None and not valid(got[1])):
+            continue
+        if best is None or got[0] > best[0]:
+            best = got
+    return best
+
+
+def prune_manifests(meta_dir: str, keep_id: int | None) -> None:
+    """Delete every manifest file except the committed one — truncated
+    PUT attempts and superseded entries. Delete-only; safe under the
+    single-writer contract."""
+    if not os.path.isdir(meta_dir):
+        return
+    keep = (
+        os.path.basename(manifest_path(meta_dir, keep_id))
+        if keep_id is not None
+        else None
+    )
+    for e in os.scandir(meta_dir):
+        if e.name != keep:
+            try:
+                os.unlink(e.path)
+            except OSError:
+                pass

@@ -61,13 +61,19 @@ migrated away by the next compaction.
 
 from __future__ import annotations
 
-import hashlib
-import json
 import os
 import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..state.manifest import (
+    latest_manifest,
+    manifest_path,
+    prune_manifests,
+    put_manifest,
+    read_manifest,
+)
 
 _BATCH_RE = re.compile(r"^batch-(\d+)$")
 _LEGACY_COMPACT_RE = re.compile(r"^compact-(\d+)$")
@@ -88,42 +94,18 @@ def _batch_dirs(accum_dir: str) -> dict[int, str]:
     return out
 
 
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, _MANIFEST_DIRNAME)
+
+
 def _manifest_path(root: str, hwm: int) -> str:
-    # zero-padded so lexical order equals numeric order in object listings
-    return os.path.join(root, _MANIFEST_DIRNAME, f"{hwm:020d}.json")
-
-
-def _write_manifest(root: str, hwm: int, data_name: str) -> str:
-    """THE commit point: one immutable, self-checksummed file created
-    with PUT semantics (no rename). A crash mid-write leaves a file
-    that fails the checksum and is ignored by readers."""
-    payload = {"hwm": hwm, "data": data_name}
-    body = json.dumps(payload, sort_keys=True)
-    doc = json.dumps(
-        {"payload": payload, "sha256": hashlib.sha256(body.encode()).hexdigest()}
-    )
-    os.makedirs(os.path.join(root, _MANIFEST_DIRNAME), exist_ok=True)
-    path = _manifest_path(root, hwm)
-    with open(path, "w") as f:
-        f.write(doc)
-        f.flush()
-        os.fsync(f.fileno())
-    return path
+    return manifest_path(_manifest_dir(root), hwm)
 
 
 def _read_manifest(path: str) -> tuple[int, str] | None:
-    """(hwm, data dir name) if the manifest parses and self-checksums;
-    None for truncated / corrupt / foreign files."""
-    try:
-        with open(path) as f:
-            doc = json.load(f)
-        payload = doc["payload"]
-        body = json.dumps(payload, sort_keys=True)
-        if hashlib.sha256(body.encode()).hexdigest() != doc["sha256"]:
-            return None
-        return int(payload["hwm"]), str(payload["data"])
-    except (OSError, ValueError, KeyError, TypeError):
-        return None
+    """(hwm, data dir name) if the manifest parses and self-checksums."""
+    got = read_manifest(path)
+    return (got[0], str(got[1]["data"])) if got else None
 
 
 def _compact_dir(accum_dir: str) -> tuple[int, str] | None:
@@ -134,17 +116,13 @@ def _compact_dir(accum_dir: str) -> tuple[int, str] | None:
     root = accum_dir.rstrip("/")
     if not os.path.isdir(root):
         return None
-    best = None
-    mdir = os.path.join(root, _MANIFEST_DIRNAME)
-    if os.path.isdir(mdir):
-        for e in os.scandir(mdir):
-            got = _read_manifest(e.path) if e.is_file() else None
-            if got is None:
-                continue
-            hwm, data_name = got
-            data_path = os.path.join(root, data_name)
-            if os.path.isdir(data_path) and (best is None or hwm > best[0]):
-                best = (hwm, data_path)
+    got = latest_manifest(
+        _manifest_dir(root),
+        valid=lambda p: os.path.isdir(os.path.join(root, str(p["data"]))),
+    )
+    best = (
+        (got[0], os.path.join(root, str(got[1]["data"]))) if got else None
+    )
     for e in os.scandir(root):
         m = _LEGACY_COMPACT_RE.match(e.name)
         if m and e.is_dir():
@@ -220,15 +198,7 @@ def _repair(accum_dir: str) -> None:
             m = _LEGACY_COMPACT_RE.match(e.name)
             if m and e.is_dir() and (comp is None or e.path != comp[1]):
                 shutil.rmtree(e.path, ignore_errors=True)
-    mdir = os.path.join(root, _MANIFEST_DIRNAME)
-    if os.path.isdir(mdir):
-        keep = os.path.basename(_manifest_path(root, hwm)) if live_data else None
-        for e in os.scandir(mdir):
-            if e.name != keep:
-                try:
-                    os.unlink(e.path)
-                except OSError:
-                    pass
+    prune_manifests(_manifest_dir(root), hwm if live_data else None)
 
 
 def live_paths(accum_dir: str) -> list[str]:
@@ -287,7 +257,7 @@ def compact_accumulation(
         .write.mode("overwrite")
         .parquet(os.path.join(root, data_name))
     )
-    _write_manifest(root, new_hwm, data_name)
+    put_manifest(_manifest_dir(root), new_hwm, {"data": data_name})
     # committed from here; remnant removal below is repaired on crash
     if comp:
         shutil.rmtree(comp[1], ignore_errors=True)
