@@ -14,16 +14,32 @@ workhorse) assembled from this repo's deterministic primitives:
      — the inner-product ADC decomposition q·(c + r̂) = q·c + q·r̂,
      every term an exact integer, divided once at the end.
 
+**Hot-cell sub-split** (r9 verdict #3): on a dup-dense corpus the
+coarse k-means drops a near-identical mass into ONE cell; every query
+that probes it reranks |hot cell|·m code rows, and the r9 dup-density
+sweep measured the 2.1× cost. ``max_cell_size`` applies the
+``semantic_dedup`` capping posture to the quantizer itself: cells whose
+membership exceeds the cap are re-clustered IN PLACE with a second
+fixed-point spherical k-means (k₂ = ⌈size/cap⌉ per hot cell, seeds =
+the cell's lowest ids, the exact level-2 discipline of
+``kmeans_assign_hierarchical``), and the sub-cells replace the parent:
+centroids, residual encoding, probe ranking, and candidate lists all
+key on (cell, sub). Uniform corpora are untouched — no cell exceeds
+the cap, k₂ ≡ 1 — and the split stays deterministic fixed-point, so
+the whole composite remains SQL-replayable.
+
 Everything cross-row is fixed-point, so the whole composite — coarse
-clustering, residual codebooks, probing, ADC scores — is bit-identical
-under any partitioning AND fully replayable by the SQL oracle
-(unrolled CTEs; REPRO.md pattern 8). Recall < 1 vs ``brute_force_topk``
-by construction (that is the point: touch n_probe/n_cells of the data).
+clustering, hot-cell sub-split, residual codebooks, probing, ADC
+scores — is bit-identical under any partitioning AND fully replayable
+by the SQL oracle (unrolled CTEs; REPRO.md pattern 8). Recall < 1 vs
+``brute_force_topk`` by construction (that is the point: touch
+n_probe/n_cells of the data).
 
 At 100 TB: training touches the corpus coarse_iters + pq_iters times
 (keyed aggs + small broadcasts only); a query touches the probed cells'
 code rows — with the corpus bucketed by cell id, that is a partition-
-pruned scan plus integer adds.
+pruned scan plus integer adds, and the sub-split caps what one probed
+cell can cost.
 """
 
 from __future__ import annotations
@@ -38,6 +54,135 @@ _SCALE = 1_000_000
 _S2 = _SCALE * _SCALE
 
 
+def _split_hot_cells(
+    pts: DataFrame,
+    cells: DataFrame,
+    coarse: DataFrame,
+    max_cell_size: int,
+    split_iters: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Sub-cluster every cell whose membership exceeds ``max_cell_size``
+    and return (cells', fcent): the member→(cell, sub) assignment and
+    the final (cell, sub, pos, icval) centroid set in which each hot
+    cell's centroid is REPLACED by its sub-centroids. Non-hot cells pass
+    through with sub=0. Level-2 k-means is the
+    ``kmeans_assign_hierarchical`` discipline verbatim — fixed-point
+    integer sums, half-rounded quantized renormalisation, deterministic
+    (sim desc, scid asc) tie-break — keyed by the parent cell so each
+    member only ever meets its own cell's sub-centroids."""
+    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("csz"))
+    hot = sizes.filter(F.col("csz") > max_cell_size)
+    hpts = pts.join(cells, "__id").join(F.broadcast(hot), "cell")
+    # k₂ = ceil(size/cap) seeds per hot cell: its lowest member ids
+    seed = (
+        cells.join(F.broadcast(hot), "cell")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("cell").orderBy("__id")),
+        )
+        .filter(
+            F.col("rn")
+            <= F.ceil(F.col("csz") / F.lit(float(max_cell_size))).cast("long")
+        )
+        .select("cell", "__id", (F.col("rn") - 1).cast("int").alias("scid"))
+    )
+    scent = (
+        hpts.join(F.broadcast(seed), ["cell", "__id"])
+        .select("cell", "scid", "pos", F.col("ival").alias("icval"))
+        .localCheckpoint(eager=True)  # bounded: ≤ (n/cap)·dim rows
+    )
+    for _ in range(split_iters):
+        sims = (
+            hpts.join(F.broadcast(scent), ["cell", "pos"])
+            .groupBy("__id", "cell", "scid")
+            .agg(
+                (
+                    F.sum(F.col("ival") * F.col("icval")).cast("double") / _S2
+                ).alias("sim")
+            )
+        )
+        best = (
+            sims.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("__id").orderBy(
+                        F.col("sim").desc(), F.col("scid")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("__id", "scid")
+        )
+        sums = (
+            hpts.join(best, "__id")
+            .groupBy("cell", "scid", "pos")
+            .agg(
+                F.sum(F.col("ival")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .withColumn(
+                "mean", F.col("s").cast("double") / (F.col("n") * _SCALE)
+            )
+            .withColumn("imean", F.round(F.col("mean") * _SCALE).cast("long"))
+        )
+        cnorm = F.sqrt(
+            F.sum(F.col("imean") * F.col("imean"))
+            .over(Window.partitionBy("cell", "scid"))
+            .cast("double")
+        ) / _SCALE
+        scent = (
+            sums.withColumn("__cnorm", cnorm)
+            .filter(F.col("__cnorm") > 0)
+            .select(
+                "cell",
+                "scid",
+                "pos",
+                F.round((F.col("imean") / (F.col("__cnorm") * _SCALE)) * _SCALE)
+                .cast("long")
+                .alias("icval"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    fsims = (
+        hpts.join(F.broadcast(scent), ["cell", "pos"])
+        .groupBy("__id", "cell", "scid")
+        .agg(
+            (
+                F.sum(F.col("ival") * F.col("icval")).cast("double") / _S2
+            ).alias("sim")
+        )
+    )
+    fbest = (
+        fsims.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(
+                    F.col("sim").desc(), F.col("scid")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("__id", F.col("scid").alias("__scid"))
+    )
+    cells2 = cells.join(fbest, "__id", "left").select(
+        "__id",
+        "cell",
+        F.coalesce(F.col("__scid"), F.lit(0)).cast("int").alias("sub"),
+    )
+    fcent = (
+        coarse.select(F.col("cid").alias("cell"), "pos", "icval")
+        .join(F.broadcast(hot.select("cell")), "cell", "left_anti")
+        .withColumn("sub", F.lit(0).cast("int"))
+        .select("cell", "sub", "pos", "icval")
+        .unionByName(
+            scent.select(
+                "cell", F.col("scid").alias("sub"), "pos", "icval"
+            )
+        )
+    )
+    return cells2, fcent
+
+
 def ivfpq_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -50,9 +195,14 @@ def ivfpq_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+    split_iters: int = 2,
 ) -> DataFrame:
     """IVF-PQ approximate top-k; returns (query_id, neighbor_id,
-    approx_sim, rank)."""
+    approx_sim, rank). ``max_cell_size`` (opt-in) caps coarse-cell
+    membership by sub-splitting oversized cells — see module docstring;
+    ``n_probe`` then counts (cell, sub) units, so a probed unit's rerank
+    cost is bounded by the cap instead of the hottest cell's mass."""
     dim = df.select(F.size(vec_col)).first()[0]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -65,13 +215,22 @@ def ivfpq_topk(
         F.col(id_col).alias("__id"), F.col("cluster_id").alias("cell")
     )
     pts = _pos_exploded(df, id_col, vec_col)
-    # integer residual against the assigned cell centroid
+    if max_cell_size is not None:
+        cells, fcent = _split_hot_cells(
+            pts, cells, coarse, max_cell_size, split_iters
+        )
+    else:
+        cells = cells.withColumn("sub", F.lit(0).cast("int"))
+        fcent = coarse.select(
+            F.col("cid").alias("cell"),
+            F.lit(0).cast("int").alias("sub"),
+            "pos",
+            "icval",
+        )
+    # integer residual against the (possibly sub-split) assigned centroid
     rpts = (
         pts.join(cells, "__id")
-        .join(
-            F.broadcast(coarse.select(F.col("cid").alias("cell"), "pos", "icval")),
-            ["cell", "pos"],
-        )
+        .join(F.broadcast(fcent), ["cell", "sub", "pos"])
         .select(
             "__id",
             (F.col("pos") / subdim).cast("int").alias("sub"),
@@ -93,20 +252,19 @@ def ivfpq_topk(
     q_pts = _pos_exploded(
         queries.select(F.col(id_col).alias("qid"), vec_col), "qid", vec_col
     ).withColumnRenamed("__id", "qid")
-    # probe: exact integer q·centroid per cell, keep the n_probe best
+    # probe: exact integer q·centroid per (cell, sub), keep the n_probe best
     qcell = (
-        q_pts.join(
-            F.broadcast(coarse.select(F.col("cid").alias("cell"), "pos", "icval")),
-            "pos",
-        )
-        .groupBy("qid", "cell")
+        q_pts.join(F.broadcast(fcent), "pos")
+        .groupBy("qid", "cell", "sub")
         .agg(F.sum(F.col("ival") * F.col("icval")).alias("qc"))
     )
-    wp = Window.partitionBy("qid").orderBy(F.desc("qc"), F.asc("cell"))
+    wp = Window.partitionBy("qid").orderBy(
+        F.desc("qc"), F.asc("cell"), F.asc("sub")
+    )
     probed = (
         qcell.withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= n_probe)
-        .select("qid", "cell", "qc")
+        .select("qid", "cell", "sub", "qc")
     )
     # ADC table: q (raw, not residual) dotted with every residual codeword
     q_sub = q_pts.select(
@@ -120,7 +278,9 @@ def ivfpq_topk(
         .groupBy("qid", "sub", "cid")
         .agg(F.sum(F.col("ival") * F.col("icval")).alias("ip"))
     )
-    cands = probed.join(cells, "cell").filter(F.col("__id") != F.col("qid"))
+    cands = probed.join(cells, ["cell", "sub"]).filter(
+        F.col("__id") != F.col("qid")
+    )
     adc = (
         cands.select("qid", "qc", "__id")
         .join(codes, "__id")

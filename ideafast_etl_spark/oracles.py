@@ -2949,6 +2949,94 @@ ORDER BY doc_id
 """
 
 
+def _materialize_ctes(sql: str) -> str:
+    """Hint DuckDB to materialize every CTE in ``sql`` (semantics
+    unchanged — pure evaluation strategy). The composed IVF-PQ replay
+    references its expensive chains (coarse k-means, hot-cell split,
+    residual relation) from several downstream CTEs; without the hint
+    DuckDB 1.0 re-inlines them and the replay goes super-linear in CTE
+    depth."""
+    import re as _re
+
+    sql = _re.sub(r"(?m)^(\w+) AS \(", r"\1 AS MATERIALIZED (", sql)
+    return _re.sub(r"WITH (\w+) AS \(", r"WITH \1 AS MATERIALIZED (", sql)
+
+
+def _ivfpq_split_cte(
+    coarse_iters: int, max_cell_size: int, split_iters: int
+) -> str:
+    """CTE chain replaying ivfpq.py::_split_hot_cells EXACTLY: cells over
+    the cap re-cluster with a second fixed-point spherical k-means
+    (k₂ = ceil(size/cap) lowest-id seeds per hot cell, the
+    kmeans_assign_hierarchical level-2 discipline keyed by parent cell),
+    ending in ``cellsf`` (id, cell, sub) and ``fcent`` (cell, sub, pos,
+    icval) where hot cells' centroids are replaced by sub-centroids."""
+    S, S2 = 1_000_000, 1_000_000_000_000
+    parts = [f"""csz AS (
+  SELECT cid, count(*) AS csz FROM assign GROUP BY cid),
+hot AS (
+  SELECT cid, csz FROM csz WHERE csz > {max_cell_size}),
+hpts AS (
+  SELECT a.cid AS cell, p.id, p.pos, p.ival
+  FROM pts p JOIN assign a ON p.id = a.id JOIN hot h ON a.cid = h.cid),
+sseed AS (
+  SELECT cell, id, CAST(rn - 1 AS INT) AS scid FROM (
+    SELECT a.cid AS cell, a.id, h.csz,
+      row_number() OVER (PARTITION BY a.cid ORDER BY a.id) AS rn
+    FROM assign a JOIN hot h ON a.cid = h.cid)
+  WHERE rn <= CAST(ceil(CAST(csz AS DOUBLE) / {max_cell_size}) AS BIGINT)),
+scent0 AS (
+  SELECT s.cell, s.scid, p.pos, p.ival AS icval
+  FROM hpts p JOIN sseed s ON p.id = s.id AND p.cell = s.cell)"""]
+    for j in range(1, split_iters + 1):
+        parts.append(f"""ssims{j} AS (
+  SELECT p.id, p.cell, c.scid, sum(p.ival * c.icval) AS s
+  FROM hpts p JOIN scent{j - 1} c ON p.cell = c.cell AND p.pos = c.pos
+  GROUP BY p.id, p.cell, c.scid),
+sbest{j} AS (
+  SELECT id, scid FROM (
+    SELECT id, scid, row_number() OVER (
+      PARTITION BY id ORDER BY CAST(s AS DOUBLE) / {S2} DESC, scid) AS rn
+    FROM ssims{j})
+  WHERE rn = 1),
+ssums{j} AS (
+  SELECT p.cell, b.scid, p.pos,
+    CAST(round((CAST(sum(p.ival) AS DOUBLE) / (count(*) * {S})) * {S})
+         AS BIGINT) AS imean
+  FROM hpts p JOIN sbest{j} b ON p.id = b.id
+  GROUP BY p.cell, b.scid, p.pos),
+scent{j} AS (
+  SELECT cell, scid, pos,
+    CAST(round((imean / (cn * {S})) * {S}) AS BIGINT) AS icval
+  FROM (
+    SELECT cell, scid, pos, imean,
+      sqrt(CAST(sum(imean * imean) OVER (PARTITION BY cell, scid) AS DOUBLE))
+        / {S} AS cn
+    FROM ssums{j})
+  WHERE cn > 0)""")
+    parts.append(f"""fbest AS (
+  SELECT id, scid FROM (
+    SELECT p.id, c.scid, row_number() OVER (
+      PARTITION BY p.id
+      ORDER BY CAST(sum(p.ival * c.icval) AS DOUBLE) / {S2} DESC, c.scid)
+      AS rn
+    FROM hpts p JOIN scent{split_iters} c
+      ON p.cell = c.cell AND p.pos = c.pos
+    GROUP BY p.id, p.cell, c.scid)
+  WHERE rn = 1),
+cellsf AS (
+  SELECT a.id, a.cid AS cell, CAST(coalesce(f.scid, 0) AS INT) AS sub
+  FROM assign a LEFT JOIN fbest f ON a.id = f.id),
+fcent AS (
+  SELECT c.cid AS cell, CAST(0 AS INT) AS sub, c.pos, c.icval
+  FROM cent{coarse_iters} c
+  WHERE c.cid NOT IN (SELECT cid FROM hot)
+  UNION ALL
+  SELECT cell, CAST(scid AS INT) AS sub, pos, icval
+  FROM scent{split_iters})""")
+    return ",\n".join(parts)
+
+
 def _ivfpq_sql(
     n_cells: int = 8,
     coarse_iters: int = 4,
@@ -2957,21 +3045,33 @@ def _ivfpq_sql(
     pq_iters: int = 3,
     n_probe: int = 2,
     k: int = 5,
+    max_cell_size: int | None = None,
+    split_iters: int = 2,
 ) -> str:
     """Replay of operators/ivfpq.py: the coarse k-means CTEs feed integer
     residual encoding, unrolled PQ codebook training on the residuals,
     probe ranking, and the q·c + ADC score — all exact integers until the
-    final division (REPRO.md pattern 8, composed)."""
+    final division (REPRO.md pattern 8, composed). With ``max_cell_size``
+    the hot-cell sub-split (ivfpq.py::_split_hot_cells) is replayed too:
+    residuals, probing, and candidate lists key on (cell, sub)."""
     S2 = 1_000_000_000_000
     parts = [_kmeans_cte(n_cells, coarse_iters)]
+    if max_cell_size is not None:
+        parts.append(_ivfpq_split_cte(coarse_iters, max_cell_size, split_iters))
+    else:
+        parts.append(f"""cellsf AS (
+  SELECT id, cid AS cell, CAST(0 AS INT) AS sub FROM assign),
+fcent AS (
+  SELECT cid AS cell, CAST(0 AS INT) AS sub, pos, icval
+  FROM cent{coarse_iters})""")
     parts.append(f"""dims AS (
   SELECT (max(pos) + 1) // {m} AS subdim FROM pts),
 rpts AS (
   SELECT p.id, CAST(p.pos // d.subdim AS INT) AS sub,
     p.pos % d.subdim AS spos, p.ival - c.icval AS ival
   FROM pts p
-  JOIN assign a ON p.id = a.id
-  JOIN cent{coarse_iters} c ON c.cid = a.cid AND c.pos = p.pos,
+  JOIN cellsf a ON p.id = a.id
+  JOIN fcent c ON c.cell = a.cell AND c.sub = a.sub AND c.pos = p.pos,
   dims d),
 pseeds AS (
   SELECT vec_id, CAST(rn - 1 AS INT) AS cid
@@ -3000,14 +3100,14 @@ pcent{j} AS (
   GROUP BY r.sub, b.cid, r.spos)""")
     parts.append(f"""pcodes AS {passign.format(prev=pq_iters)},
 qcell AS (
-  SELECT p.id AS qid, c.cid AS cell, sum(p.ival * c.icval) AS qc
-  FROM pts p JOIN cent{coarse_iters} c ON c.pos = p.pos
+  SELECT p.id AS qid, c.cell, c.sub, sum(p.ival * c.icval) AS qc
+  FROM pts p JOIN fcent c ON c.pos = p.pos
   WHERE p.id < 5
-  GROUP BY p.id, c.cid),
+  GROUP BY p.id, c.cell, c.sub),
 probed AS (
-  SELECT qid, cell, qc FROM (
+  SELECT qid, cell, sub, qc FROM (
     SELECT *, row_number() OVER (
-      PARTITION BY qid ORDER BY qc DESC, cell ASC) AS rn
+      PARTITION BY qid ORDER BY qc DESC, cell ASC, sub ASC) AS rn
     FROM qcell)
   WHERE rn <= {n_probe}),
 qsub AS (
@@ -3020,7 +3120,7 @@ tab AS (
   GROUP BY q.qid, q.sub, c.cid),
 cands AS (
   SELECT pr.qid, pr.qc, a.id
-  FROM probed pr JOIN assign a ON a.cid = pr.cell
+  FROM probed pr JOIN cellsf a ON a.cell = pr.cell AND a.sub = pr.sub
   WHERE a.id != pr.qid),
 adc AS (
   SELECT cn.qid, cn.id, cn.qc, sum(t.ip) AS adc
@@ -3037,7 +3137,7 @@ ranked AS (
       PARTITION BY query_id
       ORDER BY approx_sim DESC, neighbor_id ASC) AS INT) AS rank
   FROM scored)""")
-    return (
+    return _materialize_ctes(
         "WITH " + ",\n".join(parts)
         + f"""
 SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= {k}
@@ -3046,6 +3146,9 @@ SELECT query_id, neighbor_id, approx_sim, rank FROM ranked WHERE rank <= {k}
 
 
 ORACLES["embedding_topk_ivfpq"] = _ivfpq_sql()
+ORACLES["embedding_topk_ivfpq_hotsplit"] = _ivfpq_sql(
+    n_probe=3, max_cell_size=64
+)
 
 
 def _ivf_sql(n_cells: int = 16, iters: int = 4, n_probe: int = 4, k: int = 5) -> str:

@@ -4092,6 +4092,22 @@ def embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, queries_df, k=5)
 
 
+@register("embedding_topk_ivfpq_hotsplit")
+def embedding_topk_ivfpq_hotsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the hot-cell sub-split (r9 verdict #3): coarse cells
+    over ``max_cell_size`` members re-cluster in place (fixed-point
+    level-2 k-means, the kmeans_assign_hierarchical discipline) so a
+    dup-dense corpus's near-identical mass cannot turn one probed cell
+    into an unbounded rerank. Residuals, probing, and candidates key on
+    (cell, sub); the full composite — including the data-dependent split
+    membership — replays as unrolled SQL CTEs."""
+    from .operators.ivfpq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(emb, queries_df, k=5, n_probe=3, max_cell_size=64)
+
+
 @register("kmv_distinct_users")
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k cardinality sketch per event type: engine-independent

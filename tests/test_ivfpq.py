@@ -72,3 +72,97 @@ def test_ivfpq_rejects_indivisible_dim(spark):
     df = _df(spark, [(0, np.ones(6))])
     with pytest.raises(ValueError):
         ivfpq.ivfpq_topk(df, df, m=4)
+
+
+def test_hotsplit_huge_cap_is_identity(spark):
+    """max_cell_size larger than any cell ⇒ nothing splits ⇒ results are
+    row-identical to the unsplit operator."""
+    rng = np.random.default_rng(31)
+    df = _df(spark, _corpus(rng))
+    q = df.filter(F.col("vec_id") < 3)
+    base = sorted(
+        map(tuple, ivfpq.ivfpq_topk(df, q, k=4, n_cells=4).collect())
+    )
+    capped = sorted(
+        map(
+            tuple,
+            ivfpq.ivfpq_topk(
+                df, q, k=4, n_cells=4, max_cell_size=10**9
+            ).collect(),
+        )
+    )
+    assert base == capped
+
+
+def test_hotsplit_breaks_up_dup_dense_cell(spark):
+    """Dup-dense corpus (60% of vectors near-identical): the hot cell
+    must split into sub-cells so no single (cell, sub) unit carries the
+    whole near-identical mass, and the planted near-dup must still be
+    retrieved from the query's own sub-cell."""
+    rng = np.random.default_rng(41)
+    dim, n_hot, n_bg = 8, 60, 40
+    hot_base = np.ones(dim) * 5.0
+    rows = [(i, hot_base + rng.normal(0, 1e-3, dim)) for i in range(n_hot)]
+    bg = np.eye(4, dim) * 10.0
+    rows += [
+        (n_hot + i, bg[i % 4] + rng.normal(0, 0.8, dim)) for i in range(n_bg)
+    ]
+    df = _df(spark, rows)
+
+    from ideafast_etl_spark.operators.clustering import (
+        _pos_exploded,
+        kmeans_fit,
+    )
+    from ideafast_etl_spark.operators.ivfpq import _split_hot_cells
+
+    assign, coarse = kmeans_fit(df, "embedding", "vec_id", k=4, iters=4)
+    cells = assign.select(
+        F.col("vec_id").alias("__id"), F.col("cluster_id").alias("cell")
+    )
+    pts = _pos_exploded(df, "vec_id", "embedding")
+    cap = 20
+    cells2, fcent = _split_hot_cells(pts, cells, coarse, cap, split_iters=2)
+
+    hot_before = max(
+        r["n"] for r in cells.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    )
+    sizes_after = [
+        r["n"]
+        for r in cells2.groupBy("cell", "sub")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert hot_before > cap  # the skew actually exists
+    assert any(r["sub"] > 0 for r in cells2.collect())  # cells DID split
+    assert max(sizes_after) < hot_before  # the hot mass was broken up
+    # centroid set is consistent: every (cell, sub) unit has a centroid
+    cent_units = {
+        (r["cell"], r["sub"]) for r in fcent.select("cell", "sub").distinct().collect()
+    }
+    member_units = {(r["cell"], r["sub"]) for r in cells2.collect()}
+    assert member_units <= cent_units
+
+    # end-to-end: near-dup of query 0 still retrieved under the split
+    out = ivfpq.ivfpq_topk(
+        df,
+        df.filter(F.col("vec_id") == 0),
+        k=3,
+        n_cells=4,
+        n_probe=2,
+        max_cell_size=cap,
+    ).collect()
+    assert len(out) == 3
+    assert out[0]["neighbor_id"] in range(1, n_hot)  # a hot twin ranks first
+
+
+def test_hotsplit_deterministic_under_repartition(spark):
+    rng = np.random.default_rng(53)
+    rows = _corpus(rng)
+    df = _df(spark, rows)
+    q = df.filter(F.col("vec_id") < 2)
+    kw = dict(k=4, n_cells=4, max_cell_size=8)
+    a = sorted(map(tuple, ivfpq.ivfpq_topk(df, q, **kw).collect()))
+    b = sorted(
+        map(tuple, ivfpq.ivfpq_topk(df.repartition(13), q, **kw).collect())
+    )
+    assert a == b
