@@ -156,17 +156,20 @@ def bfs_hops(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     )
+    # PRE-PARTITION on the join key unconditionally — audit mode must see
+    # the same edge-side plan shape production runs (r9 ADVICE). While
+    # the frontier is small each hop's join broadcasts it (observed
+    # BroadcastHashJoin — edges never move); once a frontier outgrows the
+    # broadcast threshold and AQE falls back to a shuffle join, the
+    # cached plan's outputPartitioning already satisfies the edge side's
+    # requirement, so only the frontier shuffles — the edge table is
+    # never re-shuffled per hop in either regime. Only the persist (an
+    # execution-side effect) stays gated on checkpoint mode.
+    e = e.repartition(
+        edges.sparkSession.sparkContext.defaultParallelism, "src"
+    )
     if do_ckpt:
-        # persist PRE-PARTITIONED on the join key. While the frontier is
-        # small each hop's join broadcasts it (observed BroadcastHashJoin
-        # — edges never move); once a frontier outgrows the broadcast
-        # threshold and AQE falls back to a shuffle join, the cached
-        # plan's outputPartitioning already satisfies the edge side's
-        # requirement, so only the frontier shuffles — the edge table is
-        # never re-shuffled per hop in either regime
-        e = e.repartition(
-            edges.sparkSession.sparkContext.defaultParallelism, "src"
-        ).persist()
+        e = e.persist()
     visited = _ck(
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
         .distinct()

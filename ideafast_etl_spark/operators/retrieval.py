@@ -221,6 +221,20 @@ def rrf_fuse(
     )
 
 
+def _collect_tuples(df: DataFrame) -> list[tuple]:
+    """Collect a bounded relation as plain tuples via one columnar Arrow
+    pull — a few machine words per value instead of the ~hundreds of
+    bytes a PySpark Row costs, which matters when the config-bounded
+    relation is millions of rows on a small-heap driver (r9 ADVICE)."""
+    try:
+        tbl = df.toArrow()
+    except Exception:  # non-Arrow-convertible types: fall back to rows
+        return [tuple(r) for r in df.collect()]
+    return list(
+        zip(*(tbl.column(i).to_pylist() for i in range(tbl.num_columns)))
+    )
+
+
 def _mmr_greedy_driver(
     spark, cand: DataFrame, k: int, lam_num: int, lam_den: int
 ) -> DataFrame:
@@ -240,29 +254,26 @@ def _mmr_greedy_driver(
         F.col("query_id").alias("qb"), F.col("neighbor_id").alias("b"),
         F.col("vec").alias("bv"),
     )
-    pair_rows = (
+    pair_rows = _collect_tuples(
         a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("a") != F.col("b")))
         .select(
             "query_id", "a", "b",
             F.round(dot(F.col("av"), F.col("bv")) * 1e6, 0)
             .cast("long").alias("sim_fp"),
         )
-        .collect()
     )
-    cand_rows = cand.select(
-        "query_id", "neighbor_id", "rel_fp", "rn"
-    ).collect()
+    cand_rows = _collect_tuples(
+        cand.select("query_id", "neighbor_id", "rel_fp", "rn")
+    )
 
     sim: dict = {}
-    for r in pair_rows:
-        sim[(r["query_id"], r["a"], r["b"])] = r["sim_fp"]
+    for qid, ia, ib, sim_fp in pair_rows:
+        sim[(qid, ia, ib)] = sim_fp
     rel: dict = {}
     by_q: dict = {}
-    for r in cand_rows:
-        rel[(r["query_id"], r["neighbor_id"])] = r["rel_fp"]
-        by_q.setdefault(r["query_id"], []).append(
-            (r["rn"], r["neighbor_id"])
-        )
+    for qid, nid, rel_fp, rn in cand_rows:
+        rel[(qid, nid)] = rel_fp
+        by_q.setdefault(qid, []).append((rn, nid))
 
     out = []
     for qid, members in by_q.items():
@@ -319,6 +330,7 @@ def mmr_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     loop: str = "auto",
+    driver_pair_limit: int = 2_000_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein,
     SIGIR 1998): greedily select ``k`` of the ``pool`` most relevant
@@ -350,7 +362,13 @@ def mmr_rerank(
       (ranking.py); it replaces k-1 sequential barrier jobs with two
       small collects.
     - ``"auto"`` (default): driver when the collected pair relation is
-      under ~2M rows (|cand| * pool), distributed above.
+      under ``driver_pair_limit`` rows (|cand| * pool), distributed
+      above. Size the limit to the driver's heap — the default 2M
+      integer 4-tuples land well under 1 GiB as a columnar Arrow pull,
+      but a small-driver deployment can lower it. Under plan-audit mode
+      (``checkpoints_enabled()`` false) auto ALWAYS picks distributed:
+      audit/explain tooling must never trigger eager jobs or get a
+      lineage-free ``createDataFrame`` result with no plan to audit.
 
     Float discipline: relevance and pairwise similarities are quantized to
     integer micro-units (round(cos * 1e6) as long) immediately after the
@@ -367,6 +385,11 @@ def mmr_rerank(
     from ..plan_audit import checkpoints_enabled
     from .similarity import dot, unit_normalized
 
+    if loop not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            "loop must be one of 'auto', 'driver', 'distributed'; "
+            f"got {loop!r}"
+        )
     spark = df.sparkSession
     do_ckpt = checkpoints_enabled()
 
@@ -402,10 +425,17 @@ def mmr_rerank(
     ).select("query_id", "neighbor_id", "rel_fp", "rn", "vec")
     cand = _ckpt(cand)  # bounded: queries x pool rows
     if loop == "auto":
-        # cand is checkpointed and config-bounded — counting it is a
-        # metadata-cheap job, and |cand| * pool bounds the pair relation
-        # the driver loop would collect
-        loop = "driver" if cand.count() * pool <= 2_000_000 else "distributed"
+        if not do_ckpt:
+            loop = "distributed"  # audit mode: no eager jobs, keep a plan
+        else:
+            # cand is checkpointed and config-bounded — counting it is a
+            # metadata-cheap job, and |cand| * pool bounds the pair
+            # relation the driver loop would collect
+            loop = (
+                "driver"
+                if cand.count() * pool <= driver_pair_limit
+                else "distributed"
+            )
     if loop == "driver":
         return _mmr_greedy_driver(
             spark, cand, k, lam_num, lam_den

@@ -70,10 +70,14 @@ def corpus_prep(
     # sort key), and boilerplate-identical docs funnel into one window
     # task while min_by collapses them map-side. sha256 equality as
     # exact identity is the repo-wide convention (X1 record hash,
-    # exact_dedup).
+    # exact_dedup); grouping additionally on length(norm) is a near-free
+    # collision guard — a colliding pair of DIFFERENT texts would have to
+    # collide at equal length too to be merged (r9 ADVICE).
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     d4 = _ck(
-        d3.groupBy(F.sha2(norm, 256).alias("__k"))
+        d3.groupBy(
+            F.sha2(norm, 256).alias("__k"), F.length(norm).alias("__len")
+        )
         .agg(
             F.min_by(
                 F.struct("doc_id", "text"), F.col("doc_id")

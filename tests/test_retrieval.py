@@ -379,3 +379,43 @@ def test_bm25_incremental_append_equals_full_rebuild(spark, tmp_path):
     assert got_inc == sorted(
         map(tuple, bm25_scores(all_docs, terms).collect())
     )
+
+
+def test_mmr_rejects_unknown_loop(spark):
+    """An unrecognized loop value must error, not silently fall through
+    to the distributed branch (r9 ADVICE)."""
+    import pytest
+
+    from ideafast_etl_spark.operators.retrieval import mmr_rerank
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter("vec_id = 0")
+    with pytest.raises(ValueError, match="loop"):
+        mmr_rerank(df, q, k=2, pool=3, loop="Driver")
+
+
+def test_mmr_auto_under_plan_audit_keeps_a_plan_and_runs_no_jobs(spark):
+    """loop='auto' in no_checkpoints (plan-audit) mode must pick the
+    distributed branch WITHOUT running the eager candidate count — the
+    result needs an auditable lineage, and audit tooling must never
+    trigger full jobs (r9 ADVICE)."""
+    from ideafast_etl_spark.operators.retrieval import mmr_rerank
+    from ideafast_etl_spark.plan_audit import no_checkpoints
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter("vec_id < 2")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    with no_checkpoints():
+        out = mmr_rerank(df, q, k=2, pool=3, loop="auto")
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # construction ran zero Spark jobs
+    assert "LocalRelation" not in plan.split("\n")[0]  # a real plan, not
+    # a collected createDataFrame result
