@@ -38,13 +38,18 @@ from ..functions.text import norm_text
 _FP = 1_000_000  # fixed-point grid for log-prob quantization
 
 
-def _grams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
-    """(id, ctx, w) rows: every n-gram as (n-1)-word context + next word.
-    Built entirely JVM-side: one token split + one generator explode."""
-    assert n >= 2, "need at least bigrams (n >= 2)"
-    toks = df.select(
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, t) token-array relation — THE one tokenize pass; everything
+    else (grams, vocab) derives from it."""
+    return df.select(
         F.col(id_col), F.split(norm_text(F.col(text_col)), " ").alias("t")
     )
+
+
+def _grams_from_tokens(toks: DataFrame, n: int, id_col: str) -> DataFrame:
+    """(id, ctx, w) rows from a token-array relation: every n-gram as
+    (n-1)-word context + next word, via one generator explode JVM-side."""
+    assert n >= 2, "need at least bigrams (n >= 2)"
     gram = (
         f"transform(sequence(1, size(t) - {n - 1}), i -> "
         f"struct(array_join(slice(t, i, {n - 1}), ' ') AS ctx, "
@@ -55,6 +60,12 @@ def _grams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
         .select(F.col(id_col), F.explode(F.expr(gram)).alias("g"))
         .select(id_col, F.col("g.ctx").alias("ctx"), F.col("g.w").alias("w"))
     )
+
+
+def _grams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, ctx, w) rows: every n-gram as (n-1)-word context + next word.
+    Built entirely JVM-side: one token split + one generator explode."""
+    return _grams_from_tokens(_tokens(df, text_col, id_col), n, id_col)
 
 
 def train_ngram_lm(
@@ -117,11 +128,25 @@ def score_perplexity(
     occurrence-stream form super-linear between 10x and 100x because the
     giants' token mass swamped four string-keyed join shuffles; the
     distinct form keeps per-doc join work O(distinct grams)."""
-    grams = _grams(df, n, text_col, id_col).groupBy(
+    occ = _grams(df, n, text_col, id_col).groupBy(
         id_col, "ctx", "w"
     ).agg(F.count(F.lit(1)).alias("c_occ"))
+    return _addk_scores(occ, ngram_counts, context_counts, vocab, k, id_col)
+
+
+def _addk_scores(
+    occ: DataFrame,
+    ngram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab: DataFrame,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Add-k scoring tail over the DISTINCT (id, ctx, w, c_occ) probe
+    relation — shared by :func:`score_perplexity` and the fused
+    single-tokenize :func:`ngram_lm_perplexity`."""
     joined = (
-        grams.join(ngram_counts, ["ctx", "w"], "left")
+        occ.join(ngram_counts, ["ctx", "w"], "left")
         .join(context_counts, ["ctx"], "left")
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -193,6 +218,26 @@ def score_kn_perplexity(
     relation with an occurrence count (c_occ * lp_fp is an exact integer
     multiply), so repetitive giant documents cost O(distinct grams) in
     every join, not O(tokens)."""
+    occ = _grams(df, n, text_col, id_col).groupBy(
+        id_col, "ctx", "w"
+    ).agg(F.count(F.lit(1)).alias("c_occ"))
+    return _kn_scores(
+        occ, ngram_counts, context_counts, vocab, discount, id_col
+    )
+
+
+def _kn_scores(
+    occ: DataFrame,
+    ngram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab: DataFrame,
+    discount: float,
+    id_col: str,
+) -> DataFrame:
+    """Kneser-Ney scoring tail over the DISTINCT (id, ctx, w, c_occ)
+    probe relation — shared by :func:`score_kn_perplexity` and the fused
+    single-tokenize :func:`ngram_lm_perplexity`. The continuation counts
+    derive from ``ngram_counts``, so no additional corpus pass."""
     n1p_ctx = ngram_counts.groupBy("ctx").agg(
         F.count(F.lit(1)).alias("n1p_ctx")
     )
@@ -200,11 +245,8 @@ def score_kn_perplexity(
         F.count(F.lit(1)).alias("n1p_left")
     )
     n_types = ngram_counts.agg(F.count(F.lit(1)).alias("n_types"))
-    grams = _grams(df, n, text_col, id_col).groupBy(
-        id_col, "ctx", "w"
-    ).agg(F.count(F.lit(1)).alias("c_occ"))
     joined = (
-        grams.join(ngram_counts, ["ctx", "w"], "left")
+        occ.join(ngram_counts, ["ctx", "w"], "left")
         .join(context_counts, ["ctx"], "left")
         .join(n1p_ctx, ["ctx"], "left")
         .join(n1p_left, ["w"], "left")
@@ -251,4 +293,65 @@ def score_kn_perplexity(
         F.col("n_ngrams"),
         (avg_fp.cast("double") / F.lit(_FP)).alias("avg_logprob"),
         F.round(F.exp(-avg), 4).alias("perplexity"),
+    )
+
+
+def ngram_lm_perplexity(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 1,
+    smoothing: str = "addk",
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train-and-score over ONE corpus with ONE gram pass (r9 verdict
+    #5). ``train_ngram_lm`` + ``score_*`` compose as three independent
+    tokenize+explode passes (train grams, score grams, vocab distinct)
+    with TWO full-size gram-stream shuffles; at the 100x sweep their
+    combined shuffle left page cache. Here every training count rolls up
+    from the SAME distinct per-doc gram relation ``occ`` (id, ctx, w,
+    c_occ) the probe side scores against:
+
+        c(ctx, w) = Σ_docs c_occ      — an exact integer identity,
+
+    so the per-occurrence gram stream is exploded and shuffled ONCE (the
+    occ aggregate — AQE's stage cache reuses the identical exchange
+    across the probe and training consumers) and the training tables are
+    rollups of its bounded output. The vocabulary distinct keeps its own
+    tokenize of the raw text (it must see tokens of sub-n-gram docs that
+    the gram stream excludes): 2 corpus passes total, down from 3, and
+    one corpus-sized shuffle, down from 2.
+
+    Output is bit-identical to the composed form — same count tables,
+    same fixed-point scoring tail (``_addk_scores`` / ``_kn_scores`` are
+    shared code), so it inherits the composed operators' oracles. The
+    operator is fully lazy (no persist, no checkpoint), so the audited
+    plan IS the production plan.
+
+    ``smoothing``: "addk" (add-k, see :func:`score_perplexity`) or "kn"
+    (interpolated Kneser-Ney, see :func:`score_kn_perplexity`)."""
+    if smoothing not in ("addk", "kn"):
+        raise ValueError(
+            f"smoothing must be 'addk' or 'kn'; got {smoothing!r}"
+        )
+    toks = _tokens(df, text_col, id_col)
+    occ = (
+        _grams_from_tokens(toks, n, id_col)
+        .groupBy(id_col, "ctx", "w")
+        .agg(F.count(F.lit(1)).alias("c_occ"))
+    )
+    ngram_counts = occ.groupBy("ctx", "w").agg(F.sum("c_occ").alias("c_nw"))
+    context_counts = ngram_counts.groupBy("ctx").agg(
+        F.sum("c_nw").alias("c_ctx")
+    )
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.count_distinct("w").alias("n_vocab")
+    )
+    if smoothing == "addk":
+        return _addk_scores(
+            occ, ngram_counts, context_counts, vocab, k, id_col
+        )
+    return _kn_scores(
+        occ, ngram_counts, context_counts, vocab, discount, id_col
     )

@@ -2925,12 +2925,13 @@ def ngram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document. Two keyed aggs to train, two vocabulary-sized
     equi-joins + one per-doc agg to score; the per-doc log-prob sum is a
     fixed-point LONG sum (REPRO.md pattern), so the value is deterministic
-    at any parallelism and engine."""
-    from .operators.lm import score_perplexity, train_ngram_lm
+    at any parallelism and engine. Train + score run in ONE tokenize pass
+    (the fused operator; r9 verdict #5) — bit-identical to the composed
+    train_ngram_lm + score_perplexity, same oracle."""
+    from .operators.lm import ngram_lm_perplexity
 
     docs = _t(spark, sf_dir, "documents")
-    nc, cc, v = train_ngram_lm(docs, n=2)
-    return score_perplexity(docs, nc, cc, v, n=2, k=1)
+    return ngram_lm_perplexity(docs, n=2, k=1)
 
 
 @register("span_dedup")
@@ -3222,12 +3223,12 @@ def kneser_ney_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing CCNet-grade LM filters actually use). Continuation counts
     are three more vocabulary-sized aggregates joining on the same gram
     keys; d=0.75 is binary-exact so the float expression tree is
-    bit-identical across engines; per-doc sums are fixed-point longs."""
-    from .operators.lm import score_kn_perplexity, train_ngram_lm
+    bit-identical across engines; per-doc sums are fixed-point longs.
+    One tokenize pass via the fused operator (r9 verdict #5)."""
+    from .operators.lm import ngram_lm_perplexity
 
     docs = _t(spark, sf_dir, "documents")
-    nc, cc, v = train_ngram_lm(docs, n=2)
-    return score_kn_perplexity(docs, nc, cc, v, n=2)
+    return ngram_lm_perplexity(docs, n=2, smoothing="kn")
 
 
 @register("bloom_decontaminate")
@@ -3856,12 +3857,19 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plan_audit import checkpoints_enabled
 
     docs = _t(spark, sf_dir, "documents")
+    # COMPOSED train+score here, not the fused single-gram-pass operator:
+    # this query materialises the whole scored relation (localCheckpoint
+    # below), and under full materialisation the fused form's extra
+    # (id, ctx, w) shuffle on the training side outweighs its saved
+    # tokenizes — measured cold at doc-skew 100x: composed 774.6 s vs
+    # fused 881.8 s (SCALE.md r10). The fused operator wins for the
+    # scoring-only actions (ngram_lm_perplexity 144.5 -> 59.2 s solo).
     nc, cc, v = train_ngram_lm(docs, n=2)
     scored = score_kn_perplexity(docs, nc, cc, v, n=2)
     if checkpoints_enabled():
         # scored is doc-count-sized (id, perplexity); materialise it once —
         # total and the rank stage otherwise each re-execute the full
-        # train+score join DAG over the corpus
+        # train+score DAG over the corpus
         scored = scored.localCheckpoint(eager=True)
     total = scored.count()
     ranked = global_rank(
