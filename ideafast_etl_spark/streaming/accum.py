@@ -229,7 +229,11 @@ def read_accumulation(spark: SparkSession, accum_dir: str) -> DataFrame:
 
 
 def compact_accumulation(
-    spark: SparkSession, accum_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    accum_dir: str,
+    checkpoint_dir: str,
+    retain_batches: int | None = None,
+    retain_col: str = "batch_id",
 ) -> int:
     """Fold every committed ``batch-<id>`` directory (plus the previous
     consolidated snapshot) into one ``compactdata-<maxid>`` snapshot
@@ -237,7 +241,21 @@ def compact_accumulation(
     directories folded. Replay-safe by construction: only committed ids
     fold, and the one batch a restart can replay is by definition
     uncommitted. Idempotent, crash-recoverable, and rename-free — see
-    module docstring."""
+    module docstring.
+
+    ``retain_batches`` (r9 verdict #6) adds a retention horizon for LOG
+    accumulations (dup-pair logs, quarantines) that would otherwise keep
+    every row forever: the consolidated snapshot keeps only rows whose
+    ``retain_col`` (stamped at write time by the producing stream) lies
+    within the last ``retain_batches`` committed batches; older rows are
+    expired AT COMPACTION TIME, never from live batch dirs. The horizon
+    moves with the committed high-water mark, so replays cannot
+    resurrect expired rows (the only replayable batch is above the
+    high-water mark by definition), and the exactly-once machinery —
+    checkpoint commit markers, batch-dir overwrite discipline — is
+    untouched. Do NOT set it on state relations the stream reads back
+    for decisions (e.g. near-dup signature state): expiring those
+    re-admits what they remember."""
     root = accum_dir.rstrip("/")
     _repair(root)
     committed = committed_ids(checkpoint_dir)
@@ -251,12 +269,19 @@ def compact_accumulation(
     data_name = f"compactdata-{new_hwm}"
     # data first (invisible until a manifest references it; a crashed
     # attempt is overwritten by the retry), then the manifest PUT commits
-    (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(*srcs)
-        .write.mode("overwrite")
-        .parquet(os.path.join(root, data_name))
-    )
+    folded = spark.read.option("recursiveFileLookup", "true").parquet(*srcs)
+    if retain_batches is not None:
+        from pyspark.sql import functions as F
+
+        folded = folded.filter(
+            F.col(retain_col) > F.lit(new_hwm - retain_batches)
+        )
+        if folded.isEmpty():
+            # a partitionless write of an empty frame can emit no
+            # schema-bearing file; one empty part keeps the snapshot
+            # readable (the state-store empty-write discipline)
+            folded = folded.repartition(1)
+    folded.write.mode("overwrite").parquet(os.path.join(root, data_name))
     put_manifest(_manifest_dir(root), new_hwm, {"data": data_name})
     # committed from here; remnant removal below is repaired on crash
     if comp:

@@ -37,6 +37,7 @@ def run_jsonl_ingest_stream(
     quarantine_dir: str,
     checkpoint_dir: str | None = None,
     compact_after_batches: int | None = None,
+    quarantine_retain_batches: int | None = None,
 ) -> StreamingQuery:
     """Drain ``source_dir`` (``*.jsonl`` text files) into the accumulated
     corpus + quarantine relations. Exactly-once per shard via the file
@@ -47,7 +48,13 @@ def run_jsonl_ingest_stream(
     ``compact_after_batches``: fold committed batch directories into one
     consolidated snapshot whenever either accumulation holds that many
     (accum.compact_accumulation) — bounds the directory growth of a
-    long-lived ingest without giving back the O(delta) writes."""
+    long-lived ingest without giving back the O(delta) writes.
+
+    ``quarantine_retain_batches`` (r9 verdict #6): expire quarantined
+    lines older than that many committed batches at compaction time —
+    without it a year of drains keeps every malformed line forever. The
+    CORPUS accumulation is never retention-filtered (it is the data, not
+    a log), and the file-source exactly-once markers are untouched."""
     if checkpoint_dir is None:
         checkpoint_dir = corpus_dir.rstrip("/") + ".checkpoint"
     guard_fresh_checkpoint(checkpoint_dir, corpus_dir, quarantine_dir)
@@ -65,9 +72,14 @@ def run_jsonl_ingest_stream(
         if compact_after_batches is not None:
             from .accum import _batch_dirs
 
-            for d in (corpus_dir, quarantine_dir):
+            for d, retain in (
+                (corpus_dir, None),
+                (quarantine_dir, quarantine_retain_batches),
+            ):
                 if len(_batch_dirs(d)) >= compact_after_batches:
-                    compact_accumulation(spark, d, checkpoint_dir)
+                    compact_accumulation(
+                        spark, d, checkpoint_dir, retain_batches=retain
+                    )
 
     stream = (
         spark.readStream.format("text")

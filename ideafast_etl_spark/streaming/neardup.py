@@ -223,6 +223,7 @@ def run_streaming_near_dup(
     dup_log_dir: str | None = None,
     compact_after_batches: int | None = None,
     candidates: str = "all",
+    dup_log_retain_batches: int | None = None,
 ) -> StreamingQuery:
     """Drain available files; per micro-batch detect near-dups against the
     signature state, sink the duplicate pairs to ``dup_log_dir`` (default
@@ -237,7 +238,9 @@ def run_streaming_near_dup(
     ``candidates="star"`` applies the batch operators' dup-density
     posture to the in-batch self-join (see :func:`batch_near_dups`) —
     the setting for drop directories that can contain dup-dense
-    deliveries."""
+    deliveries. ``dup_log_retain_batches`` expires pair-log rows older
+    than that many committed batches at compaction time (the signature
+    state is never retention-filtered — see compact_accumulation)."""
     from .accum import (
         _batch_dirs,
         compact_accumulation,
@@ -257,9 +260,17 @@ def run_streaming_near_dup(
             dup_log=dup_log, candidates=candidates,
         )
         if compact_after_batches is not None:
-            for d in (state_dir, dup_log_dir):
+            # the signature STATE is never retention-filtered — expiring
+            # what the dedup remembers would re-admit old duplicates; only
+            # the pair LOG ages out (r9 verdict #6)
+            for d, retain in (
+                (state_dir, None),
+                (dup_log_dir, dup_log_retain_batches),
+            ):
                 if len(_batch_dirs(d)) >= compact_after_batches:
-                    compact_accumulation(spark, d, checkpoint_dir)
+                    compact_accumulation(
+                        spark, d, checkpoint_dir, retain_batches=retain
+                    )
 
     stream = spark.readStream.format(fmt).schema(schema).load(source_dir)
     return (

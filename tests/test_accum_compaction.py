@@ -314,3 +314,116 @@ def test_legacy_rename_committed_snapshot_still_reads_and_migrates(
     assert _ids(spark, root) == [1, 2, 3]
     assert not os.path.exists(f"{root}/compact-1")
     assert {os.path.basename(p) for p in live_paths(root)} == {"compactdata-2"}
+
+
+# ---------------------------------------------------------------------------
+# Retention (r9 verdict #6): log accumulations expire rows older than a
+# committed-batch horizon at compaction time; replay idempotence and the
+# exactly-once markers survive a retention pass.
+# ---------------------------------------------------------------------------
+
+
+def test_retention_expires_old_rows_at_compaction(spark, tmp_path):
+    root, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    # rows carry their producing batch id (the quarantine/pair-log shape)
+    os.makedirs(f"{ckpt}/offsets", exist_ok=True)
+    os.makedirs(f"{ckpt}/commits", exist_ok=True)
+    for bid in range(4):
+        spark.createDataFrame(
+            [(bid, f"line-{bid}")], "batch_id long, line string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/batch-{bid}")
+        for d in ("offsets", "commits"):
+            with open(f"{ckpt}/{d}/{bid}", "w") as f:
+                f.write("{}")
+
+    assert compact_accumulation(spark, root, ckpt, retain_batches=2) == 4
+    kept = sorted(r.batch_id for r in read_accumulation(spark, root).collect())
+    assert kept == [2, 3]  # horizon = hwm(3) - 2 → batches 0,1 expired
+
+    # a later drain + retention pass moves the horizon forward
+    spark.createDataFrame(
+        [(4, "line-4")], "batch_id long, line string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/batch-4")
+    for d in ("offsets", "commits"):
+        with open(f"{ckpt}/{d}/4", "w") as f:
+            f.write("{}")
+    assert compact_accumulation(spark, root, ckpt, retain_batches=2) == 1
+    kept = sorted(r.batch_id for r in read_accumulation(spark, root).collect())
+    assert kept == [3, 4]
+
+
+def test_retention_preserves_replay_idempotence(spark, tmp_path):
+    """A batch replayed AFTER a retention pass (crash between its write
+    and the checkpoint commit) still overwrites only its own directory,
+    and the next retention compaction converges — expired rows stay
+    expired, the replayed rows land exactly once."""
+    root, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    os.makedirs(f"{ckpt}/offsets", exist_ok=True)
+    os.makedirs(f"{ckpt}/commits", exist_ok=True)
+
+    def _write(bid, committed=True):
+        spark.createDataFrame(
+            [(bid, f"line-{bid}")], "batch_id long, line string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/batch-{bid}")
+        with open(f"{ckpt}/offsets/{bid}", "w") as f:
+            f.write("{}")
+        if committed:
+            with open(f"{ckpt}/commits/{bid}", "w") as f:
+                f.write("{}")
+
+    for bid in range(3):
+        _write(bid)
+    assert compact_accumulation(spark, root, ckpt, retain_batches=2) == 3
+
+    # batch 3 written but crash before commit; restart replays it
+    _write(3, committed=False)
+    _write(3, committed=False)  # the replay: same dir, overwrite
+    with open(f"{ckpt}/commits/3", "w") as f:
+        f.write("{}")
+
+    got = sorted(r.batch_id for r in read_accumulation(spark, root).collect())
+    assert got == [1, 2, 3]  # batch 0 stays expired, batch 3 exactly once
+    assert compact_accumulation(spark, root, ckpt, retain_batches=2) == 1
+    got = sorted(r.batch_id for r in read_accumulation(spark, root).collect())
+    assert got == [2, 3]
+
+
+def test_retention_all_rows_expired_stays_readable(spark, tmp_path):
+    root, ckpt = str(tmp_path / "log"), str(tmp_path / "ck")
+    os.makedirs(f"{ckpt}/offsets", exist_ok=True)
+    os.makedirs(f"{ckpt}/commits", exist_ok=True)
+    spark.createDataFrame(
+        [(0, "old")], "batch_id long, line string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/batch-0")
+    for d in ("offsets", "commits"):
+        with open(f"{ckpt}/{d}/5", "w") as f:
+            f.write("{}")
+    os.replace(f"{root}/batch-0", f"{root}/batch-5")
+    assert compact_accumulation(spark, root, ckpt, retain_batches=1) == 1
+    # batch 5's row has batch_id 0 → expired; the snapshot must still read
+    assert read_accumulation(spark, root).count() == 0
+    assert read_accumulation(spark, root).columns == ["batch_id", "line"]
+
+
+def test_jsonl_quarantine_retention_e2e(spark, tmp_path):
+    """End-to-end: the quarantine ages out by the configured horizon
+    while the corpus keeps every good row."""
+    src, corpus, quar, ckpt = _setup(tmp_path)
+    kw = dict(compact_after_batches=1, quarantine_retain_batches=1)
+    _shard(tmp_path, "w1.jsonl", [1])
+    _drain(spark, src, corpus, quar, ckpt, **kw)
+    _shard(tmp_path, "w2.jsonl", [2])
+    _drain(spark, src, corpus, quar, ckpt, **kw)
+    _shard(tmp_path, "w3.jsonl", [3])
+    _drain(spark, src, corpus, quar, ckpt, **kw)
+
+    good = sorted(r.doc_id for r in read_ingested(spark, corpus).collect())
+    assert good == [1, 2, 3]  # corpus NEVER retention-filtered
+    # each drain wrote one BROKEN quarantine line; after the final
+    # compaction only batches > hwm-1 survive in the snapshot, plus the
+    # uncompacted tail batch
+    quar_batches = sorted(
+        r.batch_id for r in read_ingested(spark, quar).collect()
+    )
+    assert len(quar_batches) < 3
+    assert quar_batches[-1] == 2
