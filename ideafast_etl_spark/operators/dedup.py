@@ -219,12 +219,41 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def _auto_candidates(
+    banded: DataFrame, n_bands: int, pairs_per_doc: float
+) -> str:
+    """Data-driven all/star selection (r9 verdict #7 — the
+    ``mmr_rerank`` ``loop="auto"`` pattern): ONE bounded diagnostic
+    aggregation over the band buckets computes the exact all-pairs
+    candidate volume Σ_buckets C(c, 2); above ``pairs_per_doc · n_docs``
+    the quadratic enumeration is degenerate duplicate density and the
+    star posture is selected. On a uniform corpus bucket sizes are O(1)
+    and the volume is ≲ the true dup-pair count, so the baseline stays.
+    Under plan-audit mode (checkpoints disabled) no job may run: auto
+    resolves to "star", the scale-safe posture, deterministically."""
+    if not checkpoints_enabled():
+        return "star"
+    r = (
+        banded.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
+            F.sum("c").alias("rows"),
+        )
+        .first()
+    )
+    pairs = float(r["pairs"] or 0.0)
+    n_docs = float(r["rows"] or 0) / max(n_bands, 1)
+    return "star" if pairs > pairs_per_doc * max(n_docs, 1.0) else "all"
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
     candidates: str = "all",
+    auto_pairs_per_doc: float = 8.0,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signature → banded candidates → exact
     Jaccard verify on candidates only. Returns (id_a, id_b, jaccard_sim)
@@ -260,8 +289,12 @@ def minhash_near_dup_pairs(
     rejects hash-collision members individually), at the cost of not
     ENUMERATING every in-cluster pair — the production posture for
     degenerate duplicate density, and the semantics its own differential
-    oracle replays (``minhash_near_dup_star``)."""
-    if candidates not in ("all", "star"):
+    oracle replays (``minhash_near_dup_star``). ``"auto"`` measures the
+    band-bucket size distribution (one bounded diagnostic agg over the
+    persisted shingle relation — see :func:`_auto_candidates`) and flips
+    to star when the all-pairs volume exceeds ``auto_pairs_per_doc``
+    candidates per document."""
+    if candidates not in ("all", "star", "auto"):
         raise ValueError(f"unknown candidates mode {candidates!r}")
     do_ckpt = checkpoints_enabled()
     sh = shingle_rows(_spread(df, id_col), text_col, id_col)
@@ -298,6 +331,8 @@ def minhash_near_dup_pairs(
         banded = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
             id_col, "bk.band", "bk.band_key"
         )
+        if candidates == "auto":
+            candidates = _auto_candidates(banded, LSH_BANDS, auto_pairs_per_doc)
         if candidates == "star":
             reps = banded.groupBy("band", "band_key").agg(
                 F.min(id_col).alias("id_a")
@@ -590,6 +625,7 @@ def simhash_near_dup_pairs(
     n_bands: int = 4,
     max_df_ratio: float = 0.25,
     candidates: str = "all",
+    auto_pairs_per_doc: float = 8.0,
 ) -> DataFrame:
     """SimHash near-dup: pairs whose fingerprints differ in ≤ ``max_hamming``
     bits. Banded multi-probe candidate generation (pigeonhole: a pair within
@@ -606,9 +642,13 @@ def simhash_near_dup_pairs(
     ``candidates="star"``: bucket-representative candidates (member ↔
     bucket-min pairs) instead of the quadratic in-bucket self-join — the
     degenerate-duplicate-density posture; see
-    :func:`minhash_near_dup_pairs` for the semantics trade."""
+    :func:`minhash_near_dup_pairs` for the semantics trade. ``"auto"``
+    measures the band-bucket sizes first (:func:`_auto_candidates`);
+    NOTE the diagnostic agg re-runs the fingerprint pipeline once (this
+    operator keeps no persisted intermediate) — one extra linear pass to
+    avoid an unrunnable quadratic one on dup-dense input."""
     assert max_hamming < n_bands, "pigeonhole completeness needs max_hamming < n_bands"
-    if candidates not in ("all", "star"):
+    if candidates not in ("all", "star", "auto"):
         raise ValueError(f"unknown candidates mode {candidates!r}")
     band_bits = bits // n_bands
     toks = _spread(df, id_col).select(
@@ -656,6 +696,8 @@ def simhash_near_dup_pairs(
     banded = fp.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("bk")).select(
         id_col, "simhash", "bk.band", "bk.band_key"
     )
+    if candidates == "auto":
+        candidates = _auto_candidates(banded, n_bands, auto_pairs_per_doc)
     if candidates == "star":
         reps = banded.groupBy("band", "band_key").agg(
             F.min(id_col).alias("id_a"),

@@ -20,6 +20,37 @@ from pyspark.sql import functions as F
 from ..functions.scalar import normalise_day
 
 
+def _auto_bucket_days(
+    records: DataFrame,
+    assignments: DataFrame,
+    device_col: str,
+    auto_device_rows: int,
+    auto_bucket_days: int,
+) -> int | None:
+    """Data-driven bucket_days selection (r9 verdict #7 — the
+    ``mmr_rerank`` ``loop="auto"`` pattern): one bounded diagnostic
+    aggregation per side measures the hottest device's row count; above
+    ``auto_device_rows`` the single-task-per-device windows are declared
+    skewed and the (device, day-bucket) decomposition engages with width
+    ``auto_bucket_days``. Under plan-audit mode (checkpoints disabled)
+    no job may run: auto resolves to the bucketed, scale-safe plan
+    deterministically."""
+    from ..plan_audit import checkpoints_enabled
+
+    if not checkpoints_enabled():
+        return auto_bucket_days
+    hot = 0
+    for side in (assignments, records):
+        got = (
+            side.groupBy(device_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").alias("m"))
+            .first()
+        )
+        hot = max(hot, int(got["m"] or 0))
+    return auto_bucket_days if hot > auto_device_rows else None
+
+
 def dedup_against_state(incoming: DataFrame, state_hashes: DataFrame, key: str = "hash") -> DataFrame:
     """J1 — hash anti-join: keep incoming rows never seen in state
     (dags/dreem.py:48-66 + db.py:228-231, where it's a collected Python set —
@@ -58,7 +89,9 @@ def interval_containment_join(
     payload_cols: tuple[str, ...] = ("patient_id",),
     order_cols: tuple[str, ...] | None = None,
     strategy: str = "auto",
-    bucket_days: int | None = None,
+    bucket_days: int | str | None = None,
+    auto_device_rows: int = 1_000_000,
+    auto_bucket_days: int = 30,
 ) -> DataFrame:
     """J4 — interval-containment join: for each record, find the assignment on
     the same device whose day-normalised wear period contains BOTH the record's
@@ -111,9 +144,20 @@ def interval_containment_join(
     carries the last-seen survivor struct per previous bucket (after
     the prune, survivors are O(distinct start days) per device).
     Identical output; max task size capped at O(device-bucket).
+    ``bucket_days="auto"`` measures the hottest device first (one
+    bounded diagnostic agg per side — :func:`_auto_bucket_days`) and
+    engages the decomposition at width ``auto_bucket_days`` only above
+    ``auto_device_rows`` rows on one device; output is identical either
+    way, so auto trades one cheap extra job for picking the plan a
+    caller would otherwise have to know to request.
     """
     order_cols = order_cols or (asg_start,)
     prunable = order_cols[0] == asg_start
+    if bucket_days == "auto":
+        bucket_days = _auto_bucket_days(
+            records, assignments, device_col, auto_device_rows,
+            auto_bucket_days,
+        )
     if prunable:
         end_d = F.coalesce(
             normalise_day(F.col(asg_end)), F.current_date().cast("timestamp")

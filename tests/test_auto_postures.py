@@ -1,0 +1,155 @@
+"""Auto-selection for the scale-safe postures (r9 verdict #7): the
+star/bucketed variants were parameters the caller had to know to set;
+the "auto" modes measure the data (one bounded diagnostic agg, the
+mmr_rerank loop="auto" pattern) and pick — baseline on uniform input,
+the safe variant on planted skew — without changing any result the
+baseline would have produced on uniform data, and without running jobs
+under plan-audit mode."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ideafast_etl_spark.operators.dedup import (
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from ideafast_etl_spark.operators.joins import interval_containment_join
+from ideafast_etl_spark.plan_audit import no_checkpoints
+
+
+def _uniform_docs(spark, n=60):
+    rows = [
+        (i, f"document number {i} about topic {i % 7} with unique tail "
+            f"{i * 37} {i * 91} {i * 13}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _dup_dense_docs(spark, n=60, dup_share=0.5):
+    """Half the corpus is one near-identical template cluster."""
+    n_dup = int(n * dup_share)
+    template = ("terms of service agreement please read carefully "
+                "all rights reserved contact support for help now")
+    rows = [(i, template + f" v{i % 2}") for i in range(n_dup)]
+    rows += [
+        (n_dup + i,
+         f"document number {i} about topic {i % 7} with unique tail "
+         f"{i * 37} {i * 91} {i * 13}")
+        for i in range(n - n_dup)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_minhash_auto_picks_all_on_uniform_star_on_dup_dense(spark):
+    uni = _uniform_docs(spark)
+    assert _pairs(minhash_near_dup_pairs(uni, candidates="auto")) == _pairs(
+        minhash_near_dup_pairs(uni, candidates="all")
+    )
+    dense = _dup_dense_docs(spark)
+    got_auto = _pairs(minhash_near_dup_pairs(dense, candidates="auto"))
+    got_star = _pairs(minhash_near_dup_pairs(dense, candidates="star"))
+    got_all = _pairs(minhash_near_dup_pairs(dense, candidates="all"))
+    assert got_auto == got_star
+    assert got_all != got_star  # the gate actually discriminated
+
+
+def test_simhash_auto_picks_all_on_uniform_star_on_dup_dense(spark):
+    uni = _uniform_docs(spark)
+    assert _pairs(simhash_near_dup_pairs(uni, candidates="auto")) == _pairs(
+        simhash_near_dup_pairs(uni, candidates="all")
+    )
+    dense = _dup_dense_docs(spark)
+    got_auto = _pairs(simhash_near_dup_pairs(dense, candidates="auto"))
+    got_star = _pairs(simhash_near_dup_pairs(dense, candidates="star"))
+    got_all = _pairs(simhash_near_dup_pairs(dense, candidates="all"))
+    assert got_auto == got_star
+    assert got_all != got_star
+
+
+def _interval_data(spark, hot_rows):
+    d0 = dt.date(2024, 1, 1)
+    asg = [
+        ("hot", d0 + dt.timedelta(days=d), d0 + dt.timedelta(days=d + 2), d)
+        for d in range(hot_rows)
+    ] + [
+        ("cold", d0 + dt.timedelta(days=30 * i),
+         d0 + dt.timedelta(days=30 * i + 29), 1000 + i)
+        for i in range(5)
+    ]
+    rec = [
+        (i, dev, start + dt.timedelta(days=1), start + dt.timedelta(days=1))
+        for i, (dev, start, _e, _a) in enumerate(asg)
+    ]
+    return (
+        spark.createDataFrame(
+            rec, "rec_id long, device_id string, start date, end date"
+        ),
+        spark.createDataFrame(
+            asg,
+            "device_id string, start_wear date, end_wear date, assignment_id long",
+        ),
+    )
+
+
+def _ij(records, assignments, **kw):
+    return interval_containment_join(
+        records,
+        assignments,
+        record_key="rec_id",
+        device_col="device_id",
+        payload_cols=("assignment_id",),
+        order_cols=("start_wear", "assignment_id"),
+        **kw,
+    )
+
+
+def _plan(df):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_interval_join_auto_bucket_days(spark):
+    records, assignments = _interval_data(spark, hot_rows=200)
+    want = _pairs(_ij(records, assignments))
+
+    # uniform-ish (below threshold): auto keeps the single-window plan
+    calm = _ij(records, assignments, bucket_days="auto",
+               auto_device_rows=1000)
+    assert "__sb" not in _plan(calm)
+    assert _pairs(calm) == want
+
+    # planted hot device (above threshold): auto engages the bucketed
+    # decomposition — identical rows, decomposed plan
+    hot = _ij(records, assignments, bucket_days="auto",
+              auto_device_rows=50)
+    assert "__sb" in _plan(hot)
+    assert _pairs(hot) == want
+
+
+def test_auto_modes_run_no_jobs_under_plan_audit(spark):
+    """Plan-audit mode: auto must resolve WITHOUT diagnostic jobs and
+    pick the scale-safe variant (the mmr loop='auto' r9 ADVICE rule)."""
+    docs = _uniform_docs(spark, n=20)
+    records, assignments = _interval_data(spark, hot_rows=10)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    with no_checkpoints():
+        mh = minhash_near_dup_pairs(docs, candidates="auto")
+        ij = _ij(records, assignments, bucket_days="auto")
+        plan_mh = _plan(mh)
+        plan_ij = _plan(ij)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    assert "__sb" in plan_ij  # scale-safe bucketed plan
+    assert "min(" in plan_mh.lower()  # star's bucket-min rep aggregate
