@@ -60,6 +60,7 @@ def _split_hot_cells(
     coarse: DataFrame,
     max_cell_size: int,
     split_iters: int,
+    max_split: int,
 ) -> tuple[DataFrame, DataFrame]:
     """Sub-cluster every cell whose membership exceeds ``max_cell_size``
     and return (cells', fcent): the member→(cell, sub) assignment and
@@ -73,17 +74,25 @@ def _split_hot_cells(
     sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("csz"))
     hot = sizes.filter(F.col("csz") > max_cell_size)
     hpts = pts.join(cells, "__id").join(F.broadcast(hot), "cell")
-    # k₂ = ceil(size/cap) seeds per hot cell: its lowest member ids
+    # k₂ = min(ceil(size/cap), max_split) seeds per hot cell (its lowest
+    # member ids). The k₂ bound matters as much as the cap: a 30 %-hot
+    # cell at 100x would otherwise seed ceil(60k/64) ≈ 940 sub-centroids
+    # and the flat sub-assign goes O(members·k₂) — the same blowup
+    # kmeans_assign_hierarchical exists to avoid (measured: TIMED-OUT
+    # > 600 s on the dup-dense 100x harness without the bound). Capped,
+    # sub-cell size degrades gracefully to size/max_split while assign
+    # work stays O(members·max_split).
+    k2 = F.least(
+        F.ceil(F.col("csz") / F.lit(float(max_cell_size))).cast("long"),
+        F.lit(int(max_split)).cast("long"),
+    )
     seed = (
         cells.join(F.broadcast(hot), "cell")
         .withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("cell").orderBy("__id")),
         )
-        .filter(
-            F.col("rn")
-            <= F.ceil(F.col("csz") / F.lit(float(max_cell_size))).cast("long")
-        )
+        .filter(F.col("rn") <= k2)
         .select("cell", "__id", (F.col("rn") - 1).cast("int").alias("scid"))
     )
     scent = (
@@ -195,18 +204,46 @@ def ivfpq_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_cell_size: int | None = None,
+    max_cell_size: int | str | None = None,
     split_iters: int = 2,
+    max_split: int = 32,
+    auto_hot_factor: float = 2.0,
 ) -> DataFrame:
     """IVF-PQ approximate top-k; returns (query_id, neighbor_id,
     approx_sim, rank). ``max_cell_size`` (opt-in) caps coarse-cell
     membership by sub-splitting oversized cells — see module docstring;
     ``n_probe`` then counts (cell, sub) units, so a probed unit's rerank
-    cost is bounded by the cap instead of the hottest cell's mass."""
+    cost is bounded by the cap instead of the hottest cell's mass.
+    ``max_split`` bounds each cell's sub-centroid count so the split's
+    own assign stage stays O(members · max_split).
+
+    ``max_cell_size="auto"`` is the production posture: the cap scales
+    with the corpus — ``ceil(auto_hot_factor · n / n_cells)``, one count
+    job — so UNIFORM corpora never split (no cell exceeds ~2× the
+    expected size; a fixed absolute cap would split every cell once the
+    corpus outgrows it — measured: a pinned cap of 64 at uniform-100×
+    split all 8 cells 32-ways and cost 3× the unsplit plan) while a
+    dup-dense hot cell still decomposes. Under plan-audit mode the cap
+    resolves to 1 without running the count: the audited plan carries
+    the full split structure (the hot predicate is data-dependent either
+    way) and no eager job fires."""
     dim = df.select(F.size(vec_col)).first()[0]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     subdim = dim // m
+    if max_cell_size == "auto":
+        from ..plan_audit import checkpoints_enabled
+
+        if checkpoints_enabled():
+            n = df.count()
+            max_cell_size = max(1, -(-int(auto_hot_factor * n) // n_cells))
+        else:
+            max_cell_size = 1  # audit: split structure, no eager count
+    elif isinstance(max_cell_size, str):
+        raise ValueError(
+            f"max_cell_size must be an int, None, or 'auto'; "
+            f"got {max_cell_size!r}"
+        )
 
     assign, coarse = kmeans_fit(
         df, vec_col, id_col, k=n_cells, iters=coarse_iters
@@ -217,7 +254,7 @@ def ivfpq_topk(
     pts = _pos_exploded(df, id_col, vec_col)
     if max_cell_size is not None:
         cells, fcent = _split_hot_cells(
-            pts, cells, coarse, max_cell_size, split_iters
+            pts, cells, coarse, max_cell_size, split_iters, max_split
         )
     else:
         cells = cells.withColumn("sub", F.lit(0).cast("int"))

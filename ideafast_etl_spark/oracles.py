@@ -2963,14 +2963,16 @@ def _materialize_ctes(sql: str) -> str:
 
 
 def _ivfpq_split_cte(
-    coarse_iters: int, max_cell_size: int, split_iters: int
+    coarse_iters: int, max_cell_size: int, split_iters: int,
+    max_split: int,
 ) -> str:
     """CTE chain replaying ivfpq.py::_split_hot_cells EXACTLY: cells over
     the cap re-cluster with a second fixed-point spherical k-means
-    (k₂ = ceil(size/cap) lowest-id seeds per hot cell, the
-    kmeans_assign_hierarchical level-2 discipline keyed by parent cell),
-    ending in ``cellsf`` (id, cell, sub) and ``fcent`` (cell, sub, pos,
-    icval) where hot cells' centroids are replaced by sub-centroids."""
+    (k₂ = min(ceil(size/cap), max_split) lowest-id seeds per hot cell,
+    the kmeans_assign_hierarchical level-2 discipline keyed by parent
+    cell), ending in ``cellsf`` (id, cell, sub) and ``fcent`` (cell,
+    sub, pos, icval) where hot cells' centroids are replaced by
+    sub-centroids."""
     S, S2 = 1_000_000, 1_000_000_000_000
     parts = [f"""csz AS (
   SELECT cid, count(*) AS csz FROM assign GROUP BY cid),
@@ -2984,7 +2986,9 @@ sseed AS (
     SELECT a.cid AS cell, a.id, h.csz,
       row_number() OVER (PARTITION BY a.cid ORDER BY a.id) AS rn
     FROM assign a JOIN hot h ON a.cid = h.cid)
-  WHERE rn <= CAST(ceil(CAST(csz AS DOUBLE) / {max_cell_size}) AS BIGINT)),
+  WHERE rn <= least(
+    CAST(ceil(CAST(csz AS DOUBLE) / {max_cell_size}) AS BIGINT),
+    CAST({max_split} AS BIGINT))),
 scent0 AS (
   SELECT s.cell, s.scid, p.pos, p.ival AS icval
   FROM hpts p JOIN sseed s ON p.id = s.id AND p.cell = s.cell)"""]
@@ -3047,6 +3051,7 @@ def _ivfpq_sql(
     k: int = 5,
     max_cell_size: int | None = None,
     split_iters: int = 2,
+    max_split: int = 32,
 ) -> str:
     """Replay of operators/ivfpq.py: the coarse k-means CTEs feed integer
     residual encoding, unrolled PQ codebook training on the residuals,
@@ -3057,7 +3062,11 @@ def _ivfpq_sql(
     S2 = 1_000_000_000_000
     parts = [_kmeans_cte(n_cells, coarse_iters)]
     if max_cell_size is not None:
-        parts.append(_ivfpq_split_cte(coarse_iters, max_cell_size, split_iters))
+        parts.append(
+            _ivfpq_split_cte(
+                coarse_iters, max_cell_size, split_iters, max_split
+            )
+        )
     else:
         parts.append(f"""cellsf AS (
   SELECT id, cid AS cell, CAST(0 AS INT) AS sub FROM assign),

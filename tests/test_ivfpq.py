@@ -166,3 +166,60 @@ def test_hotsplit_deterministic_under_repartition(spark):
         map(tuple, ivfpq.ivfpq_topk(df.repartition(13), q, **kw).collect())
     )
     assert a == b
+
+
+def test_hotsplit_auto_cap_is_identity_on_uniform(spark):
+    """Corpus-relative cap (max_cell_size='auto'): on a uniform corpus no
+    cell exceeds ~2x the expected size, so nothing splits and results are
+    identical to the unsplit operator — the fixed-absolute-cap failure
+    (every cell splitting once the corpus outgrows the constant) cannot
+    happen by construction."""
+    rng = np.random.default_rng(61)
+    df = _df(spark, _corpus(rng))
+    q = df.filter(F.col("vec_id") < 3)
+    base = sorted(
+        map(tuple, ivfpq.ivfpq_topk(df, q, k=4, n_cells=4).collect())
+    )
+    auto = sorted(
+        map(
+            tuple,
+            ivfpq.ivfpq_topk(
+                df, q, k=4, n_cells=4, max_cell_size="auto"
+            ).collect(),
+        )
+    )
+    assert auto == base
+
+
+def test_hotsplit_auto_cap_splits_planted_hot_cell(spark):
+    rng = np.random.default_rng(67)
+    dim, n_hot, n_bg = 8, 60, 40
+    hot_base = np.ones(dim) * 5.0
+    rows = [(i, hot_base + rng.normal(0, 1e-3, dim)) for i in range(n_hot)]
+    bg = np.eye(4, dim) * 10.0
+    rows += [
+        (n_hot + i, bg[i % 4] + rng.normal(0, 0.8, dim)) for i in range(n_bg)
+    ]
+    df = _df(spark, rows)
+    # expected cell size = 100/4 = 25, cap = 50 < the 60-member hot cell
+    out = ivfpq.ivfpq_topk(
+        df,
+        df.filter(F.col("vec_id") == 0),
+        k=3,
+        n_cells=4,
+        n_probe=2,
+        max_cell_size="auto",
+    ).collect()
+    assert len(out) == 3
+    assert out[0]["neighbor_id"] in range(1, n_hot)
+
+
+def test_hotsplit_rejects_unknown_cap_string(spark):
+    import pytest
+
+    rng = np.random.default_rng(71)
+    df = _df(spark, _corpus(rng))
+    with pytest.raises(ValueError, match="max_cell_size"):
+        ivfpq.ivfpq_topk(
+            df, df.filter(F.col("vec_id") < 1), max_cell_size="Auto"
+        )

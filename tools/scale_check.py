@@ -436,12 +436,31 @@ def _dreem_e2e_bucketed(spark, sf_dir):
 
 
 # production-posture twins of oracle-pinned queries (see module docstring)
+def _ivfpq_hotsplit_auto(spark, sf_dir):
+    """r10: the hot-cell sub-split with the corpus-relative cap — the
+    production posture (the registered query pins cap=64 so the sf0.01
+    oracle exercises the split CTEs; at 100× that absolute cap splits
+    every cell and costs 3× on uniform corpora — this variant times the
+    documented `max_cell_size="auto"` path instead)."""
+    from pyspark.sql import functions as F
+
+    from ideafast_etl_spark.operators.ivfpq import ivfpq_topk
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_probe=3,
+        max_cell_size="auto",
+    )
+
+
 SCALE_VARIANTS = {
     "analyze_table_stats_hll": _stats_hll,
     "semantic_dedup_auto": _semantic_dedup_auto,
     # r9: interval join with (device, 30-day-bucket) windows — the skewed
     # sweep's hot-device answer for the last single-task window
     "dreem_pipeline_e2e_bucketed": _dreem_e2e_bucketed,
+    # r10: IVF-PQ hot-cell sub-split, corpus-relative cap
+    "embedding_topk_ivfpq_hotsplit_auto": _ivfpq_hotsplit_auto,
 }
 
 
