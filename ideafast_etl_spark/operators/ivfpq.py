@@ -60,7 +60,7 @@ def _split_hot_cells(
     coarse: DataFrame,
     max_cell_size: int,
     split_iters: int,
-    max_split: int,
+    max_split: int = 32,
 ) -> tuple[DataFrame, DataFrame]:
     """Sub-cluster every cell whose membership exceeds ``max_cell_size``
     and return (cells', fcent): the member→(cell, sub) assignment and
@@ -70,7 +70,24 @@ def _split_hot_cells(
     ``kmeans_assign_hierarchical`` discipline verbatim — fixed-point
     integer sums, half-rounded quantized renormalisation, deterministic
     (sim desc, scid asc) tie-break — keyed by the parent cell so each
-    member only ever meets its own cell's sub-centroids."""
+    member only ever meets its own cell's sub-centroids.
+
+    The per-iteration ``localCheckpoint`` (bounded: ≤ (n/cap)·dim rows)
+    is gated on :func:`plan_audit.checkpoints_enabled` like every other
+    lineage-truncating operator, so a plan audit sees the full split
+    lineage and NO eager job fires during plan construction.
+
+    Degenerate hot cells (every member the zero vector ⇒ every candidate
+    sub-centroid renormalises to norm 0 and is filtered) keep their
+    PARENT centroid as (cell, 0): the parent anti-join below removes
+    only cells that actually produced sub-centroids, and the members'
+    ``coalesce(sub, 0)`` fallback then lands on an existing unit instead
+    of silently dropping those vectors from the index."""
+    from ..plan_audit import checkpoints_enabled
+
+    def _ckpt(rel: DataFrame) -> DataFrame:
+        return rel.localCheckpoint(eager=True) if checkpoints_enabled() else rel
+
     sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("csz"))
     hot = sizes.filter(F.col("csz") > max_cell_size)
     hpts = pts.join(cells, "__id").join(F.broadcast(hot), "cell")
@@ -95,11 +112,11 @@ def _split_hot_cells(
         .filter(F.col("rn") <= k2)
         .select("cell", "__id", (F.col("rn") - 1).cast("int").alias("scid"))
     )
-    scent = (
-        hpts.join(F.broadcast(seed), ["cell", "__id"])
-        .select("cell", "scid", "pos", F.col("ival").alias("icval"))
-        .localCheckpoint(eager=True)  # bounded: ≤ (n/cap)·dim rows
-    )
+    scent = _ckpt(
+        hpts.join(F.broadcast(seed), ["cell", "__id"]).select(
+            "cell", "scid", "pos", F.col("ival").alias("icval")
+        )
+    )  # bounded: ≤ (n/cap)·dim rows
     for _ in range(split_iters):
         sims = (
             hpts.join(F.broadcast(scent), ["cell", "pos"])
@@ -139,7 +156,7 @@ def _split_hot_cells(
             .over(Window.partitionBy("cell", "scid"))
             .cast("double")
         ) / _SCALE
-        scent = (
+        scent = _ckpt(
             sums.withColumn("__cnorm", cnorm)
             .filter(F.col("__cnorm") > 0)
             .select(
@@ -150,7 +167,6 @@ def _split_hot_cells(
                 .cast("long")
                 .alias("icval"),
             )
-            .localCheckpoint(eager=True)
         )
     fsims = (
         hpts.join(F.broadcast(scent), ["cell", "pos"])
@@ -178,9 +194,13 @@ def _split_hot_cells(
         "cell",
         F.coalesce(F.col("__scid"), F.lit(0)).cast("int").alias("sub"),
     )
+    # Remove a parent centroid ONLY if its cell actually produced
+    # sub-centroids; a degenerate hot cell (scent empty after the norm
+    # filter) keeps (cell, 0) so its members' coalesce fallback resolves.
+    split_cells = scent.select("cell").distinct()
     fcent = (
         coarse.select(F.col("cid").alias("cell"), "pos", "icval")
-        .join(F.broadcast(hot.select("cell")), "cell", "left_anti")
+        .join(F.broadcast(split_cells), "cell", "left_anti")
         .withColumn("sub", F.lit(0).cast("int"))
         .select("cell", "sub", "pos", "icval")
         .unionByName(

@@ -335,6 +335,79 @@ def _ivf_rerank(
     ).select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
+_IVF_META = "_meta"
+_IVF_DELTA_RE = None  # compiled lazily (module keeps its import surface lean)
+
+
+def _ivf_delta_re():
+    global _IVF_DELTA_RE
+    if _IVF_DELTA_RE is None:
+        import re
+
+        _IVF_DELTA_RE = re.compile(r"^cells-[ig](\d+)$")
+    return _IVF_DELTA_RE
+
+
+def _ivf_live(root: str) -> tuple[int, list[str]]:
+    """(commit id, ordered live cell-data dir paths) — resolved through
+    the newest valid manifest (state/manifest.py), falling back to the
+    flat ``cells`` layout ``write_ivf_index`` creates. A manifest is
+    committed only if every referenced data dir exists (they are written
+    BEFORE the manifest PUT)."""
+    import os
+
+    from ..state.manifest import latest_manifest
+
+    def _valid(payload: dict) -> bool:
+        dirs = payload.get("dirs", [])
+        return bool(dirs) and all(
+            os.path.isdir(os.path.join(root, str(d))) for d in dirs
+        )
+
+    got = latest_manifest(os.path.join(root, _IVF_META), valid=_valid)
+    if got is None:
+        return 0, [os.path.join(root, "cells")]
+    cid, payload = got
+    return cid, [os.path.join(root, str(d)) for d in payload["dirs"]]
+
+
+def _ivf_repair(root: str) -> None:
+    """Delete-only cleanup of crash remnants: increment/generation dirs
+    no committed manifest references (a crashed append's partial write,
+    or a superseded dir whose removal was interrupted), the flat
+    ``cells`` dir once a manifest no longer references it, and manifests
+    other than the winning one. Safe under the single-maintenance-writer
+    contract; never touches ``centroids``."""
+    import os
+    import shutil
+
+    from ..state.manifest import prune_manifests
+
+    if not os.path.isdir(root):
+        return
+    cid, dirs = _ivf_live(root)
+    live = {os.path.basename(p) for p in dirs}
+    for e in os.scandir(root):
+        if not e.is_dir() or e.name in live:
+            continue
+        if _ivf_delta_re().match(e.name) or (
+            cid > 0 and e.name == "cells"
+        ):
+            shutil.rmtree(e.path, ignore_errors=True)
+    prune_manifests(os.path.join(root, _IVF_META), cid if cid > 0 else None)
+
+
+def _read_cells(spark, dirs: list[str]) -> DataFrame:
+    """Union of the live cell-partitioned dirs. Each dir is scanned as
+    its own base path (Spark rejects multi-root partition discovery);
+    a probe-cell filter/join still prunes ``cell=N`` partitions inside
+    EVERY branch of the union."""
+    out = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        out = out.unionByName(spark.read.parquet(d))
+    return out
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,
@@ -353,12 +426,24 @@ def write_ivf_index(
     r8: built on the native fixed-point coarse quantizer (see
     :func:`ivf_topk`); the centroid table persists the quantised
     (cell, pos, icval) relation, so index-backed answers replay in the
-    same full oracle as the inline operator."""
+    same full oracle as the inline operator.
+
+    A rebuild RESETS the manifest log: stale increment dirs and
+    manifests from a previous index incarnation are removed (delete-
+    only) so the fresh flat layout is authoritative."""
+    import os
+    import shutil
+
+    root = path.rstrip("/")
     assigned, cent = _ivf_build(df, n_cells, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/cells"
+        f"{root}/cells"
     )
-    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    cent.write.mode("overwrite").parquet(f"{root}/centroids")
+    shutil.rmtree(os.path.join(root, _IVF_META), ignore_errors=True)
+    for e in os.scandir(root):
+        if e.is_dir() and _ivf_delta_re().match(e.name):
+            shutil.rmtree(e.path, ignore_errors=True)
 
 
 def append_ivf_index(
@@ -384,11 +469,28 @@ def append_ivf_index(
     documents. A retrain (full :func:`write_ivf_index` over the union)
     re-fits the centroids and is a scheduled, not per-increment, event.
 
+    Commit is the object-store-safe manifest PUT (state/manifest.py,
+    r10 verdict #5): the increment's cell-partitioned rows are staged
+    into their own final dir (``cells-i<id>``, invisible until
+    referenced — a bare ``mode("append")`` into the shared ``cells``
+    dir left a crash's partial files visible to the next probe), then
+    ONE manifest file commits {previous live dirs + the increment}.
+    A crashed append is repaired delete-only on the next maintenance
+    call. Single maintenance writer: do not run appends/compactions
+    concurrently. :func:`compact_ivf_index` folds accumulated
+    increments back to one generation dir.
+
     Precondition: ``new_df`` ids are not already indexed (append_new
     contract; dedup upstream)."""
+    import os
+
+    from ..state.manifest import put_manifest
     from .clustering import kmeans_assign_to
 
-    cent = spark.read.parquet(f"{path}/centroids")
+    root = path.rstrip("/")
+    _ivf_repair(root)
+    cid, live = _ivf_live(root)
+    cent = spark.read.parquet(f"{root}/centroids")
     assign = kmeans_assign_to(
         new_df,
         cent.select(F.col("cell").alias("cid"), "pos", "icval"),
@@ -405,9 +507,52 @@ def append_ivf_index(
         ),
         "neighbor_id",
     )
-    assigned.write.mode("append").partitionBy("cell").parquet(
-        f"{path}/cells"
+    inc_name = f"cells-i{cid + 1}"
+    # staged into its FINAL dir first (a crashed retry overwrites its own
+    # partial remnant); the manifest PUT below is the commit point
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(root, inc_name)
     )
+    put_manifest(
+        os.path.join(root, _IVF_META),
+        cid + 1,
+        {"dirs": [os.path.basename(p) for p in live] + [inc_name]},
+    )
+
+
+def compact_ivf_index(spark, path: str) -> dict:
+    """Fold the live cell dirs (base + accumulated append increments)
+    back to ONE generation dir so probe-side scan metadata stays bounded
+    regardless of append count — the BM25 compaction discipline
+    (:func:`retrieval.compact_bm25_index`) applied to the IVF layout.
+    ``repartition("cell")`` lands each cell in exactly one task → one
+    file per ``cell=N`` partition. Pure row movement: no values change,
+    so probes are bit-identical pre/post. Commit is the same manifest
+    PUT; superseded dirs are deleted afterwards (crash-repaired)."""
+    import os
+    import shutil
+
+    from ..state.manifest import put_manifest
+
+    root = path.rstrip("/")
+    _ivf_repair(root)
+    cid, live = _ivf_live(root)
+    new_name = f"cells-g{cid + 1}"
+    (
+        _read_cells(spark, live)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, new_name))
+    )
+    put_manifest(
+        os.path.join(root, _IVF_META), cid + 1, {"dirs": [new_name]}
+    )
+    # committed from here; remnant removal is repaired on crash
+    for p in live:
+        shutil.rmtree(p, ignore_errors=True)
+    _ivf_repair(root)
+    return {"commit": cid + 1, "folded_dirs": len(live)}
 
 
 def ivf_topk_from_index(
@@ -424,9 +569,16 @@ def ivf_topk_from_index(
     list against the cell-partitioned corpus (the join key IS the
     partition column, so dynamic partition pruning limits the scan to the
     probed cells), exact-rerank the candidates. Identical output to the
-    inline :func:`ivf_topk` for the same build parameters."""
-    cent = spark.read.parquet(f"{path}/centroids")
-    assigned = spark.read.parquet(f"{path}/cells")
+    inline :func:`ivf_topk` for the same build parameters.
+
+    Reads resolve the live dir set through the manifest log (committed
+    base + append increments, see :func:`append_ivf_index`); a crashed
+    append's unreferenced partial dir is invisible. Read-only: repair is
+    left to the maintenance writer."""
+    root = path.rstrip("/")
+    cent = spark.read.parquet(f"{root}/centroids")
+    _cid, live = _ivf_live(root)
+    assigned = _read_cells(spark, live)
     probes = _ivf_probes(queries, cent, n_probe, id_col, vec_col)
     return _ivf_rerank(probes, assigned, queries, k, id_col, vec_col)
 

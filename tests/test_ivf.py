@@ -79,12 +79,15 @@ def test_persisted_index_matches_inline(spark, corpus, queries, tmp_path):
 def test_ivf_append_matches_fixed_quantizer_assignment(spark, corpus, tmp_path):
     """r9 incremental maintenance: appending new vectors against the
     persisted (fixed) quantizer probes bit-identically to assigning the
-    whole union against those same centroids — and the appended rows
-    land inside existing cell partitions (partition-local file adds)."""
+    whole union against those same centroids. r10 verdict #5: the
+    increment lands in its OWN manifest-committed dir (``cells-i1``,
+    cell-partitioned) — the base dir's files are untouched, so a crashed
+    append can never corrupt committed data."""
     import os
 
     from ideafast_etl_spark.operators.clustering import kmeans_assign_to
     from ideafast_etl_spark.operators.similarity import (
+        _ivf_live,
         _ivf_probes,
         _ivf_rerank,
         append_ivf_index,
@@ -96,9 +99,23 @@ def test_ivf_append_matches_fixed_quantizer_assignment(spark, corpus, tmp_path):
     new = corpus.filter(F.col("vec_id") >= 90)
     idx = str(tmp_path / "ivf")
     write_ivf_index(old, idx, n_cells=4)
-    cells_before = set(os.listdir(f"{idx}/cells"))
+    base_files = {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(f"{idx}/cells")
+        for f in fs
+    }
     append_ivf_index(spark, idx, new)
-    assert set(os.listdir(f"{idx}/cells")) == cells_before  # no new dirs
+    assert base_files == {
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(f"{idx}/cells")
+        for f in fs
+    }  # base dir untouched
+    cid, live = _ivf_live(idx)
+    assert cid == 1
+    assert [os.path.basename(p) for p in live] == ["cells", "cells-i1"]
+    assert any(
+        d.startswith("cell=") for d in os.listdir(f"{idx}/cells-i1")
+    )  # increment keeps the partition-per-cell layout
 
     q = corpus.filter(F.col("vec_id") % 30 == 3)
     got = sorted(

@@ -214,6 +214,77 @@ def test_hotsplit_auto_cap_splits_planted_hot_cell(spark):
     assert out[0]["neighbor_id"] in range(1, n_hot)
 
 
+def test_hotsplit_degenerate_cell_keeps_parent_centroid(spark):
+    """A hot cell whose every candidate sub-centroid renormalises to norm
+    0 (all-zero member rows — only reachable via exact cancellation in
+    production, synthesized directly here) must NOT drop its members from
+    the index: the parent centroid survives as (cell, 0) and the members'
+    coalesce fallback lands on it."""
+    from ideafast_etl_spark.operators.ivfpq import _split_hot_cells
+
+    S = 1_000_000
+    # cell 0: five all-zero members (degenerate hot); cell 1: two normal
+    pts = spark.createDataFrame(
+        [(i, p, 0) for i in range(5) for p in range(2)]
+        + [(10 + i, p, S if p == 0 else 0) for i in range(2) for p in range(2)],
+        "__id long, pos int, ival long",
+    )
+    cells = spark.createDataFrame(
+        [(i, 0) for i in range(5)] + [(10, 1), (11, 1)], "__id long, cell int"
+    )
+    coarse = spark.createDataFrame(
+        [(0, 0, S), (0, 1, 0), (1, 0, 0), (1, 1, S)],
+        "cid int, pos int, icval long",
+    )
+    cells2, fcent = _split_hot_cells(pts, cells, coarse, 2, split_iters=2)
+    cent_units = {
+        (r["cell"], r["sub"])
+        for r in fcent.select("cell", "sub").distinct().collect()
+    }
+    member_units = {(r["cell"], r["sub"]) for r in cells2.collect()}
+    assert (0, 0) in cent_units  # parent retained for the degenerate cell
+    assert member_units <= cent_units  # no member silently dropped
+    assert cells2.count() == 7  # every member still assigned
+
+
+def test_hotsplit_runs_no_jobs_under_plan_audit(spark):
+    """Under plan-audit mode the split's eager localCheckpoints are
+    skipped: plan CONSTRUCTION fires zero jobs and the audited lineage is
+    the real split plan, not Scan ExistingRDD (ADVICE r10 #2)."""
+    from ideafast_etl_spark.operators.clustering import (
+        _pos_exploded,
+        kmeans_fit,
+    )
+    from ideafast_etl_spark.operators.ivfpq import _split_hot_cells
+    from ideafast_etl_spark.plan_audit import no_checkpoints
+
+    rng = np.random.default_rng(73)
+    df = _df(spark, _corpus(rng))
+    assign, coarse = kmeans_fit(df, "embedding", "vec_id", k=4, iters=2)
+    cells = assign.select(
+        F.col("vec_id").alias("__id"), F.col("cluster_id").alias("cell")
+    )
+    pts = _pos_exploded(df, "vec_id", "embedding")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    import io
+    from contextlib import redirect_stdout
+
+    with no_checkpoints():
+        cells2, fcent = _split_hot_cells(pts, cells, coarse, 1, split_iters=2)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            cells2.explain("formatted")
+        plan = buf.getvalue()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # no eager job during plan construction
+    # The split's own lineage is NOT truncated: its per-member best-sub
+    # window and broadcast sub-centroid joins are visible downstream of
+    # the (pre-existing, kmeans-era) checkpointed leaves.
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_hotsplit_rejects_unknown_cap_string(spark):
     import pytest
 

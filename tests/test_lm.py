@@ -122,3 +122,50 @@ def test_kneser_ney_prob_mass_bounded(spark, corpus):
     nc, cc, v = train_ngram_lm(corpus, n=2)
     rows = score_kn_perplexity(corpus, nc, cc, v, n=2).collect()
     assert rows and all(r.perplexity >= 1.0 for r in rows)
+
+
+def test_fused_equals_composed_addk_and_kn(spark):
+    """ADVICE r10 #4: the fused one-gram-pass ngram_lm_perplexity must be
+    row-for-row identical to train_ngram_lm + score_*_perplexity on the
+    same corpus — the c(ctx,w) = Σ_docs c_occ rollup identity, exercised
+    over repeats (c_occ > 1), a sub-bigram doc (vocab-only token), and
+    shared/unshared grams."""
+    from ideafast_etl_spark.operators.lm import (
+        ngram_lm_perplexity,
+        score_kn_perplexity,
+    )
+
+    rows = [
+        (0, "a b a b a c a b"),   # repeated grams -> c_occ > 1
+        (1, "a b"),
+        (2, "c c c d c"),
+        (3, "e"),                 # sub-bigram: no grams, vocab token only
+        (4, "d a b e c"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    nc, cc, v = train_ngram_lm(corpus, n=2)
+    composed_addk = sorted(
+        map(tuple, score_perplexity(corpus, nc, cc, v, n=2, k=1).collect())
+    )
+    fused_addk = sorted(
+        map(tuple, ngram_lm_perplexity(corpus, n=2, k=1).collect())
+    )
+    assert fused_addk == composed_addk
+
+    composed_kn = sorted(
+        map(
+            tuple,
+            score_kn_perplexity(corpus, nc, cc, v, n=2, discount=0.75)
+            .collect(),
+        )
+    )
+    fused_kn = sorted(
+        map(
+            tuple,
+            ngram_lm_perplexity(
+                corpus, n=2, smoothing="kn", discount=0.75
+            ).collect(),
+        )
+    )
+    assert fused_kn == composed_kn

@@ -215,6 +215,11 @@ EXPECTATIONS: dict[str, list[str]] = {
     "char_entropy": ["partial_count", "Window", "!BatchEvalPython"],
     # IVF-PQ: ADC scoring joins broadcast the codebook/table; no loops
     "embedding_topk_ivfpq": ["BroadcastHashJoin", "!CartesianProduct", "!BatchEvalPython"],
+    # IVF-PQ hot-cell sub-split: the level-2 k-means joins members to
+    # broadcast sub-centroids keyed by parent cell — no cross product, and
+    # the per-member best-sub pick is a cell-bounded window, all JVM
+    "embedding_topk_ivfpq_hotsplit": ["BroadcastHashJoin", "Window",
+                                      "!CartesianProduct", "!BatchEvalPython"],
     # r8 native IVF: centroid/query broadcasts + cell equi-join, no MLlib
     "embedding_topk_ivf": ["BroadcastHashJoin", "!CartesianProduct",
                            "!BatchEvalPython"],
