@@ -236,7 +236,12 @@ def _collect_tuples(df: DataFrame) -> list[tuple]:
 
 
 def _mmr_greedy_driver(
-    spark, cand: DataFrame, k: int, lam_num: int, lam_den: int
+    spark,
+    cand: DataFrame,
+    k: int,
+    lam_num: int,
+    lam_den: int,
+    cand_rows: list[tuple] | None = None,
 ) -> DataFrame:
     """Driver-side integer replay of the MMR greedy loop over the
     checkpointed, config-bounded candidate relation (see
@@ -262,9 +267,10 @@ def _mmr_greedy_driver(
             .cast("long").alias("sim_fp"),
         )
     )
-    cand_rows = _collect_tuples(
-        cand.select("query_id", "neighbor_id", "rel_fp", "rn")
-    )
+    if cand_rows is None:
+        cand_rows = _collect_tuples(
+            cand.select("query_id", "neighbor_id", "rel_fp", "rn")
+        )
 
     sim: dict = {}
     for qid, ia, ib, sim_fp in pair_rows:
@@ -424,21 +430,33 @@ def mmr_rerank(
         rank_name="rn",
     ).select("query_id", "neighbor_id", "rel_fp", "rn", "vec")
     cand = _ckpt(cand)  # bounded: queries x pool rows
+    cand_rows = None
     if loop == "auto":
         if not do_ckpt:
             loop = "distributed"  # audit mode: no eager jobs, keep a plan
         else:
-            # cand is checkpointed and config-bounded — counting it is a
-            # metadata-cheap job, and |cand| * pool bounds the pair
-            # relation the driver loop would collect
-            loop = (
-                "driver"
-                if cand.count() * pool <= driver_pair_limit
-                else "distributed"
+            # The decision "driver iff |cand| * pool <= driver_pair_limit"
+            # needs |cand| — but a count() over the checkpointed relation
+            # is a whole extra barrier job per call (the r11 A/B measured
+            # it at ~0.45 s of pure scheduler latency on the bench shape,
+            # the entirety of the r10 0.87 -> 1.16 s warm drift). Instead,
+            # limit-guard the candidate collect the driver loop needs
+            # ANYWAY: pull at most cap+1 rows; <= cap means the driver
+            # path is safe and the rows are already in hand (zero extra
+            # jobs), cap+1 means over-limit — pay one wasted bounded
+            # collect (~= driver_pair_limit/pool rows) and go distributed.
+            cap = driver_pair_limit // max(pool, 1)
+            cand_rows = _collect_tuples(
+                cand.select("query_id", "neighbor_id", "rel_fp", "rn")
+                .limit(cap + 1)
             )
+            if len(cand_rows) <= cap:
+                loop = "driver"
+            else:
+                loop, cand_rows = "distributed", None
     if loop == "driver":
         return _mmr_greedy_driver(
-            spark, cand, k, lam_num, lam_den
+            spark, cand, k, lam_num, lam_den, cand_rows=cand_rows
         )
     a = cand.select(
         "query_id", F.col("neighbor_id").alias("a"),
