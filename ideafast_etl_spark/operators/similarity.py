@@ -622,6 +622,38 @@ def _home_key(block_dims: int) -> Column:
     )
 
 
+def _auto_grid_candidates(
+    u: DataFrame, block_dims: int, pairs_per_doc: float
+) -> str:
+    """Data-driven all/star selection for the grid family (r10 verdict
+    #7 — the ``dedup._auto_candidates`` pattern applied to grid cells):
+    ONE bounded diagnostic aggregation over the home-cell counts
+    computes the exact cell self-join candidate volume Σ_cells C(c, 2)
+    — the quadratic term a dup-dense corpus inflates (the hot cluster
+    lands in ONE cell). Above ``pairs_per_doc · n_vectors`` the star
+    posture engages; uniform corpora keep the complete all-pairs
+    baseline. One extra linear pass over the (lazy) cell relation to
+    avoid an unrunnable quadratic one — the simhash trade, documented.
+    Under plan-audit mode no job may run: auto resolves to "star", the
+    scale-safe posture, deterministically."""
+    from ..plan_audit import checkpoints_enabled
+
+    if not checkpoints_enabled():
+        return "star"
+    row = (
+        u.groupBy(*[f"c{i}" for i in range(block_dims)])
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
+            F.sum("c").alias("rows"),
+        )
+        .first()
+    )
+    pairs = float(row["pairs"] or 0.0)
+    n = float(row["rows"] or 0)
+    return "star" if pairs > pairs_per_doc * max(n, 1.0) else "all"
+
+
 def grid_near_dup_join(
     left: DataFrame,
     right: DataFrame,
@@ -630,6 +662,7 @@ def grid_near_dup_join(
     vec_col: str = "embedding",
     block_dims: int = 3,
     candidates: str = "all",
+    auto_pairs_per_doc: float = 8.0,
 ) -> DataFrame:
     """Two-corpus variant of :func:`grid_near_dup_pairs` — every (left,
     right) pair with cosine ≥ threshold, deterministic-complete (the left
@@ -644,14 +677,23 @@ def grid_near_dup_join(
     costs O(groups), not O(members), per probing new vector. A new
     vector similar to a group member is matched through the
     representative (jitter-scale groups make the two interchangeable up
-    to the verify threshold)."""
+    to the verify threshold).
+
+    ``candidates="auto"`` measures the SEEN side's home-cell size
+    distribution (:func:`_auto_grid_candidates` — the seen corpus is
+    where dup density accumulates across increments) and flips to star
+    above ``auto_pairs_per_doc`` candidate pairs per seen vector."""
     import math
 
-    if candidates not in ("all", "star"):
+    if candidates not in ("all", "star", "auto"):
         raise ValueError(f"unknown candidates mode {candidates!r}")
     r = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
     lu = _grid_cells(left, id_col, vec_col, r, block_dims)
     ru = _grid_cells(right, id_col, vec_col, r, block_dims)
+    if candidates == "auto":
+        candidates = _auto_grid_candidates(
+            ru, block_dims, auto_pairs_per_doc
+        )
     a = lu.select(
         F.col("pid").alias("id_a"),
         F.col("uv").alias("va"),
@@ -700,6 +742,7 @@ def grid_near_dup_pairs(
     vec_col: str = "embedding",
     block_dims: int = 3,
     candidates: str = "all",
+    auto_pairs_per_doc: float = 8.0,
 ) -> DataFrame:
     """Embedding-cosine near-dup with DETERMINISTIC-COMPLETE grid blocking —
     the scale path for the near-duplicate regime (threshold ≥ ~0.8), with
@@ -743,13 +786,21 @@ def grid_near_dup_pairs(
     representatives to the quadratic stage. The lost corner — a non-rep
     member pairing with a vector OUTSIDE its fine group — is the same
     represented-through-the-rep contract as the dedup star posture.
+
+    ``candidates="auto"`` (r10 verdict #7): one bounded diagnostic agg
+    over the home-cell counts (:func:`_auto_grid_candidates`) picks all
+    on uniform corpora (identical output to the complete baseline) and
+    star above ``auto_pairs_per_doc`` candidate pairs per vector; under
+    plan-audit mode it resolves to star with zero jobs.
     """
     import math
 
-    if candidates not in ("all", "star"):
+    if candidates not in ("all", "star", "auto"):
         raise ValueError(f"unknown candidates mode {candidates!r}")
     r = math.sqrt(max(2.0 - 2.0 * threshold, 1e-12))
     u = _grid_cells(df, id_col, vec_col, r, block_dims)
+    if candidates == "auto":
+        candidates = _auto_grid_candidates(u, block_dims, auto_pairs_per_doc)
     if candidates == "star":
         fk = F.array_join(
             F.transform(

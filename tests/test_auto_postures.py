@@ -153,3 +153,93 @@ def test_auto_modes_run_no_jobs_under_plan_audit(spark):
     assert after == before
     assert "__sb" in plan_ij  # scale-safe bucketed plan
     assert "min(" in plan_mh.lower()  # star's bucket-min rep aggregate
+
+
+def _uniform_vecs(spark, n=60, dim=8):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = np.eye(6, dim) * 10.0
+    rows = [
+        (int(i), [float(x) for x in base[i % 6] + rng.normal(0, 0.8, dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _dup_dense_vecs(spark, n=60, dup_share=0.5, dim=8):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n_dup = int(n * dup_share)
+    hot = np.ones(dim) * 5.0
+    rows = [
+        (int(i), [float(x) for x in hot + rng.normal(0, 1e-4, dim)])
+        for i in range(n_dup)
+    ]
+    base = np.eye(6, dim) * 10.0
+    rows += [
+        (int(n_dup + i),
+         [float(x) for x in base[i % 6] + rng.normal(0, 0.8, dim)])
+        for i in range(n - n_dup)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_grid_auto_picks_all_on_uniform_star_on_dup_dense(spark):
+    """r10 verdict #7: the embedding grid near-dup family gets the same
+    data-driven auto gate as minhash/simhash — baseline on uniform input
+    (identical output), star on planted dup density (with all/star
+    provably differing, so the gate discriminated)."""
+    from ideafast_etl_spark.operators.similarity import grid_near_dup_pairs
+
+    uni = _uniform_vecs(spark)
+    assert _pairs(grid_near_dup_pairs(uni, candidates="auto")) == _pairs(
+        grid_near_dup_pairs(uni, candidates="all")
+    )
+    # 60 near-identical vectors land in one cell: C(60,2)=1770 candidate
+    # pairs > 8 * 120 — the diagnostic must flip to star
+    dense = _dup_dense_vecs(spark, n=120)
+    got_auto = _pairs(grid_near_dup_pairs(dense, candidates="auto"))
+    got_star = _pairs(grid_near_dup_pairs(dense, candidates="star"))
+    got_all = _pairs(grid_near_dup_pairs(dense, candidates="all"))
+    assert got_auto == got_star
+    assert got_all != got_star  # the gate actually discriminated
+
+
+def test_grid_join_auto_measures_the_seen_side(spark):
+    from ideafast_etl_spark.operators.similarity import grid_near_dup_join
+
+    new = _uniform_vecs(spark, n=20)
+    seen_uni = _uniform_vecs(spark, n=40)
+    assert _pairs(
+        grid_near_dup_join(new, seen_uni, candidates="auto")
+    ) == _pairs(grid_near_dup_join(new, seen_uni, candidates="all"))
+    seen_dense = _dup_dense_vecs(spark, n=120)
+    got_auto = _pairs(grid_near_dup_join(new, seen_dense, candidates="auto"))
+    got_star = _pairs(grid_near_dup_join(new, seen_dense, candidates="star"))
+    assert got_auto == got_star
+
+
+def test_grid_auto_runs_no_jobs_under_plan_audit(spark):
+    from ideafast_etl_spark.operators.similarity import grid_near_dup_pairs
+
+    vecs = _uniform_vecs(spark, n=20)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    with no_checkpoints():
+        out = grid_near_dup_pairs(vecs, candidates="auto")
+        plan = _plan(out)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    # star's fine-group min-id representative aggregate is in the plan
+    assert "min(" in plan.lower()
+
+
+def test_grid_auto_rejects_unknown_mode(spark):
+    import pytest
+
+    from ideafast_etl_spark.operators.similarity import grid_near_dup_pairs
+
+    with pytest.raises(ValueError, match="candidates"):
+        grid_near_dup_pairs(_uniform_vecs(spark, n=5), candidates="Auto")
