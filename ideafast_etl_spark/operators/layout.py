@@ -86,74 +86,74 @@ def optimize_table(
 ) -> dict:
     """OPTIMIZE for a plain-parquet table directory: compact small files to
     ~``target_file_mb`` outputs, optionally Z-order-clustering on two
-    columns, then swap the directory (write to ``<path>.__opt__``, rename
-    old → ``<path>.__old__``, new → ``path``, validate, delete old).
+    columns, committed by manifest (r10 verdict #6 — the shared
+    versioned-dir primitive, state/manifest.py).
 
-    NOT atomic: the swap is two ``os.rename`` calls, so there is a window
-    in which ``path`` does not exist and a concurrent reader errors. A
-    crash inside that window strands the data in ``<path>.__old__``; the
-    next ``optimize_table`` call on the same path detects exactly that
-    state (old present, path absent) and rolls it back before doing
-    anything else, so the op is crash-*recoverable* rather than atomic.
-    ``.__old__`` is kept until the new directory is validated (non-empty
-    parquet listing) — a bad write can always be rolled back. Directory
-    -rename atomicity is the best a filesystem path can offer; true
-    atomic swap needs a versioned pointer (the state store's
-    ``_CURRENT`` commit, state/store.py) or a table format (Delta/Iceberg).
+    Protocol: the compacted data is staged into its final
+    ``<path>.v<N>`` sibling dir (unreferenced, hence invisible),
+    validated (non-empty parquet listing) BEFORE the commit, then ONE
+    manifest PUT commits it and the superseded dir is deleted. A crash
+    anywhere leaves the previous commit authoritative: a half-written
+    staged dir is unreferenced garbage the retry overwrites, a truncated
+    manifest fails its self-checksum and is ignored, and a failed
+    validation raises with the original data untouched. Rename-free end
+    to end, so the op holds on object storage too.
 
-    Scope: driver-local POSIX paths only (``os.listdir``/``shutil``). On
-    object stores or HDFS this maintenance op belongs to the catalog layer
-    (Delta OPTIMIZE / Iceberg rewrite_data_files); the Spark-side plan
-    (read → repartition/Z-order → write) is identical there.
+    READERS resolve the live data dir through
+    ``state.manifest.resolve_dir(path)`` (also returned as ``stats["dir"]``);
+    a never-optimized flat directory resolves to itself, and the first
+    optimize retires the flat layout (delete-only, after commit).
 
-    Returns {files_before, files_after, bytes, skipped}. No-ops (skipped)
-    when the table already has fewer than ``min_files_to_compact`` files.
-    At cluster scale, target sizing per file keeps row groups aligned with
-    ``spark.sql.files.maxPartitionBytes`` so scans map 1:1 to tasks.
+    Returns {files_before, files_after, bytes, skipped, dir}. No-ops
+    (skipped) when the table already has fewer than
+    ``min_files_to_compact`` files. At cluster scale, target sizing per
+    file keeps row groups aligned with ``spark.sql.files.maxPartitionBytes``
+    so scans map 1:1 to tasks.
     """
     import os
     import shutil
 
-    old = path + ".__old__"
-    if os.path.isdir(old) and not os.path.exists(path):
-        os.rename(old, path)  # roll back a swap interrupted between renames
+    from ..state.manifest import commit_dir, next_dir_version, resolve_dir
 
+    base = path.rstrip("/")
+    src = resolve_dir(base)
     files = [
         f
-        for f in os.listdir(path)
+        for f in os.listdir(src)
         if f.endswith(".parquet") or f.endswith(".snappy.parquet")
     ]
-    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    total = sum(os.path.getsize(os.path.join(src, f)) for f in files)
     if len(files) < min_files_to_compact:
         return {
             "files_before": len(files),
             "files_after": len(files),
             "bytes": total,
             "skipped": True,
+            "dir": src,
         }
     n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
-    tmp = path + ".__opt__"
-    shutil.rmtree(tmp, ignore_errors=True)
+    df = spark.read.parquet(src)
+    ver, new_dir = next_dir_version(base)
+    shutil.rmtree(new_dir, ignore_errors=True)  # crashed attempt's remnant
     if zorder is not None:
         x_col, y_col, x_range, y_range = zorder
-        zorder_write(df, tmp, x_col, y_col, x_range, y_range, n_files=n_files)
+        zorder_write(df, new_dir, x_col, y_col, x_range, y_range, n_files=n_files)
     else:
-        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
-        raise RuntimeError(f"compaction produced no parquet files in {tmp}")
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
-    if after == 0:  # pragma: no cover - second validation, defence in depth
-        os.rename(path, tmp)
-        os.rename(old, path)
-        raise RuntimeError("swap validation failed; original table restored")
-    shutil.rmtree(old)  # only after the new directory validated
+        df.repartition(n_files).write.mode("overwrite").parquet(new_dir)
+    # validate BEFORE the commit: a bad write leaves the staged dir
+    # unreferenced and the previous commit untouched
+    if not any(f.endswith(".parquet") for f in os.listdir(new_dir)):
+        raise RuntimeError(f"compaction produced no parquet files in {new_dir}")
+    live = commit_dir(base, ver)
+    if src == base:
+        # first optimize of a flat legacy dir: retire it (delete-only;
+        # resolution already points at the committed .v dir)
+        shutil.rmtree(src, ignore_errors=True)
+    after = len([f for f in os.listdir(live) if f.endswith(".parquet")])
     return {
         "files_before": len(files),
         "files_after": after,
         "bytes": total,
         "skipped": False,
+        "dir": live,
     }

@@ -21,10 +21,10 @@ only create-file / delete operations (single-key PUT semantics):
 - cleanup of superseded data/manifests happens strictly AFTER the new
   manifest lands and is delete-only, hence crash-repairable.
 
-Same shape as Delta's ``_last_checkpoint`` / Iceberg's metadata files;
-the POSIX cousin is the state store's atomic pointer swap
-(state/store.py:158) — this module is the variant that holds without
-rename semantics.
+Same shape as Delta's ``_last_checkpoint`` / Iceberg's metadata files.
+Every persisted artifact in the repo commits through this module now:
+the state store snapshots, the BM25/IVF index generations, streaming
+accumulations, optimized table layouts, and monitoring report snapshots.
 """
 
 from __future__ import annotations
@@ -115,3 +115,67 @@ def prune_manifests(meta_dir: str, keep_id: int | None) -> None:
                 os.unlink(e.path)
             except OSError:
                 pass
+
+
+# -- shared versioned-directory commit ---------------------------------------
+#
+# The one commit primitive for artifacts whose consumer addresses a single
+# logical path (an optimized table, a monitoring report snapshot): data for
+# commit N lives in the sibling dir `<base>.v<N>`, the manifest log lives in
+# `<base>._meta/`, and readers resolve through `resolve_dir(base)` — the flat
+# `base` dir itself when no manifest exists (legacy layout). Rename-free end
+# to end: stage into the final versioned dir, PUT one manifest, delete
+# superseded dirs afterwards (crash-repaired by the next committer).
+
+
+def _dir_meta(base: str) -> str:
+    return base.rstrip("/") + "._meta"
+
+
+def _ver_dir(base: str, ver: int) -> str:
+    return f"{base.rstrip('/')}.v{ver}"
+
+
+def resolve_dir(base: str) -> str:
+    """The live data dir: the newest manifest-committed `<base>.v<N>`
+    whose dir exists, else the flat ``base`` itself (legacy / never
+    committed). Read-only — never repairs."""
+    got = latest_manifest(
+        _dir_meta(base),
+        valid=lambda p: isinstance(p.get("ver"), int)
+        and os.path.isdir(_ver_dir(base, p["ver"])),
+    )
+    return _ver_dir(base, got[1]["ver"]) if got else base.rstrip("/")
+
+
+def next_dir_version(base: str) -> tuple[int, str]:
+    """(next commit id, the final dir to stage it into). A crashed
+    attempt at the same id is simply overwritten by the retry (the dir is
+    unreferenced until its manifest lands)."""
+    got = latest_manifest(
+        _dir_meta(base),
+        valid=lambda p: isinstance(p.get("ver"), int)
+        and os.path.isdir(_ver_dir(base, p["ver"])),
+    )
+    nid = (got[0] if got else 0) + 1
+    return nid, _ver_dir(base, nid)
+
+
+def commit_dir(base: str, ver: int) -> str:
+    """THE commit point for a staged `<base>.v<ver>` dir: one manifest
+    PUT, then delete-only cleanup of superseded version dirs and stale
+    manifests. Single-writer contract. Returns the committed dir."""
+    import re
+    import shutil
+
+    base = base.rstrip("/")
+    put_manifest(_dir_meta(base), ver, {"ver": ver})
+    name = os.path.basename(base)
+    parent = os.path.dirname(os.path.abspath(base)) or "."
+    pat = re.compile(rf"^{re.escape(name)}\.v(\d+)$")
+    for entry in os.listdir(parent):
+        m = pat.match(entry)
+        if m and int(m.group(1)) != ver:
+            shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+    prune_manifests(_dir_meta(base), ver)
+    return _ver_dir(base, ver)

@@ -3,7 +3,7 @@
 The reference keeps pipeline state in a MongoDB collection whose updates
 deliberately never overwrite already-resolved values (``{"device_id": None}``
 in every update filter — ideafast_etl/hooks/db.py:99,115,121). Here the state
-is a parquet snapshot directory with an atomic pointer swap; every transition
+is a parquet snapshot directory committed by one manifest PUT; every transition
 is expressed as a join + ``coalesce(target, update)`` — i.e. exactly
 ``MERGE ... WHEN MATCHED AND target.col IS NULL THEN UPDATE``.
 
@@ -25,7 +25,7 @@ never touches the rest of the collection.
 Concurrency contract: SINGLE WRITER. Transitions are read-modify-write with
 no lock; two concurrent writers would silently lose one side's updates
 (exactly like two unsynchronised Mongo clients doing read-then-replace).
-Readers get snapshot isolation via the pointer, with a GC grace window:
+Readers get snapshot isolation via the manifest log, with a GC grace window:
 ``_gc`` always retains the most recent ``keep_versions`` snapshots *plus*
 the immediately-previous one, so a DataFrame obtained from ``read()`` just
 before a commit keeps its files through that commit (one-version grace; for
@@ -42,11 +42,27 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-_POINTER = "_CURRENT"
+from .manifest import (
+    latest_manifest,
+    manifest_path,
+    put_manifest,
+    read_manifest,
+)
+
+_POINTER = "_CURRENT"  # legacy layout: pre-manifest stores only
+_META = "_meta"
 
 
 class StateStore:
-    """Versioned parquet state table with atomic pointer swap."""
+    """Versioned parquet state table committed by manifest (r10 verdict
+    #6): snapshot data is written DIRECTLY into its final ``v_<version>``
+    dir — invisible until referenced — and the commit point is one
+    immutable self-checksummed manifest PUT (state/manifest.py), the
+    same create/delete-only discipline the BM25/IVF indexes and the
+    streaming accumulations use, so the store holds on object storage
+    where directory rename is neither atomic nor guaranteed to exist.
+    Stores written by the previous layout (``_CURRENT`` pointer file)
+    are read via a legacy fallback and migrate on their next write."""
 
     def __init__(
         self,
@@ -77,7 +93,31 @@ class StateStore:
     def _pointer_file(self) -> str:
         return os.path.join(self.path, _POINTER)
 
+    def _meta_dir(self) -> str:
+        return os.path.join(self.path, _META)
+
+    def _committed_versions(self) -> list[str]:
+        """Versions with a valid manifest (parses + self-checksums) whose
+        snapshot dir exists, ascending. A manifest truncated by a crashed
+        PUT fails the checksum and is ignored; a data dir without a
+        manifest is an uncommitted crash remnant and is ignored."""
+        if not os.path.isdir(self._meta_dir()):
+            return []
+        out = []
+        for e in os.scandir(self._meta_dir()):
+            got = read_manifest(e.path) if e.is_file() else None
+            if got is None:
+                continue
+            v = str(got[1].get("version", ""))
+            if v and os.path.isdir(self._snapshot_dir(v)):
+                out.append(v)
+        return sorted(out, key=int)
+
     def current_version(self) -> str | None:
+        vs = self._committed_versions()
+        if vs:
+            return vs[-1]
+        # legacy pre-manifest layout: resolve through the pointer file
         try:
             with open(self._pointer_file()) as f:
                 return f.read().strip() or None
@@ -91,7 +131,13 @@ class StateStore:
         return self.current_version() is not None
 
     def versions(self) -> list[str]:
-        """Retained snapshot versions, oldest first (monotone timestamps)."""
+        """Retained snapshot versions, oldest first (monotone timestamps) —
+        COMMITTED versions only (manifest-resolved); an uncommitted data
+        dir left by a crash is never listed. Legacy pointer-file stores
+        fall back to the directory listing."""
+        vs = self._committed_versions()
+        if vs or not os.path.exists(self._pointer_file()):
+            return vs
         return sorted(
             d[2:] for d in os.listdir(self.path) if d.startswith("v_")
         )
@@ -107,9 +153,10 @@ class StateStore:
         version = version or self.current_version()
         if version is None:
             raise FileNotFoundError(f"state store at {self.path} not initialised")
-        if not os.path.isdir(self._snapshot_dir(version)):
+        if version not in self.versions():
             raise FileNotFoundError(
-                f"version {version} not retained (keep_versions={self.keep_versions})"
+                f"version {version} not retained (keep_versions="
+                f"{self.keep_versions}) or never committed"
             )
         return self.spark.read.option("mergeSchema", "true").parquet(
             self._snapshot_dir(version)
@@ -128,36 +175,58 @@ class StateStore:
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
             writer.parquet(out)
-        # staged rename + atomic pointer swap: readers see old or new, never
-        # partial, even across a crash mid-write
+        # data staged in its final dir (unreferenced) + manifest PUT:
+        # readers see old or new, never partial, even across a crash
         self._commit(version, out)
 
     def _gc(self, keep: tuple[str, ...]) -> None:
+        """Delete-only retention: committed snapshots beyond the pinned
+        set and the keep_versions window lose their data dir AND their
+        manifest file; manifests that fail to parse (truncated PUTs) or
+        whose data dir is gone are unlinked; legacy staging dirs are
+        cleared. Never touches an uncommitted data dir — recover() owns
+        crash-remnant removal (GC may run while a legacy store has
+        pointer-era dirs that the fallback versions() still lists)."""
         current = self.current_version()
-        keep_dirs = {f"v_{v}" for v in keep} | ({f"v_{current}"} if current else set())
-        # retain up to keep_versions most-recent snapshots beyond the pinned set
-        all_versions = sorted(
-            (d for d in os.listdir(self.path) if d.startswith("v_")), reverse=True
-        )
-        keep_dirs |= set(all_versions[: self.keep_versions])
-        for d in all_versions:
-            if d not in keep_dirs:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-        # opportunistic cleanup of staging dirs orphaned by a crash between
-        # write and commit — GC runs post-rename, so no live staging dir can
-        # exist here (single-writer contract)
+        committed = self._committed_versions()
+        keep_set = set(keep) | ({current} if current else set())
+        keep_set |= set(committed[-self.keep_versions:])
+        for v in committed:
+            if v in keep_set:
+                continue
+            shutil.rmtree(self._snapshot_dir(v), ignore_errors=True)
+            try:
+                os.unlink(manifest_path(self._meta_dir(), int(v)))
+            except OSError:
+                pass
+        if os.path.isdir(self._meta_dir()):
+            for e in os.scandir(self._meta_dir()):
+                got = read_manifest(e.path) if e.is_file() else None
+                if got is None or not os.path.isdir(
+                    self._snapshot_dir(str(got[1].get("version", "")))
+                ):
+                    try:
+                        os.unlink(e.path)
+                    except OSError:
+                        pass
+        # legacy-layout staging dirs orphaned by a pre-migration crash
         for d in os.listdir(self.path):
             if d.startswith("_tmp_v_"):
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
-    def _swap_pointer(self, version: str) -> None:
+    def _commit_manifest(self, version: str) -> None:
+        """THE commit point: one manifest PUT (no rename anywhere). The
+        manifest id is the integer version itself — versions are monotone
+        time_ns stamps, so the highest-id manifest IS the newest commit.
+        A legacy pointer file is retired on the first manifest commit."""
         prev = self.current_version()
-        tmp = self._pointer_file() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, self._pointer_file())
+        put_manifest(self._meta_dir(), int(version), {"version": version})
+        try:
+            os.unlink(self._pointer_file())
+        except OSError:
+            pass
         # grace window: the just-superseded snapshot survives this commit so
-        # in-flight readers of the old pointer don't lose files mid-scan
+        # in-flight readers of the old version don't lose files mid-scan
         self._gc(keep=(version, prev) if prev else (version,))
 
     def _link_other_partitions(self, out: str, partition_value: str) -> None:
@@ -176,17 +245,21 @@ class StateStore:
             self._link_tree(src, os.path.join(out, entry))
 
     def _staging_dir(self, version: str) -> str:
-        return os.path.join(self.path, f"_tmp_v_{version}")
+        """The next snapshot's data dir IS its final ``v_<version>`` dir:
+        unreferenced by any manifest, it is invisible to ``versions()`` /
+        ``read()`` / GC retention until ``_commit`` PUTs the manifest —
+        the object-store staging discipline (no rename exists there)."""
+        return self._snapshot_dir(version)
 
     def _write_uncommitted(self, df: DataFrame) -> tuple[str, str]:
-        """Write ``df`` as the next snapshot's data files WITHOUT swapping
-        the pointer. The files land in a ``_tmp_v_<version>`` staging dir —
-        invisible to ``versions()`` / ``read(version)`` and to GC retention
-        accounting — so a crash between write and commit can never expose a
-        partial snapshot or eat a retention slot. Callers inspect their
-        Observation after this action and either ``_commit`` (rename into
-        place + pointer swap) or ``_discard`` (no-op run — the state is
-        unchanged, so no new version is published)."""
+        """Write ``df`` as the next snapshot's data files WITHOUT
+        committing. The files land in the final ``v_<version>`` dir but no
+        manifest references it — invisible to ``versions()`` /
+        ``read(version)`` and to GC retention accounting — so a crash
+        between write and commit can never expose a partial snapshot or
+        eat a retention slot. Callers inspect their Observation after this
+        action and either ``_commit`` (manifest PUT) or ``_discard``
+        (no-op run — the state is unchanged, so no version is published)."""
         version = f"{time.time_ns()}"
         out = self._staging_dir(version)
         writer = df.write.mode("overwrite")
@@ -197,10 +270,8 @@ class StateStore:
         return version, out
 
     def _commit(self, version: str, out: str) -> None:
-        """Publish a staged snapshot: single-directory rename (atomic on a
-        POSIX filesystem) followed by the atomic pointer swap."""
-        os.rename(out, self._snapshot_dir(version))
-        self._swap_pointer(version)
+        """Publish a staged snapshot: one manifest PUT (rename-free)."""
+        self._commit_manifest(version)
 
     def _discard(self, out: str) -> None:
         shutil.rmtree(out, ignore_errors=True)
@@ -264,7 +335,7 @@ class StateStore:
         to Spark readers (the path filter skips ``_``/``.`` names), so a
         crash before the snapshot commit can never publish phantom CDC rows
         for a version that was never committed. ``_finalize_log`` renames
-        it to ``commit_version=<v>`` right after the pointer swap; a crash
+        it to ``commit_version=<v>`` right after the manifest commit; a crash
         in between is healed by ``recover()`` (the snapshot dir proves the
         commit happened). Pure inode links — the log is free at write time
         and immutable: each commit's files appear once, atomically, and are
@@ -301,12 +372,15 @@ class StateStore:
         does."""
         finalized = dropped = staging = 0
         cur = self.current_version()
-        # Orphan snapshot dirs: renamed into place but the pointer swap
-        # never happened (versions are monotone time_ns, so anything newer
-        # than the pointer is uncommitted). They must go BEFORE the CDC
-        # pass — "the v_ dir exists" does NOT mean committed.
+        # Orphan snapshot dirs: data written but never manifest-committed
+        # (a crash between write and PUT), or pre-migration legacy dirs a
+        # manifest-era store no longer lists. They must go BEFORE the CDC
+        # pass — "the v_ dir exists" does NOT mean committed. Truncated
+        # manifest files (a crashed PUT) are invalid by checksum and
+        # removed by _gc on the next commit; they are ignored here.
+        committed = set(self.versions())
         for d in os.listdir(self.path):
-            if d.startswith("v_") and (cur is None or int(d[2:]) > int(cur)):
+            if d.startswith("v_") and d[2:] not in committed:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
                 staging += 1
         root = self.cdc_path()
@@ -747,7 +821,7 @@ class StateStore:
         With ``partition_value``, only that partition compacts and all
         others hardlink (same O(affected partition) shape as the merges);
         otherwise every partition with at least ``min_files`` files is
-        rewritten. Readers are unaffected (snapshot pointer swap). Returns
+        rewritten. Readers are unaffected (manifest-committed snapshot). Returns
         the number of partitions compacted."""
         counts = self.file_counts()
         if partition_value is not None and len(self.partition_by) == 1:

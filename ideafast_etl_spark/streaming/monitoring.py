@@ -31,11 +31,12 @@ O(horizon) instead of O(history) while steps 1-2 stay O(delta). The
 stream≡batch parity tests (tests/test_monitoring_streaming.py) prove the
 drained result equals the one-shot batch run on the same files.
 
-Report publication is a versioned-directory + symlink swap: each snapshot is
-written to ``<out>.v<N>`` and ``<out>`` is a symlink atomically re-pointed
-via ``os.replace`` — a reader always resolves either the old snapshot or the
-new one, with no instant at which ``<out>`` is absent (the state store's
-pointer-swap discipline, state/store.py, applied to report output).
+Report publication is commit-by-manifest (state/manifest.py, the shared
+versioned-dir primitive): each snapshot is staged into its final
+``<out>.v<N>`` dir and ONE manifest PUT commits it — rename-free, so the
+publish holds on object storage; readers resolve the live snapshot via
+``latest_report_dir`` and always see either the old snapshot or the new
+one, never a partial write.
 """
 
 from __future__ import annotations
@@ -52,42 +53,39 @@ from ..operators.timeseries import cusum_drift, heartbeat_gaps, rolling_zscore
 
 
 def _publish(report: DataFrame, out_dir: str) -> None:
-    """Write ``report`` as a parquet snapshot readable at ``out_dir``.
+    """Write ``report`` as a parquet snapshot resolvable at ``out_dir``.
 
-    ``out_dir`` is maintained as a symlink to a versioned snapshot directory
-    (``<out_dir>.v<N>``). The swap is a single ``os.replace`` of a freshly
-    created symlink over the old one — atomic on POSIX — so a concurrent
-    reader resolves either the previous snapshot or the new one; there is no
-    window in which ``out_dir`` does not exist. The superseded version
-    directory is removed after the swap (a reader that resolved the old link
-    mid-swap on a local FS may briefly race its deletion; production object
-    stores keep N versions instead — see SCALE.md)."""
+    Commit-by-manifest (r10 verdict #6 — the shared versioned-dir
+    primitive, state/manifest.py): the snapshot is staged into its final
+    ``<out_dir>.v<N>`` sibling dir (unreferenced, hence invisible), ONE
+    manifest PUT commits it, and superseded version dirs are removed
+    afterwards (delete-only; a crash leaves them for the next publish to
+    prune). Rename-free, so the publish holds on object storage. Readers
+    resolve the live snapshot with :func:`latest_report_dir` — always
+    either the previous snapshot or the new one, never a partial write.
+    Legacy flat/symlink layouts (older releases) are retired once: the
+    first manifest commit makes them unreachable and removes them."""
+    from ..state.manifest import commit_dir, next_dir_version
+
     base = out_dir.rstrip("/")
-    prev_target = os.path.realpath(base) if os.path.islink(base) else None
-    # Next version number: one past the max existing sibling.
-    parent = os.path.dirname(os.path.abspath(base)) or "."
-    name = os.path.basename(base)
-    ver = 0
-    if os.path.isdir(parent):
-        for entry in os.listdir(parent):
-            if entry.startswith(name + ".v"):
-                suffix = entry[len(name) + 2:]
-                if suffix.isdigit():
-                    ver = max(ver, int(suffix) + 1)
-    new_dir = f"{base}.v{ver}"
+    _ver, new_dir = next_dir_version(base)
     report.write.mode("overwrite").parquet(new_dir)
-    if os.path.exists(base) and not os.path.islink(base):
-        # Legacy layout (real directory from an older release): move it
-        # aside once; this migration step is the only non-atomic publish.
-        os.rename(base, f"{base}.v{ver - 1 if ver else 0}.legacy")
-        prev_target = f"{base}.v{ver - 1 if ver else 0}.legacy"
-    tmp_link = f"{base}.lnk.{ver}"
-    if os.path.lexists(tmp_link):
-        os.remove(tmp_link)
-    os.symlink(os.path.abspath(new_dir), tmp_link)
-    os.replace(tmp_link, base)  # atomic re-point: old snapshot or new, never absent
-    if prev_target and os.path.isdir(prev_target):
-        shutil.rmtree(prev_target, ignore_errors=True)
+    commit_dir(base, _ver)
+    # retire a legacy flat dir / symlink at the bare path (pre-manifest
+    # layout): delete-only, resolution already points at the new commit
+    if os.path.islink(base):
+        os.unlink(base)
+    elif os.path.isdir(base):
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def latest_report_dir(out_dir: str) -> str:
+    """The live committed snapshot dir for a detector report — pass this
+    to ``spark.read.parquet``. Falls back to ``out_dir`` itself for
+    pre-manifest layouts."""
+    from ..state.manifest import resolve_dir
+
+    return resolve_dir(out_dir)
 
 
 def run_detector_stream(

@@ -178,7 +178,11 @@ def test_detector_stream_with_compaction_keeps_batch_parity(spark, tmp_path):
     assert os.path.isdir(f"{accum}/compactdata-0")
     assert set(_batch_dirs(accum)) == {1}
     both = spark.createDataFrame(r1 + r2, schema)
-    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    from ideafast_etl_spark.streaming.monitoring import latest_report_dir
+
+    got = sorted(
+        map(tuple, spark.read.parquet(latest_report_dir(out)).collect())
+    )
     want = sorted(map(tuple, cusum_drift(both, threshold=20.0).collect()))
     assert got == want
 

@@ -40,7 +40,11 @@ def _feed(spark, tmp_path, name, rows):
 
 
 def _snap(spark, out_dir):
-    return sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    from ideafast_etl_spark.streaming.monitoring import latest_report_dir
+
+    return sorted(
+        map(tuple, spark.read.parquet(latest_report_dir(out_dir)).collect())
+    )
 
 
 def _dirs(tmp_path, tag):
@@ -134,12 +138,17 @@ def test_psi_drift_stream_flags_shift_against_pinned_reference(spark, tmp_path):
 
     q = run_psi_drift_stream(spark, src, SCHEMA, ref, accum, out, **kw)
     q.awaitTermination(120)
-    psi1 = sum(r["psi_term"] for r in spark.read.parquet(out).collect())
+    from ideafast_etl_spark.streaming.monitoring import latest_report_dir
+
+    psi1 = sum(
+        r["psi_term"]
+        for r in spark.read.parquet(latest_report_dir(out)).collect()
+    )
 
     _feed(spark, tmp_path, "psisrc", f2)
     q = run_psi_drift_stream(spark, src, SCHEMA, ref, accum, out, **kw)
     q.awaitTermination(120)
-    rows = spark.read.parquet(out).collect()
+    rows = spark.read.parquet(latest_report_dir(out)).collect()
     psi2 = sum(r["psi_term"] for r in rows)
     assert psi2 > psi1  # the planted shift raises the index
 
@@ -191,9 +200,11 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert _snap(spark, out) == sorted(
         map(tuple, heartbeat_gaps(batch, min_gap_s=3600).collect())
     )
-    # the published report is a symlink to a versioned snapshot — the swap
-    # is an atomic os.replace, so out_dir never ceases to exist mid-publish
-    assert os.path.islink(out)
+    # the published report is a manifest-committed versioned snapshot:
+    # the resolver points inside a .v<N> dir and never at a partial write
+    from ideafast_etl_spark.streaming.monitoring import latest_report_dir
+
+    assert latest_report_dir(out).startswith(out + ".v")
 
     shutil.rmtree(ckpt)  # lost checkpoint over live data: refuse, not renumber
     with pytest.raises(ValueError, match="checkpoint"):
@@ -227,3 +238,55 @@ def test_retention_bounds_detection_history(spark, tmp_path):
         spark.read.option("recursiveFileLookup", "true").parquet(accum).count()
         == 5
     )
+
+
+def test_report_publish_is_rename_free(spark, tmp_path, monkeypatch):
+    """r10 verdict #6: the report publish commits by manifest PUT — no
+    os.rename/os.replace/shutil.move anywhere in the publish path."""
+    import os
+    import shutil as _sh
+
+    from ideafast_etl_spark.streaming.monitoring import (
+        _publish,
+        latest_report_dir,
+    )
+
+    def boom(*a, **k):  # pragma: no cover - the assertion IS the test
+        raise AssertionError("rename used in the report publish path")
+
+    monkeypatch.setattr(os, "rename", boom)
+    monkeypatch.setattr(os, "replace", boom)
+    monkeypatch.setattr(_sh, "move", boom)
+
+    out = str(tmp_path / "rfout")
+    _publish(spark.range(3).toDF("id"), out)
+    _publish(spark.range(5).toDF("id"), out)  # supersede, delete old
+    live = latest_report_dir(out)
+    assert live == out + ".v2"
+    assert spark.read.parquet(live).count() == 5
+    assert not os.path.isdir(out + ".v1")  # superseded snapshot removed
+
+
+def test_crashed_publish_is_invisible(spark, tmp_path):
+    """Data dir staged but manifest truncated mid-PUT: readers keep the
+    previous snapshot; the next publish repairs."""
+    from ideafast_etl_spark.state.manifest import _dir_meta, manifest_path
+    from ideafast_etl_spark.streaming.monitoring import (
+        _publish,
+        latest_report_dir,
+    )
+
+    out = str(tmp_path / "crout")
+    _publish(spark.range(3).toDF("id"), out)
+    assert latest_report_dir(out) == out + ".v1"
+
+    # fabricate the crashed second publish
+    spark.range(9).toDF("id").write.parquet(out + ".v2")
+    with open(manifest_path(_dir_meta(out), 2), "w") as f:
+        f.write('{"id": 2, "payload": {"ver"')
+    assert latest_report_dir(out) == out + ".v1"  # old commit authoritative
+    assert spark.read.parquet(latest_report_dir(out)).count() == 3
+
+    _publish(spark.range(7).toDF("id"), out)  # retry overwrites + commits
+    assert latest_report_dir(out) == out + ".v2"
+    assert spark.read.parquet(latest_report_dir(out)).count() == 7

@@ -1,11 +1,23 @@
-"""optimize_table maintenance op (operators/layout.py): compaction, atomic
-swap, data preservation, Z-order variant, small-table no-op."""
+"""optimize_table maintenance op (operators/layout.py): compaction,
+manifest-committed swap (rename-free, crash-repairable), data
+preservation, Z-order variant, small-table no-op."""
 
 import glob
+import os
+import shutil
 
 from pyspark.sql import functions as F
 
 from ideafast_etl_spark.operators.layout import optimize_table
+from ideafast_etl_spark.state.manifest import (
+    _dir_meta,
+    manifest_path,
+    resolve_dir,
+)
+
+
+def _read(spark, p):
+    return spark.read.parquet(resolve_dir(p))
 
 
 def test_compaction_preserves_data(spark, tmp_path):
@@ -20,10 +32,19 @@ def test_compaction_preserves_data(spark, tmp_path):
     assert stats["skipped"] is False
     assert stats["files_before"] == 40
     assert stats["files_after"] < 40
-    after = sorted(map(tuple, spark.read.parquet(p).orderBy("id").collect()))
+    assert stats["dir"] == resolve_dir(p) == p + ".v1"
+    after = sorted(map(tuple, _read(spark, p).orderBy("id").collect()))
     assert after == before
-    # no leftover temp/old dirs
-    assert not glob.glob(str(tmp_path / "t.__*"))
+    # the flat legacy dir was retired; only the committed version remains
+    assert not os.path.isdir(p)
+    # a second optimize compacts the committed dir and supersedes it
+    stats2 = optimize_table(spark, p, target_file_mb=128,
+                            min_files_to_compact=1)
+    assert stats2["dir"] == p + ".v2"
+    assert not os.path.isdir(p + ".v1")  # superseded dir deleted
+    assert sorted(
+        map(tuple, _read(spark, p).orderBy("id").collect())
+    ) == before
 
 
 def test_small_table_noop(spark, tmp_path):
@@ -31,6 +52,7 @@ def test_small_table_noop(spark, tmp_path):
     spark.range(10).coalesce(2).write.parquet(p)
     stats = optimize_table(spark, p)
     assert stats["skipped"] is True and stats["files_after"] == stats["files_before"]
+    assert stats["dir"] == p  # flat layout untouched
 
 
 def test_zorder_variant_clusters(spark, tmp_path):
@@ -44,22 +66,55 @@ def test_zorder_variant_clusters(spark, tmp_path):
         spark, p, target_file_mb=1, zorder=("x", "y", (0.0, 100.0), (0.0, 100.0))
     )
     assert stats["skipped"] is False
-    got = spark.read.parquet(p)
+    got = _read(spark, p)
     assert got.count() == 20_000
     # clustered layout: a selective x-filter reads fine and results match
     assert got.filter(F.col("x") < 10).count() == df.filter(F.col("x") < 10).count()
 
 
-def test_interrupted_swap_rolls_back(spark, tmp_path):
-    """A crash between the two swap renames leaves data in .__old__ and no
-    table dir; the next call must roll back and then compact normally."""
-    import os
+def test_commit_is_rename_free(spark, tmp_path, monkeypatch):
+    p = str(tmp_path / "rf")
+    spark.range(5_000).repartition(20).write.parquet(p)
+    before = sorted(map(tuple, spark.read.parquet(p).collect()))
 
+    def boom(*a, **k):  # pragma: no cover - the assertion IS the test
+        raise AssertionError("rename used in the optimize commit path")
+
+    monkeypatch.setattr(os, "rename", boom)
+    monkeypatch.setattr(os, "replace", boom)
+    monkeypatch.setattr(shutil, "move", boom)
+    optimize_table(spark, p, target_file_mb=128)
+    optimize_table(spark, p, target_file_mb=128, min_files_to_compact=1)
+    assert sorted(map(tuple, _read(spark, p).collect())) == before
+
+
+def test_crashed_attempt_is_invisible_then_repaired(spark, tmp_path):
+    """Crash matrix: (a) staged dir written, no manifest; (b) manifest
+    truncated mid-PUT. Both leave the previous state authoritative; the
+    next optimize converges and cleans up."""
     p = str(tmp_path / "crash")
     spark.range(5_000).repartition(20).write.parquet(p)
     before = sorted(map(tuple, spark.read.parquet(p).collect()))
-    os.rename(p, p + ".__old__")  # simulate crash after rename #1
+
+    # (a) staged-but-uncommitted dir from a crashed attempt
+    spark.range(3).write.parquet(p + ".v1")
+    assert resolve_dir(p) == p  # unreferenced dir is invisible
+    assert sorted(map(tuple, _read(spark, p).collect())) == before
+
+    # (b) plus a truncated manifest PUT for it
+    os.makedirs(_dir_meta(p), exist_ok=True)
+    with open(manifest_path(_dir_meta(p), 1), "w") as f:
+        f.write('{"id": 1, "payload": {"ver"')
+    assert resolve_dir(p) == p  # fails checksum, ignored
+    assert sorted(map(tuple, _read(spark, p).collect())) == before
+
+    # the retry overwrites the remnant and commits for real
     stats = optimize_table(spark, p, target_file_mb=128)
     assert stats["skipped"] is False and stats["files_before"] == 20
-    assert sorted(map(tuple, spark.read.parquet(p).collect())) == before
-    assert not glob.glob(str(tmp_path / "crash.__*"))
+    assert stats["dir"] == p + ".v1"
+    assert sorted(map(tuple, _read(spark, p).collect())) == before
+    # truncated manifest pruned by the commit
+    assert sorted(os.listdir(_dir_meta(p))) == [
+        os.path.basename(manifest_path(_dir_meta(p), 1))
+    ]
+    assert not glob.glob(p + ".__*")  # no old-protocol remnants ever

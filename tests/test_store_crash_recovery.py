@@ -2,15 +2,18 @@
 directive 5): simulate a kill at every stage of the commit protocol for
 ``append_new`` / ``merge_non_overwrite`` / ``mark_uploaded`` —
 
-  staged      after the staging write, before the snapshot-dir rename
-  cdc_staged  (append only) after the CDC entry is staged, mid old-file link
-  renamed     after the snapshot-dir rename, before the pointer swap
-  committed   after the pointer swap, before the CDC finalize / return
+  staged              after the data write into the (unreferenced) final
+                      v_<version> dir, before the manifest PUT
+  cdc_staged          (append only) after the CDC entry is staged, mid
+                      old-file link
+  manifest_truncated  the manifest PUT itself crashed: the file exists
+                      but fails its self-checksum
+  committed           after the manifest PUT, before the CDC finalize
 
 — and assert the two recovery invariants:
 
   1. a reopened store reads back exactly the PRE-write snapshot for every
-     pre-pointer-swap crash (and the post-write one for `committed`), and
+     pre-manifest-commit crash (and the post-write one for `committed`), and
      the CDC log never exposes rows of an uncommitted version (staged
      entries live under an underscore-prefixed dir Spark readers skip);
   2. a RETRY of the same operation converges: final state equals a clean
@@ -84,10 +87,18 @@ def _arm(store, point):
     def commit(version, out):
         if point == "staged":
             raise Crash()
-        os.rename(out, store._snapshot_dir(version))
-        if point == "renamed":
+        if point == "manifest_truncated":
+            # a crashed manifest PUT: the file exists but fails the
+            # self-checksum, so readers must ignore it
+            from ideafast_etl_spark.state.manifest import manifest_path
+
+            os.makedirs(store._meta_dir(), exist_ok=True)
+            with open(
+                manifest_path(store._meta_dir(), int(version)), "w"
+            ) as f:
+                f.write('{"id": %d, "payload": {"vers' % int(version))
             raise Crash()
-        store._swap_pointer(version)
+        store._commit_manifest(version)
         raise Crash()  # point == "committed": before finalize / return
 
     store._commit = commit
@@ -133,7 +144,7 @@ def _apply(op, spark, store):
 
 
 OPS = ["append_new", "merge_non_overwrite", "mark_uploaded"]
-POINTS = ["staged", "renamed", "committed"]
+POINTS = ["staged", "manifest_truncated", "committed"]
 
 
 @pytest.mark.parametrize("op", OPS)
@@ -242,3 +253,33 @@ def test_committed_crash_cdc_finalized_on_next_write(spark, tmp_path):
         "cdc_dropped": 0,
         "staging_cleared": 0,
     }
+
+
+def test_store_commit_protocol_is_rename_free(spark, tmp_path, monkeypatch):
+    """r10 verdict #6: every SNAPSHOT commit point (init, append, merge,
+    mark_uploaded, GC) runs on create/delete-only filesystem ops — no
+    os.rename/os.replace/shutil.move anywhere in the protocol, so it
+    holds on object storage. The CDC change log is excluded by design:
+    it is built on hardlinks (which object stores do not have at all),
+    so the whole log — including its staged-rename publish — is the
+    documented POSIX-layout component (log_appends=False here)."""
+    import shutil as _sh
+
+    from ideafast_etl_spark.state import StateStore
+
+    def boom(*a, **k):  # pragma: no cover - the assertion IS the test
+        raise AssertionError("rename used in the store commit path")
+
+    monkeypatch.setattr(os, "rename", boom)
+    monkeypatch.setattr(os, "replace", boom)
+    monkeypatch.setattr(_sh, "move", boom)
+
+    store = StateStore(spark, str(tmp_path / "s"), log_appends=False)
+    store.init(spark.createDataFrame(BASE_ROWS, SCHEMA))
+    assert store.append_new(spark.createDataFrame(NEW_ROWS, SCHEMA)) == 2
+    upd = spark.createDataFrame(
+        [("h1", "dev-1")], "hash string, device_id string"
+    )
+    store.merge_non_overwrite(upd, ("device_id",))
+    store.mark_uploaded(spark.createDataFrame([("d1",)], "dmp_id string"))
+    assert len(_rows(store)) == 5
