@@ -13,7 +13,8 @@ line frequencies, first-id-wins exact dedup), so like the detection twins
      accumulation relation in OVERWRITE mode (O(delta), replay-idempotent),
   3. re-run the batch chain over the accumulated corpus and publish two
      snapshots: the surviving cleaned corpus and the per-stage report —
-     via the versioned-symlink swap (`monitoring._publish`), so readers
+     via the manifest-committed versioned dirs (`monitoring._publish`;
+     read through `monitoring.latest_report_dir`), so readers
      always resolve a complete snapshot.
 
 Step 3's recompute is the price of EXACT parity with the batch pipeline

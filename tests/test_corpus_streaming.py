@@ -47,7 +47,11 @@ def _drain(spark, src, accum, surv, rep, ckpt):
 
 
 def _snap(spark, d):
-    return sorted(map(tuple, spark.read.parquet(d).collect()))
+    from ideafast_etl_spark.streaming.monitoring import latest_report_dir
+
+    return sorted(
+        map(tuple, spark.read.parquet(latest_report_dir(d)).collect())
+    )
 
 
 def test_two_drains_equal_batch_on_union(spark, tmp_path):
