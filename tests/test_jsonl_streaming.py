@@ -148,7 +148,11 @@ def test_jsonl_front_door_feeds_corpus_prep_stream(spark, tmp_path):
 
     good_b, _ = read_jsonl(spark, f"{src}/*.jsonl", SCHEMA)
     want_surv, _ = corpus_prep(good_b)
-    got = sorted(map(tuple, spark.read.parquet(surv).collect()))
+    from ideafast_etl_spark.streaming.monitoring import latest_report_dir
+
+    got = sorted(
+        map(tuple, spark.read.parquet(latest_report_dir(surv)).collect())
+    )
     want = sorted(map(tuple, want_surv.collect()))
     assert got == want
     # the broken line is in quarantine, the dup doc was removed by prep
