@@ -272,7 +272,32 @@ def ivfpq_topk(
         F.col(id_col).alias("__id"), F.col("cluster_id").alias("cell")
     )
     pts = _pos_exploded(df, id_col, vec_col)
-    if max_cell_size is not None:
+    do_split = max_cell_size is not None
+    if do_split:
+        from ..plan_audit import checkpoints_enabled
+
+        if checkpoints_enabled():
+            # ONE keyed agg over the (id, cell) assignment — n rows, two
+            # columns — decides whether any cell is actually hot. Without
+            # this, a UNIFORM corpus still paid the split machinery's
+            # eager checkpoints: each materializes its empty result by
+            # scanning the full exploded pts relation, ~3 corpus-scale
+            # jobs for nothing (measured at uniform-100x: hotsplit_auto
+            # ~163 s vs ~117 s plain with n_probe worth ~+50% rerank —
+            # the empty-split overhead was most of the residual). When
+            # nothing exceeds the cap the split is the identity
+            # (tests: huge-cap/auto-cap identity), so skipping is exact.
+            # Under plan-audit mode the full split structure is kept and
+            # no job fires (the audited plan carries the real lineage).
+            do_split = (
+                cells.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("csz"))
+                .filter(F.col("csz") > max_cell_size)
+                .limit(1)
+                .count()
+                > 0
+            )
+    if do_split:
         cells, fcent = _split_hot_cells(
             pts, cells, coarse, max_cell_size, split_iters, max_split
         )

@@ -154,6 +154,7 @@ DUP_QUERIES = [
     "simhash_near_dup_star",
     "near_dup_clusters_star",
     "embedding_near_dup_star",
+    "embedding_near_dup_auto",
     "semantic_dedup",
     "semantic_dedup_auto",
     # the quadratic-output baselines go last: at higher factors they are
@@ -453,9 +454,28 @@ def _ivfpq_hotsplit_auto(spark, sf_dir):
     )
 
 
+def _embedding_near_dup_auto(spark, sf_dir):
+    """r11: the grid near-dup family's data-driven posture gate
+    (candidates='auto', similarity._auto_grid_candidates) — one bounded
+    diagnostic agg over the home-cell counts picks all on uniform
+    corpora and star on dup-dense ones. This variant times the
+    production path on both sweep axes: on --dup-skew it must track
+    embedding_near_dup_star's cost (not the quadratic baseline's), on
+    uniform it must track embedding_near_dup's."""
+    from ideafast_etl_spark.operators import similarity
+    from ideafast_etl_spark.queries import _augmented_embeddings
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return similarity.grid_near_dup_pairs(
+        _augmented_embeddings(emb), threshold=0.95, candidates="auto"
+    )
+
+
 SCALE_VARIANTS = {
     "analyze_table_stats_hll": _stats_hll,
     "semantic_dedup_auto": _semantic_dedup_auto,
+    # r11: grid near-dup auto posture gate
+    "embedding_near_dup_auto": _embedding_near_dup_auto,
     # r9: interval join with (device, 30-day-bucket) windows — the skewed
     # sweep's hot-device answer for the last single-task window
     "dreem_pipeline_e2e_bucketed": _dreem_e2e_bucketed,
