@@ -51,9 +51,56 @@ EXTENDED = [
 ]
 
 
+def _quiet_box_guard() -> dict:
+    """Stamp box state into the bench artifact (r11 verdict #1).
+
+    Two consecutive rounds of BENCH_rN deltas were box noise the judge had
+    to re-adjudicate with solo runs; the artifact must say for itself
+    whether its timings are trustworthy. Same threshold as
+    tools/scale_check.py (1-min loadavg > 25% of cpus = contended), but the
+    driver runs this unattended so we can't refuse-and-exit: wait up to
+    $SPARK_GRAFT_BENCH_QUIET_WAIT seconds (default 90) for the box to go
+    quiet, then proceed either way and record `contended` honestly.
+
+    Must run BEFORE the SparkSession starts — our own local[32] executors
+    push loadavg up, so only the pre-Spark sample measures *other* load.
+    """
+    ncpu = os.cpu_count() or 1
+    threshold = 0.25 * ncpu
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "90"))
+    waited = 0.0
+    load1, load5, _ = os.getloadavg()
+    while load1 > threshold and waited < wait_budget:
+        print(
+            f"# box contended (loadavg {load1:.2f} > {threshold:.1f} on "
+            f"{ncpu} cpus) — waiting 15s for quiet "
+            f"({waited:.0f}/{wait_budget:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15.0)
+        waited += 15.0
+        load1, load5, _ = os.getloadavg()
+    contended = load1 > threshold
+    if contended:
+        print(
+            f"# WARNING: proceeding on a contended box (loadavg {load1:.2f} "
+            f"on {ncpu} cpus after {waited:.0f}s wait) — timings in this "
+            "artifact are NOT comparable across rounds; see `contended`.",
+            file=sys.stderr,
+        )
+    return {
+        "loadavg_start": [round(load1, 2), round(load5, 2)],
+        "cpus": ncpu,
+        "contended": contended,
+        "quiet_wait_sec": round(waited, 1),
+        "contention_threshold": round(threshold, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    box = _quiet_box_guard()
     # warm iterations per query: medians over n runs stop JIT/registry
     # wobble from masquerading as round-over-round signal (r7 verdict)
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
@@ -128,6 +175,12 @@ def main() -> None:
                     sum(warm[n] for n in EXTENDED if n in warm), 3
                 ),
                 "sf": sf,
+                # quiet-box stamp (r11 verdict #1): pre-Spark loadavg, cpu
+                # count, and an explicit contended flag so the driver/judge
+                # can discount noisy rounds without solo re-runs. End-of-run
+                # loadavg included for completeness but reflects OUR load.
+                **box,
+                "loadavg_end": [round(v, 2) for v in os.getloadavg()[:2]],
             }
         )
     )
