@@ -145,10 +145,12 @@ def optimize_table(
     if not any(f.endswith(".parquet") for f in os.listdir(new_dir)):
         raise RuntimeError(f"compaction produced no parquet files in {new_dir}")
     live = commit_dir(base, ver)
-    if src == base:
-        # first optimize of a flat legacy dir: retire it (delete-only;
-        # resolution already points at the committed .v dir)
-        shutil.rmtree(src, ignore_errors=True)
+    # legacy flat-dir retirement happens inside commit_dir with a
+    # one-commit reader grace window (r11 advice): the first optimize
+    # leaves the flat dir readable for in-flight scans; the second commit
+    # retires it — and also heals a leak from a crash after an earlier
+    # commit, because retirement keys off "a prior manifest commit
+    # exists", not off this call's src.
     after = len([f for f in os.listdir(live) if f.endswith(".parquet")])
     return {
         "files_before": len(files),

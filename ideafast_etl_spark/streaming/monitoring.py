@@ -41,8 +41,6 @@ one, never a partial write.
 
 from __future__ import annotations
 
-import os
-import shutil
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,20 +61,17 @@ def _publish(report: DataFrame, out_dir: str) -> None:
     prune). Rename-free, so the publish holds on object storage. Readers
     resolve the live snapshot with :func:`latest_report_dir` — always
     either the previous snapshot or the new one, never a partial write.
-    Legacy flat/symlink layouts (older releases) are retired once: the
-    first manifest commit makes them unreachable and removes them."""
+    Legacy flat/symlink layouts (older releases) are retired by
+    ``commit_dir`` itself: the first manifest commit makes them
+    unreachable but keeps them one commit as a reader grace window; the
+    second commit removes them (r11 advice — a reader that resolved the
+    old dir just before the publish must not lose files mid-scan)."""
     from ..state.manifest import commit_dir, next_dir_version
 
     base = out_dir.rstrip("/")
     _ver, new_dir = next_dir_version(base)
     report.write.mode("overwrite").parquet(new_dir)
     commit_dir(base, _ver)
-    # retire a legacy flat dir / symlink at the bare path (pre-manifest
-    # layout): delete-only, resolution already points at the new commit
-    if os.path.islink(base):
-        os.unlink(base)
-    elif os.path.isdir(base):
-        shutil.rmtree(base, ignore_errors=True)
 
 
 def latest_report_dir(out_dir: str) -> str:

@@ -260,11 +260,15 @@ def test_report_publish_is_rename_free(spark, tmp_path, monkeypatch):
 
     out = str(tmp_path / "rfout")
     _publish(spark.range(3).toDF("id"), out)
-    _publish(spark.range(5).toDF("id"), out)  # supersede, delete old
+    _publish(spark.range(5).toDF("id"), out)  # supersede
     live = latest_report_dir(out)
     assert live == out + ".v2"
     assert spark.read.parquet(live).count() == 5
-    assert not os.path.isdir(out + ".v1")  # superseded snapshot removed
+    # r11 advice: previous snapshot kept ONE commit (reader grace), then gone
+    assert os.path.isdir(out + ".v1")
+    _publish(spark.range(7).toDF("id"), out)
+    assert latest_report_dir(out) == out + ".v3"
+    assert not os.path.isdir(out + ".v1")  # out of grace: removed
 
 
 def test_crashed_publish_is_invisible(spark, tmp_path):
@@ -287,6 +291,13 @@ def test_crashed_publish_is_invisible(spark, tmp_path):
     assert latest_report_dir(out) == out + ".v1"  # old commit authoritative
     assert spark.read.parquet(latest_report_dir(out)).count() == 3
 
-    _publish(spark.range(7).toDF("id"), out)  # retry overwrites + commits
-    assert latest_report_dir(out) == out + ".v2"
+    # the retry skips past the crashed remnant's number (sibling scan,
+    # r11 advice) and commits; cleanup removes the unreferenced remnant
+    # while the last-committed snapshot stays one commit in grace
+    _publish(spark.range(7).toDF("id"), out)
+    assert latest_report_dir(out) == out + ".v3"
     assert spark.read.parquet(latest_report_dir(out)).count() == 7
+    import os as _os
+
+    assert not _os.path.isdir(out + ".v2")  # never-live remnant: no grace
+    assert _os.path.isdir(out + ".v1")  # previous commit in grace

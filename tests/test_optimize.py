@@ -35,16 +35,23 @@ def test_compaction_preserves_data(spark, tmp_path):
     assert stats["dir"] == resolve_dir(p) == p + ".v1"
     after = sorted(map(tuple, _read(spark, p).orderBy("id").collect()))
     assert after == before
-    # the flat legacy dir was retired; only the committed version remains
-    assert not os.path.isdir(p)
+    # r11 advice: the flat legacy dir gets ONE commit of reader grace
+    # (an in-flight scan that resolved it keeps its files), then retires
+    assert os.path.isdir(p)
     # a second optimize compacts the committed dir and supersedes it
     stats2 = optimize_table(spark, p, target_file_mb=128,
                             min_files_to_compact=1)
     assert stats2["dir"] == p + ".v2"
-    assert not os.path.isdir(p + ".v1")  # superseded dir deleted
+    assert os.path.isdir(p + ".v1")  # grace window: prev dir kept 1 commit
+    assert not os.path.isdir(p)  # legacy flat dir retired on 2nd commit
     assert sorted(
         map(tuple, _read(spark, p).orderBy("id").collect())
     ) == before
+    stats3 = optimize_table(spark, p, target_file_mb=128,
+                            min_files_to_compact=1)
+    assert stats3["dir"] == p + ".v3"
+    assert not os.path.isdir(p + ".v1")  # out of grace: deleted
+    assert os.path.isdir(p + ".v2")  # new grace holder
 
 
 def test_small_table_noop(spark, tmp_path):
@@ -108,13 +115,16 @@ def test_crashed_attempt_is_invisible_then_repaired(spark, tmp_path):
     assert resolve_dir(p) == p  # fails checksum, ignored
     assert sorted(map(tuple, _read(spark, p).collect())) == before
 
-    # the retry overwrites the remnant and commits for real
+    # the retry commits for real; the sibling scan (r11 advice) skips past
+    # the crashed remnant's number instead of staging over it, and the
+    # commit's cleanup removes the remnant (no manifest ever referenced it)
     stats = optimize_table(spark, p, target_file_mb=128)
     assert stats["skipped"] is False and stats["files_before"] == 20
-    assert stats["dir"] == p + ".v1"
+    assert stats["dir"] == p + ".v2"
+    assert not os.path.isdir(p + ".v1")  # unreferenced remnant: no grace
     assert sorted(map(tuple, _read(spark, p).collect())) == before
     # truncated manifest pruned by the commit
     assert sorted(os.listdir(_dir_meta(p))) == [
-        os.path.basename(manifest_path(_dir_meta(p), 1))
+        os.path.basename(manifest_path(_dir_meta(p), 2))
     ]
     assert not glob.glob(p + ".__*")  # no old-protocol remnants ever
