@@ -348,36 +348,62 @@ def _ivf_delta_re():
     return _IVF_DELTA_RE
 
 
-def _ivf_live(root: str) -> tuple[int, list[str]]:
-    """(commit id, ordered live cell-data dir paths) — resolved through
-    the newest valid manifest (state/manifest.py), falling back to the
-    flat ``cells`` layout ``write_ivf_index`` creates. A manifest is
-    committed only if every referenced data dir exists (they are written
-    BEFORE the manifest PUT)."""
+def _ivf_cent_re():
+    global _IVF_CENT_RE
+    if _IVF_CENT_RE is None:
+        import re
+
+        _IVF_CENT_RE = re.compile(r"^centroids-g(\d+)$")
+    return _IVF_CENT_RE
+
+
+_IVF_CENT_RE = None
+
+
+def _ivf_live(root: str) -> tuple[int, list[str], str]:
+    """(commit id, ordered live cell-data dir paths, live centroid dir) —
+    resolved through the newest valid manifest (state/manifest.py),
+    falling back to the flat ``cells``/``centroids`` layout of
+    pre-manifest indexes. A manifest is committed only if every
+    referenced data dir exists (they are written BEFORE the manifest
+    PUT); a manifest with a ``centroids`` key additionally requires that
+    dir (rebuilds version the quantizer too, r11 advice)."""
     import os
 
     from ..state.manifest import latest_manifest
 
     def _valid(payload: dict) -> bool:
         dirs = payload.get("dirs", [])
-        return bool(dirs) and all(
+        if not dirs or not all(
             os.path.isdir(os.path.join(root, str(d))) for d in dirs
-        )
+        ):
+            return False
+        cent = payload.get("centroids")
+        return cent is None or os.path.isdir(os.path.join(root, str(cent)))
 
     got = latest_manifest(os.path.join(root, _IVF_META), valid=_valid)
     if got is None:
-        return 0, [os.path.join(root, "cells")]
+        return 0, [os.path.join(root, "cells")], os.path.join(root, "centroids")
     cid, payload = got
-    return cid, [os.path.join(root, str(d)) for d in payload["dirs"]]
+    cent = payload.get("centroids")
+    return (
+        cid,
+        [os.path.join(root, str(d)) for d in payload["dirs"]],
+        os.path.join(root, str(cent) if cent else "centroids"),
+    )
 
 
 def _ivf_repair(root: str) -> None:
-    """Delete-only cleanup of crash remnants: increment/generation dirs
-    no committed manifest references (a crashed append's partial write,
-    or a superseded dir whose removal was interrupted), the flat
-    ``cells`` dir once a manifest no longer references it, and manifests
-    other than the winning one. Safe under the single-maintenance-writer
-    contract; never touches ``centroids``."""
+    """Delete-only cleanup of crash remnants and out-of-grace dirs:
+    increment/generation cell dirs and versioned centroid dirs no
+    committed manifest references (a crashed append/rebuild's partial
+    write, or a superseded generation left one maintenance cycle as the
+    reader grace window), the flat ``cells``/``centroids`` dirs once a
+    manifest supersedes them, and manifests other than the winning one.
+    Safe under the single-maintenance-writer contract. Runs at the START
+    of every maintenance op, so superseded dirs survive from their
+    superseding commit until the next maintenance call — a reader that
+    resolved them just before that commit keeps its files."""
     import os
     import shutil
 
@@ -385,13 +411,17 @@ def _ivf_repair(root: str) -> None:
 
     if not os.path.isdir(root):
         return
-    cid, dirs = _ivf_live(root)
-    live = {os.path.basename(p) for p in dirs}
+    cid, dirs, cent_dir = _ivf_live(root)
+    live = {os.path.basename(p) for p in dirs} | {os.path.basename(cent_dir)}
+    versioned_cent = os.path.basename(cent_dir) != "centroids"
     for e in os.scandir(root):
         if not e.is_dir() or e.name in live:
             continue
-        if _ivf_delta_re().match(e.name) or (
-            cid > 0 and e.name == "cells"
+        if (
+            _ivf_delta_re().match(e.name)
+            or _ivf_cent_re().match(e.name)
+            or (cid > 0 and e.name == "cells")
+            or (versioned_cent and e.name == "centroids")
         ):
             shutil.rmtree(e.path, ignore_errors=True)
     prune_manifests(os.path.join(root, _IVF_META), cid if cid > 0 else None)
@@ -428,22 +458,39 @@ def write_ivf_index(
     (cell, pos, icval) relation, so index-backed answers replay in the
     same full oracle as the inline operator.
 
-    A rebuild RESETS the manifest log: stale increment dirs and
-    manifests from a previous index incarnation are removed (delete-
-    only) so the fresh flat layout is authoritative."""
+    A rebuild COMMITS THROUGH THE MANIFEST like every other maintenance
+    op (r11 advice): cells and the re-fitted quantizer are staged into
+    fresh generation dirs (``cells-g<N>``, ``centroids-g<N>`` — invisible
+    until referenced), then ONE manifest PUT swaps the whole index.
+    A crash anywhere leaves the previous incarnation fully authoritative
+    — the old flat-overwrite rebuild destroyed the live ``cells`` dir
+    before its commit point, so a crash left a still-valid manifest
+    referencing the NEW base plus STALE increments (silent duplicate /
+    stale probe results, unrepairable because the stale dirs stayed
+    referenced). Superseded dirs survive one maintenance cycle as the
+    reader grace window, then :func:`_ivf_repair` removes them."""
     import os
-    import shutil
+
+    from ..state.manifest import put_manifest
 
     root = path.rstrip("/")
+    cid, _live, _cent = _ivf_live(root)
+    gen = cid + 1
+    cells_name, cent_name = f"cells-g{gen}", f"centroids-g{gen}"
     assigned, cent = _ivf_build(df, n_cells, id_col, vec_col)
+    # staged into FINAL generation dirs (a crashed retry overwrites its
+    # own remnant); the manifest PUT below is the commit point
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{root}/cells"
+        os.path.join(root, cells_name)
     )
-    cent.write.mode("overwrite").parquet(f"{root}/centroids")
-    shutil.rmtree(os.path.join(root, _IVF_META), ignore_errors=True)
-    for e in os.scandir(root):
-        if e.is_dir() and _ivf_delta_re().match(e.name):
-            shutil.rmtree(e.path, ignore_errors=True)
+    cent.write.mode("overwrite").parquet(os.path.join(root, cent_name))
+    put_manifest(
+        os.path.join(root, _IVF_META),
+        gen,
+        {"dirs": [cells_name], "centroids": cent_name},
+    )
+    # superseded dirs intentionally NOT removed here: they are the reader
+    # grace window; the next maintenance op's _ivf_repair retires them.
 
 
 def append_ivf_index(
@@ -489,8 +536,8 @@ def append_ivf_index(
 
     root = path.rstrip("/")
     _ivf_repair(root)
-    cid, live = _ivf_live(root)
-    cent = spark.read.parquet(f"{root}/centroids")
+    cid, live, cent_dir = _ivf_live(root)
+    cent = spark.read.parquet(cent_dir)
     assign = kmeans_assign_to(
         new_df,
         cent.select(F.col("cell").alias("cid"), "pos", "icval"),
@@ -513,11 +560,11 @@ def append_ivf_index(
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(root, inc_name)
     )
-    put_manifest(
-        os.path.join(root, _IVF_META),
-        cid + 1,
-        {"dirs": [os.path.basename(p) for p in live] + [inc_name]},
-    )
+    payload = {"dirs": [os.path.basename(p) for p in live] + [inc_name]}
+    if os.path.basename(cent_dir) != "centroids":
+        # carry the versioned quantizer forward (set by a rebuild commit)
+        payload["centroids"] = os.path.basename(cent_dir)
+    put_manifest(os.path.join(root, _IVF_META), cid + 1, payload)
 
 
 def compact_ivf_index(spark, path: str) -> dict:
@@ -528,15 +575,15 @@ def compact_ivf_index(spark, path: str) -> dict:
     ``repartition("cell")`` lands each cell in exactly one task → one
     file per ``cell=N`` partition. Pure row movement: no values change,
     so probes are bit-identical pre/post. Commit is the same manifest
-    PUT; superseded dirs are deleted afterwards (crash-repaired)."""
+    PUT; superseded dirs survive one maintenance cycle as the reader
+    grace window (r11 advice), then ``_ivf_repair`` retires them."""
     import os
-    import shutil
 
     from ..state.manifest import put_manifest
 
     root = path.rstrip("/")
     _ivf_repair(root)
-    cid, live = _ivf_live(root)
+    cid, live, cent_dir = _ivf_live(root)
     new_name = f"cells-g{cid + 1}"
     (
         _read_cells(spark, live)
@@ -545,13 +592,13 @@ def compact_ivf_index(spark, path: str) -> dict:
         .partitionBy("cell")
         .parquet(os.path.join(root, new_name))
     )
-    put_manifest(
-        os.path.join(root, _IVF_META), cid + 1, {"dirs": [new_name]}
-    )
-    # committed from here; remnant removal is repaired on crash
-    for p in live:
-        shutil.rmtree(p, ignore_errors=True)
-    _ivf_repair(root)
+    payload = {"dirs": [new_name]}
+    if os.path.basename(cent_dir) != "centroids":
+        payload["centroids"] = os.path.basename(cent_dir)
+    put_manifest(os.path.join(root, _IVF_META), cid + 1, payload)
+    # superseded dirs are NOT removed here (r11 advice): a probe that
+    # resolved them just before this commit keeps its files; the next
+    # maintenance op's _ivf_repair retires them.
     return {"commit": cid + 1, "folded_dirs": len(live)}
 
 
@@ -576,8 +623,8 @@ def ivf_topk_from_index(
     append's unreferenced partial dir is invisible. Read-only: repair is
     left to the maintenance writer."""
     root = path.rstrip("/")
-    cent = spark.read.parquet(f"{root}/centroids")
-    _cid, live = _ivf_live(root)
+    _cid, live, cent_dir = _ivf_live(root)
+    cent = spark.read.parquet(cent_dir)
     assigned = _read_cells(spark, live)
     probes = _ivf_probes(queries, cent, n_probe, id_col, vec_col)
     return _ivf_rerank(probes, assigned, queries, k, id_col, vec_col)
@@ -623,34 +670,39 @@ def _home_key(block_dims: int) -> Column:
 
 
 def _auto_grid_candidates(
-    u: DataFrame, block_dims: int, pairs_per_doc: float
+    u: DataFrame,
+    block_dims: int,
+    pairs_per_doc: float,
+    sample_target: int = 65536,
 ) -> str:
     """Data-driven all/star selection for the grid family (r10 verdict
     #7 — the ``dedup._auto_candidates`` pattern applied to grid cells):
-    ONE bounded diagnostic aggregation over the home-cell counts
-    computes the exact cell self-join candidate volume Σ_cells C(c, 2)
-    — the quadratic term a dup-dense corpus inflates (the hot cluster
-    lands in ONE cell). Above ``pairs_per_doc · n_vectors`` the star
-    posture engages; uniform corpora keep the complete all-pairs
-    baseline. One extra linear pass over the (lazy) cell relation to
-    avoid an unrunnable quadratic one — the simhash trade, documented.
-    Under plan-audit mode no job may run: auto resolves to "star", the
-    scale-safe posture, deterministically."""
+    a bounded diagnostic over the home-cell counts estimates the cell
+    self-join candidate volume Σ_cells C(c, 2) — the quadratic term a
+    dup-dense corpus inflates (the hot cluster lands in ONE cell).
+    Above ``pairs_per_doc · n_vectors`` the star posture engages;
+    uniform corpora keep the complete all-pairs baseline.
+
+    r11 verdict #2: the statistic is SAMPLED above ``sample_target``
+    vectors (operators/diag.py — deterministic 1-in-s id-hash sample
+    with the 1/s² pair-survival correction). The id filter sits under
+    the cell-key projection, so skipped vectors never pay the
+    normalization arithmetic — the r11 exact pass re-normalized the
+    whole corpus and cost up to ~2.4× the selected posture's own
+    runtime (SCALE.md r11 finding 1); the sampled pass touches
+    ~``sample_target`` vectors regardless of corpus size. Small corpora
+    keep the exact bit-identical decision. Under plan-audit mode no job
+    may run: auto resolves to "star", the scale-safe posture,
+    deterministically."""
     from ..plan_audit import checkpoints_enabled
 
     if not checkpoints_enabled():
         return "star"
-    row = (
-        u.groupBy(*[f"c{i}" for i in range(block_dims)])
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(
-            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
-            F.sum("c").alias("rows"),
-        )
-        .first()
+    from .diag import estimate_bucket_pair_volume
+
+    pairs, n = estimate_bucket_pair_volume(
+        u, [f"c{i}" for i in range(block_dims)], "pid", sample_target
     )
-    pairs = float(row["pairs"] or 0.0)
-    n = float(row["rows"] or 0)
     return "star" if pairs > pairs_per_doc * max(n, 1.0) else "all"
 
 

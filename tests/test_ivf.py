@@ -72,7 +72,8 @@ def test_persisted_index_matches_inline(spark, corpus, queries, tmp_path):
     assert sorted(map(tuple, from_index.collect())) == sorted(
         map(tuple, inline.collect())
     )
-    cells = [d for d in os.listdir(f"{path}/cells") if d.startswith("cell=")]
+    live = similarity._ivf_live(path)[1][0]
+    cells = [d for d in os.listdir(live) if d.startswith("cell=")]
     assert len(cells) == 4  # physical partition-per-cell layout
 
 
@@ -99,22 +100,23 @@ def test_ivf_append_matches_fixed_quantizer_assignment(spark, corpus, tmp_path):
     new = corpus.filter(F.col("vec_id") >= 90)
     idx = str(tmp_path / "ivf")
     write_ivf_index(old, idx, n_cells=4)
+    # r11: the build itself is a manifest-committed generation
     base_files = {
         os.path.join(r, f)
-        for r, _d, fs in os.walk(f"{idx}/cells")
+        for r, _d, fs in os.walk(f"{idx}/cells-g1")
         for f in fs
     }
     append_ivf_index(spark, idx, new)
     assert base_files == {
         os.path.join(r, f)
-        for r, _d, fs in os.walk(f"{idx}/cells")
+        for r, _d, fs in os.walk(f"{idx}/cells-g1")
         for f in fs
     }  # base dir untouched
-    cid, live = _ivf_live(idx)
-    assert cid == 1
-    assert [os.path.basename(p) for p in live] == ["cells", "cells-i1"]
+    cid, live, _cent = _ivf_live(idx)
+    assert cid == 2
+    assert [os.path.basename(p) for p in live] == ["cells-g1", "cells-i2"]
     assert any(
-        d.startswith("cell=") for d in os.listdir(f"{idx}/cells-i1")
+        d.startswith("cell=") for d in os.listdir(f"{idx}/cells-i2")
     )  # increment keeps the partition-per-cell layout
 
     q = corpus.filter(F.col("vec_id") % 30 == 3)
@@ -124,7 +126,7 @@ def test_ivf_append_matches_fixed_quantizer_assignment(spark, corpus, tmp_path):
 
     # the parity twin: the SAME fixed centroids, every vector assigned
     # against them via the engine's own assignment arithmetic
-    cent = spark.read.parquet(f"{idx}/centroids")
+    cent = spark.read.parquet(_ivf_live(idx)[2])
     assign = kmeans_assign_to(
         corpus, cent.select(F.col("cell").alias("cid"), "pos", "icval")
     )
