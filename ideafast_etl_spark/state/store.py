@@ -72,20 +72,40 @@ class StateStore:
         partition_by: tuple[str, ...] = ("device_type",),
         keep_versions: int = 1,
         log_appends: bool = True,
+        cdc_mode: str = "hardlink",
     ) -> None:
         """``keep_versions`` > 1 retains older snapshots for time travel
         (``read(version=...)`` / ``versions()``) — the snapshot-store analog
         of Delta's VERSION AS OF, bounded so storage stays O(keep_versions).
 
-        ``log_appends`` keeps an append change log under ``_cdc/`` (hardlinks
-        of each insert delta's part-files — zero extra jobs) that
-        ``stream_appends()`` exposes as a Structured-Streaming source."""
+        ``log_appends`` keeps an append change log under ``_cdc/`` that
+        ``stream_appends()`` exposes as a Structured-Streaming source.
+
+        ``cdc_mode`` selects how that log is published (r11 verdict #3):
+
+        - ``"hardlink"`` (default, POSIX fast path): each insert delta's
+          part-files are hardlinked into a staged ``_tmp_…`` dir and
+          published by one atomic rename — zero byte copies, but needs a
+          filesystem with inodes and rename.
+        - ``"copy"`` (object-store-safe): staging is one tiny
+          underscore-prefixed JSON PUT listing the delta's part-files
+          (invisible to Spark readers), and publication copies those
+          bytes from the COMMITTED snapshot dir into the final
+          ``commit_version=<v>`` dir — create/delete-only, no links, no
+          renames, so it holds where the rest of the manifest protocol
+          holds. Each destination file is one single-key PUT (atomic on
+          object storage; torn local files from a simulated crash are
+          healed by ``recover()``'s size-checked idempotent re-copy).
+        """
+        if cdc_mode not in ("hardlink", "copy"):
+            raise ValueError(f"cdc_mode must be hardlink|copy, got {cdc_mode}")
         self.spark = spark
         self.path = path
         self.key = key
         self.partition_by = partition_by
         self.keep_versions = max(1, keep_versions)
         self.log_appends = log_appends
+        self.cdc_mode = cdc_mode
         os.makedirs(path, exist_ok=True)
 
     # -- snapshot mechanics ---------------------------------------------------
@@ -138,9 +158,26 @@ class StateStore:
         vs = self._committed_versions()
         if vs or not os.path.exists(self._pointer_file()):
             return vs
-        return sorted(
-            d[2:] for d in os.listdir(self.path) if d.startswith("v_")
-        )
+        # Orphan guard on the pointer-era fallback (r11 advice): versions
+        # are monotone time_ns stamps, so a dir NEWER than the pointer is
+        # a staged-but-uncommitted snapshot (a crash between the data
+        # write and the store's first manifest PUT) — it must not be
+        # listed, served by read(version=...), or protected from
+        # recover(). Only dirs the pointer (or an older commit) reached
+        # are real.
+        cur = self.current_version()
+        if cur is None:
+            return []
+        out = []
+        for d in os.listdir(self.path):
+            if not d.startswith("v_"):
+                continue
+            try:
+                if int(d[2:]) <= int(cur):
+                    out.append(d[2:])
+            except ValueError:
+                continue
+        return sorted(out, key=int)
 
     def read(self, version: str | None = None) -> DataFrame:
         """Read the current snapshot, or a retained historical one.
@@ -328,35 +365,100 @@ class StateStore:
     def cdc_path(self) -> str:
         return os.path.join(self.path, "_cdc")
 
+    def _staged_listing(self, version: str) -> str:
+        # underscore prefix: invisible to Spark's path filter, like _tmp_
+        return os.path.join(self.cdc_path(), f"_staged_v{version}.json")
+
     def _log_append(self, delta_dir: str, version: str) -> None:
-        """STAGE the delta's part-files into the append change log as
-        ``_cdc/_tmp_commit_version=<v>/`` (hardlinks, partition subdirs
-        preserved). The leading underscore keeps the staged entry invisible
-        to Spark readers (the path filter skips ``_``/``.`` names), so a
-        crash before the snapshot commit can never publish phantom CDC rows
-        for a version that was never committed. ``_finalize_log`` renames
-        it to ``commit_version=<v>`` right after the manifest commit; a crash
-        in between is healed by ``recover()`` (the snapshot dir proves the
-        commit happened). Pure inode links — the log is free at write time
-        and immutable: each commit's files appear once, atomically, and are
-        never rewritten."""
+        """STAGE the delta's part-files into the append change log. The
+        leading underscore keeps every staged artifact invisible to Spark
+        readers (the path filter skips ``_``/``.`` names), so a crash
+        before the snapshot commit can never publish phantom CDC rows for
+        a version that was never committed. ``_finalize_log`` publishes
+        right after the manifest commit; a crash in between is healed by
+        ``recover()`` (the snapshot dir proves the commit happened).
+
+        hardlink mode: links the delta files into
+        ``_cdc/_tmp_commit_version=<v>/`` (partition subdirs preserved) —
+        the log is free at write time and published by one atomic rename.
+
+        copy mode (object-store-safe): records only the delta files'
+        relative paths in one small ``_staged_v<v>.json`` PUT.
+        ``delta_dir`` is always the version's own snapshot dir (the delta
+        part-files land there FIRST, before old files link in), so the
+        publish step can later copy the bytes from the committed snapshot
+        — no second write job, no links, no renames."""
         if not self.log_appends:
             return
-        self._link_tree(
-            delta_dir,
-            os.path.join(self.cdc_path(), f"_tmp_commit_version={version}"),
-        )
+        if self.cdc_mode == "hardlink":
+            self._link_tree(
+                delta_dir,
+                os.path.join(self.cdc_path(), f"_tmp_commit_version={version}"),
+            )
+            return
+        import json
+
+        rels = []
+        for root, _dirs, files in os.walk(delta_dir):
+            rel = os.path.relpath(root, delta_dir)
+            for fn in files:
+                if fn.startswith(("_", ".")):
+                    continue
+                rels.append(fn if rel == "." else os.path.join(rel, fn))
+        os.makedirs(self.cdc_path(), exist_ok=True)
+        with open(self._staged_listing(version), "w") as f:
+            f.write(json.dumps({"files": sorted(rels)}))
+            f.flush()
+            os.fsync(f.fileno())
 
     def _finalize_log(self, version: str) -> None:
-        """Publish the staged CDC entry for a just-committed version —
-        a single atomic rename."""
+        """Publish the staged CDC entry for a just-committed version.
+
+        hardlink mode: a single atomic rename of the staged dir.
+
+        copy mode: copy each listed delta file from the committed
+        ``v_<version>`` snapshot dir into ``commit_version=<v>/`` —
+        create-only single-key PUTs (atomic per file on object storage),
+        then delete the staged listing. Idempotent and crash-repairable:
+        a re-run (or ``recover()``) skips files already fully copied
+        (size check heals a torn local file from a simulated mid-copy
+        crash) and re-deletes the listing. The copy happens while the
+        source snapshot is the CURRENT version, which GC always retains,
+        so sources cannot vanish mid-publish."""
         if not self.log_appends:
             return
+        # the STAGED ARTIFACT decides the publish protocol, not the
+        # instance's cdc_mode: a store reopened under the other mode must
+        # still heal a predecessor's staged entry
         tmp = os.path.join(self.cdc_path(), f"_tmp_commit_version={version}")
         if os.path.isdir(tmp):
             os.rename(
-                tmp, os.path.join(self.cdc_path(), f"commit_version={version}")
+                tmp,
+                os.path.join(self.cdc_path(), f"commit_version={version}"),
             )
+        import json
+
+        listing = self._staged_listing(version)
+        if not os.path.isfile(listing):
+            return
+        with open(listing) as f:
+            rels = json.load(f)["files"]
+        src_root = self._snapshot_dir(version)
+        dst_root = os.path.join(self.cdc_path(), f"commit_version={version}")
+        for rel in rels:
+            src = os.path.join(src_root, rel)
+            dst = os.path.join(dst_root, rel)
+            try:
+                if os.path.getsize(dst) == os.path.getsize(src):
+                    continue  # already fully published (idempotent re-run)
+            except OSError:
+                pass
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            with open(src, "rb") as s, open(dst, "wb") as d:
+                shutil.copyfileobj(s, d)
+                d.flush()
+                os.fsync(d.fileno())
+        os.unlink(listing)
 
     def recover(self) -> dict[str, int]:
         """Crash recovery. Runs automatically at the start of every write
@@ -397,6 +499,22 @@ class StateStore:
                         finalized += 1
                     else:
                         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                        dropped += 1
+                elif d.startswith("_staged_v") and d.endswith(".json"):
+                    # copy-mode staged listing (one small PUT): same
+                    # committed ⟺ current-version reasoning as above; the
+                    # finalize re-copy is idempotent and size-checked, so
+                    # it also heals a torn destination file from a crash
+                    # mid-publish
+                    v = d[len("_staged_v"):-len(".json")]
+                    if v == cur:
+                        self._finalize_log(v)
+                        finalized += 1
+                    else:
+                        try:
+                            os.unlink(os.path.join(root, d))
+                        except OSError:
+                            pass
                         dropped += 1
         for d in os.listdir(self.path):
             if d.startswith("_tmp_v_"):
