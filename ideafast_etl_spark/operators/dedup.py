@@ -220,30 +220,34 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def _auto_candidates(
-    banded: DataFrame, n_bands: int, pairs_per_doc: float
+    banded: DataFrame,
+    n_bands: int,
+    pairs_per_doc: float,
+    sample_target: int = 65536,
 ) -> str:
     """Data-driven all/star selection (r9 verdict #7 — the
-    ``mmr_rerank`` ``loop="auto"`` pattern): ONE bounded diagnostic
-    aggregation over the band buckets computes the exact all-pairs
-    candidate volume Σ_buckets C(c, 2); above ``pairs_per_doc · n_docs``
-    the quadratic enumeration is degenerate duplicate density and the
-    star posture is selected. On a uniform corpus bucket sizes are O(1)
-    and the volume is ≲ the true dup-pair count, so the baseline stays.
-    Under plan-audit mode (checkpoints disabled) no job may run: auto
-    resolves to "star", the scale-safe posture, deterministically."""
+    ``mmr_rerank`` ``loop="auto"`` pattern): a bounded diagnostic over
+    the band buckets estimates the all-pairs candidate volume
+    Σ_buckets C(c, 2); above ``pairs_per_doc · n_docs`` the quadratic
+    enumeration is degenerate duplicate density and the star posture is
+    selected. On a uniform corpus bucket sizes are O(1) and the volume
+    is ≲ the true dup-pair count, so the baseline stays.
+
+    r11 verdict #2: the statistic is now SAMPLED above ``sample_target``
+    rows (operators/diag.py — deterministic 1-in-s doc-hash sample with
+    the 1/s² pair-survival correction) instead of an exact full keyed
+    aggregation, so the diagnostic cost is bounded regardless of corpus
+    size; small corpora keep the exact bit-identical decision. Under
+    plan-audit mode no job may run: auto resolves to "star", the
+    scale-safe posture, deterministically."""
     if not checkpoints_enabled():
         return "star"
-    r = (
-        banded.groupBy("band", "band_key")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(
-            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
-            F.sum("c").alias("rows"),
-        )
-        .first()
+    from .diag import estimate_bucket_pair_volume
+
+    pairs, rows = estimate_bucket_pair_volume(
+        banded, ["band", "band_key"], banded.columns[0], sample_target
     )
-    pairs = float(r["pairs"] or 0.0)
-    n_docs = float(r["rows"] or 0) / max(n_bands, 1)
+    n_docs = rows / max(n_bands, 1)
     return "star" if pairs > pairs_per_doc * max(n_docs, 1.0) else "all"
 
 
