@@ -247,13 +247,14 @@ def ivfpq_topk(
     resolves to 1 without running the count: the audited plan carries
     the full split structure (the hot predicate is data-dependent either
     way) and no eager job fires."""
+    from ..plan_audit import checkpoints_enabled
+
+    do_ckpt = checkpoints_enabled()
     dim = df.select(F.size(vec_col)).first()[0]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     subdim = dim // m
     if max_cell_size == "auto":
-        from ..plan_audit import checkpoints_enabled
-
         if checkpoints_enabled():
             n = df.count()
             max_cell_size = max(1, -(-int(auto_hot_factor * n) // n_cells))
@@ -271,11 +272,18 @@ def ivfpq_topk(
     cells = assign.select(
         F.col(id_col).alias("__id"), F.col("cluster_id").alias("cell")
     )
+    if do_ckpt:
+        # n rows × 2 columns, bounded (the kmeans_assign_hierarchical
+        # discipline). Without it, every downstream consumer — the hot
+        # check, each of the split's ~6 member-relation passes, the
+        # residual encode inside every PQ training iteration — re-runs
+        # the coarse assignment pass (pts ⋈ centroids, n·dim·k rows)
+        # from scratch; profiled at 100× as the bulk of the end-to-end
+        # cost on BOTH corpus shapes (SCALE.md r12).
+        cells = cells.localCheckpoint(eager=True)
     pts = _pos_exploded(df, id_col, vec_col)
     do_split = max_cell_size is not None
     if do_split:
-        from ..plan_audit import checkpoints_enabled
-
         if checkpoints_enabled():
             # ONE keyed agg over the (id, cell) assignment — n rows, two
             # columns — decides whether any cell is actually hot. Without
@@ -301,6 +309,22 @@ def ivfpq_topk(
         cells, fcent = _split_hot_cells(
             pts, cells, coarse, max_cell_size, split_iters, max_split
         )
+        # Re-spread the split's assignment before the corpus-scale joins
+        # (r11 verdict #4, profiled in SCALE.md r12): the split's own
+        # relations are small (n rows, narrow), so AQE coalesces its
+        # final window/join lineage down to ONE partition — and the
+        # residual encode joins the full exploded pts relation against
+        # it, leaving rpts and the whole PQ training stage single-task
+        # (measured: PQ assign 161-201 s/iteration on one core vs ~8 s
+        # spread, the entire dup-dense hot-split "residual"). One cheap
+        # n-row shuffle restores parallelism; every downstream op is
+        # fixed-point and partitioning-independent, so results are
+        # bit-identical (the SQL oracle pins this).
+        cells = cells.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "__id"
+        )
+        if do_ckpt:
+            cells = cells.localCheckpoint(eager=True)  # n×3 rows, bounded
     else:
         cells = cells.withColumn("sub", F.lit(0).cast("int"))
         fcent = coarse.select(
@@ -320,6 +344,13 @@ def ivfpq_topk(
             (F.col("ival") - F.col("icval")).alias("ival"),
         )
     )
+    if do_ckpt:
+        # the PQ trainer touches rpts 2·pq_iters+1 times (assign + update
+        # per iteration, then the code pass); cache the corpus-scale
+        # residual relation instead of re-deriving it each time — the
+        # minhash shingle-relation discipline (dedup.py). Spilled to disk
+        # when it outgrows memory; unpersisted before returning.
+        rpts = rpts.persist()
     seed_ids = (
         df.select(F.col(id_col).alias("__id"))
         .orderBy("__id")
@@ -328,60 +359,71 @@ def ivfpq_topk(
             "cid", F.row_number().over(Window.orderBy("__id")) - F.lit(1)
         )
     )
-    cb = train_from_pts(rpts, seed_ids, pq_iters)
-    codes = _assign(rpts, cb)  # (__id, sub, cid)
+    try:
+        cb = train_from_pts(rpts, seed_ids, pq_iters)
+        codes = _assign(rpts, cb)  # (__id, sub, cid)
 
-    q_pts = _pos_exploded(
-        queries.select(F.col(id_col).alias("qid"), vec_col), "qid", vec_col
-    ).withColumnRenamed("__id", "qid")
-    # probe: exact integer q·centroid per (cell, sub), keep the n_probe best
-    qcell = (
-        q_pts.join(F.broadcast(fcent), "pos")
-        .groupBy("qid", "cell", "sub")
-        .agg(F.sum(F.col("ival") * F.col("icval")).alias("qc"))
-    )
-    wp = Window.partitionBy("qid").orderBy(
-        F.desc("qc"), F.asc("cell"), F.asc("sub")
-    )
-    probed = (
-        qcell.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= n_probe)
-        .select("qid", "cell", "sub", "qc")
-    )
-    # ADC table: q (raw, not residual) dotted with every residual codeword
-    q_sub = q_pts.select(
-        "qid",
-        (F.col("pos") / subdim).cast("int").alias("sub"),
-        (F.col("pos") % subdim).alias("spos"),
-        "ival",
-    )
-    tab = (
-        q_sub.join(F.broadcast(cb), ["sub", "spos"])
-        .groupBy("qid", "sub", "cid")
-        .agg(F.sum(F.col("ival") * F.col("icval")).alias("ip"))
-    )
-    cands = probed.join(cells, ["cell", "sub"]).filter(
-        F.col("__id") != F.col("qid")
-    )
-    adc = (
-        cands.select("qid", "qc", "__id")
-        .join(codes, "__id")
-        .join(F.broadcast(tab), ["qid", "sub", "cid"])
-        .groupBy("qid", "__id", "qc")
-        .agg(F.sum("ip").alias("adc"))
-    )
-    scored = adc.select(
-        F.col("qid").alias("query_id"),
-        F.col("__id").alias("neighbor_id"),
-        F.round((F.col("qc") + F.col("adc")).cast("double") / _S2, 6).alias(
-            "approx_sim"
-        ),
-    )
-    from .similarity import ranked_topk
+        q_pts = _pos_exploded(
+            queries.select(F.col(id_col).alias("qid"), vec_col), "qid", vec_col
+        ).withColumnRenamed("__id", "qid")
+        # probe: exact integer q·centroid per (cell, sub), keep the n_probe best
+        qcell = (
+            q_pts.join(F.broadcast(fcent), "pos")
+            .groupBy("qid", "cell", "sub")
+            .agg(F.sum(F.col("ival") * F.col("icval")).alias("qc"))
+        )
+        wp = Window.partitionBy("qid").orderBy(
+            F.desc("qc"), F.asc("cell"), F.asc("sub")
+        )
+        probed = (
+            qcell.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") <= n_probe)
+            .select("qid", "cell", "sub", "qc")
+        )
+        # ADC table: q (raw, not residual) dotted with every residual codeword
+        q_sub = q_pts.select(
+            "qid",
+            (F.col("pos") / subdim).cast("int").alias("sub"),
+            (F.col("pos") % subdim).alias("spos"),
+            "ival",
+        )
+        tab = (
+            q_sub.join(F.broadcast(cb), ["sub", "spos"])
+            .groupBy("qid", "sub", "cid")
+            .agg(F.sum(F.col("ival") * F.col("icval")).alias("ip"))
+        )
+        cands = probed.join(cells, ["cell", "sub"]).filter(
+            F.col("__id") != F.col("qid")
+        )
+        adc = (
+            cands.select("qid", "qc", "__id")
+            .join(codes, "__id")
+            .join(F.broadcast(tab), ["qid", "sub", "cid"])
+            .groupBy("qid", "__id", "qc")
+            .agg(F.sum("ip").alias("adc"))
+        )
+        scored = adc.select(
+            F.col("qid").alias("query_id"),
+            F.col("__id").alias("neighbor_id"),
+            F.round((F.col("qc") + F.col("adc")).cast("double") / _S2, 6).alias(
+                "approx_sim"
+            ),
+        )
+        from .similarity import ranked_topk
 
-    return ranked_topk(
-        scored,
-        ["query_id"],
-        [F.desc("approx_sim"), F.asc("neighbor_id")],
-        k,
-    ).select("query_id", "neighbor_id", "approx_sim", "rank")
+        result = ranked_topk(
+            scored,
+            ["query_id"],
+            [F.desc("approx_sim"), F.asc("neighbor_id")],
+            k,
+        ).select("query_id", "neighbor_id", "approx_sim", "rank")
+        if not do_ckpt:
+            return result  # plan-audit path: full lineage, nothing cached
+        # materialise (≤ |queries|·k rows) before releasing the cache —
+        # the minhash pattern: the caller gets a small checkpointed
+        # relation, not lineage over an unpersisted cache
+        out = result.localCheckpoint(eager=True)
+    finally:
+        if do_ckpt:
+            rpts.unpersist()
+    return out
