@@ -304,6 +304,7 @@ def ngram_lm_perplexity(
     discount: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Train-and-score over ONE corpus with ONE gram pass (r9 verdict
     #5). ``train_ngram_lm`` + ``score_*`` compose as three independent
@@ -325,33 +326,71 @@ def ngram_lm_perplexity(
 
     Output is bit-identical to the composed form — same count tables,
     same fixed-point scoring tail (``_addk_scores`` / ``_kn_scores`` are
-    shared code), so it inherits the composed operators' oracles. The
-    operator is fully lazy (no persist, no checkpoint), so the audited
-    plan IS the production plan.
+    shared code), so it inherits the composed operators' oracles.
+
+    ``materialize=False`` (default): fully lazy (no persist, no
+    checkpoint), the audited plan IS the production plan. The KN tail
+    consumes ``ngram_counts`` four ways (the probe join, both
+    continuation rollups, the type total), and lazily each consumer
+    re-derives it from the corpus-sized ``occ`` exchange unless AQE's
+    stage cache happens to line the subtrees up — the r10 doc-skew A/B
+    measured the fused-lazy form LOSING to composed under full
+    materialization for exactly this reason (881.8 vs 774.6 s cold).
+
+    ``materialize=True`` (r11 verdict #5 — the bucket-stage posture):
+    ``occ`` is persisted across its 2 + smoothing-dependent consumers,
+    ``ngram_counts`` is checkpointed (gram-TYPE-count table, vocabulary-
+    bounded — every rollup and join then reads a materialized relation),
+    and the doc-count-sized scored result is checkpointed before the
+    ``occ`` cache is released (the minhash shingle-cache lifecycle). One
+    gram pass, one corpus-sized shuffle, everything downstream bounded.
+    No-op under plan-audit mode: full lineage, no eager job.
 
     ``smoothing``: "addk" (add-k, see :func:`score_perplexity`) or "kn"
     (interpolated Kneser-Ney, see :func:`score_kn_perplexity`)."""
+    from ..plan_audit import checkpoints_enabled
+
     if smoothing not in ("addk", "kn"):
         raise ValueError(
             f"smoothing must be 'addk' or 'kn'; got {smoothing!r}"
         )
+    mat = materialize and checkpoints_enabled()
     toks = _tokens(df, text_col, id_col)
     occ = (
         _grams_from_tokens(toks, n, id_col)
         .groupBy(id_col, "ctx", "w")
         .agg(F.count(F.lit(1)).alias("c_occ"))
     )
-    ngram_counts = occ.groupBy("ctx", "w").agg(F.sum("c_occ").alias("c_nw"))
-    context_counts = ngram_counts.groupBy("ctx").agg(
-        F.sum("c_nw").alias("c_ctx")
-    )
-    vocab = toks.select(F.explode("t").alias("w")).agg(
-        F.count_distinct("w").alias("n_vocab")
-    )
-    if smoothing == "addk":
-        return _addk_scores(
-            occ, ngram_counts, context_counts, vocab, k, id_col
+    if mat:
+        occ = occ.persist()
+    try:
+        ngram_counts = occ.groupBy("ctx", "w").agg(
+            F.sum("c_occ").alias("c_nw")
         )
-    return _kn_scores(
-        occ, ngram_counts, context_counts, vocab, discount, id_col
-    )
+        if mat:
+            # gram-type counts: bounded by vocabulary², in practice the
+            # distinct-gram table — small enough that every one of its
+            # four consumers should read it materialized, not re-shuffle
+            # the corpus
+            ngram_counts = ngram_counts.localCheckpoint(eager=True)
+        context_counts = ngram_counts.groupBy("ctx").agg(
+            F.sum("c_nw").alias("c_ctx")
+        )
+        vocab = toks.select(F.explode("t").alias("w")).agg(
+            F.count_distinct("w").alias("n_vocab")
+        )
+        if smoothing == "addk":
+            result = _addk_scores(
+                occ, ngram_counts, context_counts, vocab, k, id_col
+            )
+        else:
+            result = _kn_scores(
+                occ, ngram_counts, context_counts, vocab, discount, id_col
+            )
+        if not mat:
+            return result
+        out = result.localCheckpoint(eager=True)  # doc-count-sized
+    finally:
+        if mat:
+            occ.unpersist()
+    return out

@@ -3852,25 +3852,21 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition offsets — operators/ranking.py), never a single-
     partition window; the bucket rule is integer arithmetic mirrored
     verbatim by the oracle."""
-    from .operators.lm import score_kn_perplexity, train_ngram_lm
+    from .operators.lm import ngram_lm_perplexity
     from .operators.ranking import global_rank, rank_buckets
-    from .plan_audit import checkpoints_enabled
 
     docs = _t(spark, sf_dir, "documents")
-    # COMPOSED train+score here, not the fused single-gram-pass operator:
-    # this query materialises the whole scored relation (localCheckpoint
-    # below), and under full materialisation the fused form's extra
-    # (id, ctx, w) shuffle on the training side outweighs its saved
-    # tokenizes — measured cold at doc-skew 100x: composed 774.6 s vs
-    # fused 881.8 s (SCALE.md r10). The fused operator wins for the
-    # scoring-only actions (ngram_lm_perplexity 144.5 -> 59.2 s solo).
-    nc, cc, v = train_ngram_lm(docs, n=2)
-    scored = score_kn_perplexity(docs, nc, cc, v, n=2)
-    if checkpoints_enabled():
-        # scored is doc-count-sized (id, perplexity); materialise it once —
-        # total and the rank stage otherwise each re-execute the full
-        # train+score DAG over the corpus
-        scored = scored.localCheckpoint(eager=True)
+    # r12 (verdict r11 #5): the FUSED single-gram-pass operator with its
+    # materializing posture — occ persisted, the gram-type count table
+    # checkpointed, scored checkpointed (doc-count-sized). The r10 A/B
+    # that kept this query composed measured the fused-LAZY form: its
+    # corpus-sized occ exchange re-derived per KN count-table consumer
+    # (881.8 s vs composed 774.6 s cold at doc-skew 100x). Materialized,
+    # the corpus is tokenized once and shuffled once — measured numbers
+    # in SCALE.md r12. Bit-identical output (shared scoring tail), so
+    # the oracle is unchanged. Under plan-audit mode the call is fully
+    # lazy and the audited plan carries the whole fused lineage.
+    scored = ngram_lm_perplexity(docs, n=2, smoothing="kn", materialize=True)
     total = scored.count()
     ranked = global_rank(
         scored.select("doc_id", "perplexity"),
