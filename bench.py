@@ -112,6 +112,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     warm_median: dict[str, float] = {}
     warm_min: dict[str, float] = {}
+    warm_jobs: dict[str, float] = {}
     for name in HEADLINE + EXTENDED:
         fn = qs[name]
         # cold run: plan compile + execute, like the driver sees it
@@ -129,10 +130,20 @@ def main() -> None:
         # n iterations; first kept as `warm_queries` for cross-round
         # continuity, median/min reported alongside.
         samples = []
+        tracker = spark.sparkContext.statusTracker()
+        jobs_before = len(tracker.getJobIdsForGroup())
         for _ in range(max(1, iters)):
             t1 = time.time()
             fn(spark, sf_dir).count()
             samples.append(time.time() - t1)
+        # Spark jobs per warm run — a BOX-INDEPENDENT structural metric:
+        # wall-clock swings with machine load (the r10/r11 phantom
+        # regressions), but the number of scheduler barriers a query pays
+        # only changes when the code's plan/action structure changes. A
+        # jobs-per-run jump between rounds is a real structural regression
+        # even when the box is too noisy to trust the seconds.
+        jobs_after = len(spark.sparkContext.statusTracker().getJobIdsForGroup())
+        warm_jobs[name] = round((jobs_after - jobs_before) / max(1, iters), 1)
         warm[name] = round(samples[0], 3)
         srt = sorted(samples)
         warm_median[name] = round(srt[len(srt) // 2], 3)
@@ -169,6 +180,7 @@ def main() -> None:
                     sum(warm_min[n] for n in HEADLINE if n in warm_min), 3
                 ),
                 "warm_iters": iters,
+                "warm_jobs_per_run": warm_jobs,
                 "extended_queries": EXTENDED,
                 "extended_total": ext_total,
                 "extended_warm_total": round(

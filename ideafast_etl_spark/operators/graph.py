@@ -187,9 +187,17 @@ def bfs_hops(
                 reached.join(visited.select("node"), "node", "left_anti")
                 .withColumn("hops", F.lit(i))
             )  # O(|V|) rows, lineage cut
-            if do_ckpt and new.isEmpty():
+            # Only the per-hop `new` piece needs the checkpoint: `visited`
+            # is then a union of <= max_hops already-checkpointed
+            # relations, so its lineage stays one-union-deep per hop and
+            # re-checkpointing the union would just be one extra barrier
+            # job per hop for the same plan. Likewise the early-exit probe
+            # is pointless on the FINAL hop — there is no next iteration
+            # to save — so the bounded `isEmpty` job runs only while
+            # another hop remains (r12: 7 -> 4 jobs for max_hops=2).
+            if do_ckpt and i < max_hops and new.isEmpty():
                 break
-            visited = _ck(visited.unionByName(new))
+            visited = visited.unionByName(new)
             frontier = new.select("node")
     finally:
         if do_ckpt:
