@@ -88,12 +88,27 @@ def _quiet_box_guard() -> dict:
             "artifact are NOT comparable across rounds; see `contended`.",
             file=sys.stderr,
         )
+    # MemAvailable catches a degradation loadavg misses entirely: for
+    # minutes after a big JVM (our own prior bench/suite run) exits, the
+    # kernel is still reclaiming its heap pages and timings run 2-3x slow
+    # while loadavg reads near-zero (r12 measured pair: exact_dedup 2.07 s
+    # at loadavg 0.32 right after a bench JVM exit vs 0.81 s settled).
+    mem_gb = None
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    mem_gb = round(int(line.split()[1]) / 1048576, 1)
+                    break
+    except OSError:
+        pass
     return {
         "loadavg_start": [round(load1, 2), round(load5, 2)],
         "cpus": ncpu,
         "contended": contended,
         "quiet_wait_sec": round(waited, 1),
         "contention_threshold": round(threshold, 2),
+        "mem_available_gb": mem_gb,
     }
 
 
@@ -131,7 +146,7 @@ def main() -> None:
         # continuity, median/min reported alongside.
         samples = []
         tracker = spark.sparkContext.statusTracker()
-        jobs_before = len(tracker.getJobIdsForGroup())
+        jobs_before = max(tracker.getJobIdsForGroup(), default=0)
         for _ in range(max(1, iters)):
             t1 = time.time()
             fn(spark, sf_dir).count()
@@ -142,7 +157,12 @@ def main() -> None:
         # only changes when the code's plan/action structure changes. A
         # jobs-per-run jump between rounds is a real structural regression
         # even when the box is too noisy to trust the seconds.
-        jobs_after = len(spark.sparkContext.statusTracker().getJobIdsForGroup())
+        # job IDs are monotone; the tracker only RETAINS the last
+        # spark.ui.retainedJobs ids, so len() deltas go wrong (negative)
+        # once the session passes the retention horizon — diff the max id.
+        jobs_after = max(
+            spark.sparkContext.statusTracker().getJobIdsForGroup(), default=0
+        )
         warm_jobs[name] = round((jobs_after - jobs_before) / max(1, iters), 1)
         warm[name] = round(samples[0], 3)
         srt = sorted(samples)

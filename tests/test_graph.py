@@ -88,3 +88,60 @@ def test_bfs_hops_depth_cap(spark):
     seeds = spark.createDataFrame([(0,)], "node long")
     out = bfs_hops(edges, seeds, max_hops=2)
     assert {r["node"] for r in out.collect()} == {0, 1, 2}
+
+
+def _bfs_twin(edges, seed_nodes, max_hops):
+    """Pure-python min-hop BFS replica."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    hops = {n: 0 for n in seed_nodes}
+    frontier = set(seed_nodes)
+    for i in range(1, max_hops + 1):
+        nxt = {d for s in frontier for d in adj[s] if d not in hops}
+        for d in nxt:
+            hops[d] = i
+        if not nxt:
+            break
+        frontier = nxt
+    return hops
+
+
+def test_bfs_hops_random_graph_parity(spark):
+    """Seeded random-digraph fuzz vs the python twin: multi-seed frontiers,
+    unreachable islands, cycles, and the early-exit path (hop budget beyond
+    the graph's eccentricity) all in one sweep."""
+    import random
+
+    from ideafast_etl_spark.operators.graph import bfs_hops
+
+    for seed, n, m, max_hops in ((7, 40, 90, 3), (23, 25, 30, 6)):
+        rng = random.Random(seed)
+        edges = list({
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        })
+        seed_nodes = sorted(rng.sample(range(n), 2))
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seed_nodes], "node long")
+        got = {
+            r["node"]: r["hops"]
+            for r in bfs_hops(e, s, max_hops=max_hops).collect()
+        }
+        assert got == _bfs_twin(edges, seed_nodes, max_hops), (
+            f"seed={seed}"
+        )
+
+
+def test_pagerank_random_graph_matches_twin(spark):
+    """Seeded random digraph vs the integer twin — exercises dangling
+    nodes and uneven out-degrees beyond the fixed fixture."""
+    import random
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(25)})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["irank"] for r in pagerank(df, iters=4).collect()}
+    assert got == _twin(edges, 4)
