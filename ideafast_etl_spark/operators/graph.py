@@ -56,6 +56,17 @@ def pagerank(
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
+    )
+    # Pre-partition on the iteration join key BEFORE caching (the bfs_hops
+    # r9 discipline, applied here in r12): the per-iteration e ⋈ ranks is
+    # keyed on src, and a cache with unknown partitioning re-exchanges the
+    # FULL edge relation every iteration — profiled at 100x sf0.1 as the
+    # bulk of each ~9-12 s iteration over 117M cached edge rows. With the
+    # cache hash-partitioned by src, only the O(|V|) rank relation
+    # shuffles per iteration, and outdeg derives exchange-free (groupBy on
+    # the partitioning key).
+    e = e.repartition(
+        edges.sparkSession.sparkContext.defaultParallelism, "src"
     ).persist()  # scanned once per iteration — never recomputed from source
     nodes = (
         e.select(F.col("src").alias("node"))
