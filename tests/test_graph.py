@@ -145,3 +145,47 @@ def test_pagerank_random_graph_matches_twin(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["irank"] for r in pagerank(df, iters=4).collect()}
     assert got == _twin(edges, 4)
+
+
+def test_bfs_hops_shj_conf_scoped_and_restored(spark):
+    """bfs_hops pins the AQE SMJ->SHJ threshold for its own hop jobs only
+    (r12): the session value must be restored on normal return AND when a
+    hop job raises, and the result must be identical to a run with the
+    conversion disabled."""
+    from ideafast_etl_spark.operators import graph
+    from ideafast_etl_spark.operators.graph import _SHJ_CONF, bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (4, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    sentinel = "12345"
+    prev = spark.conf.get(_SHJ_CONF, "0")
+    spark.conf.set(_SHJ_CONF, sentinel)
+    try:
+        with_shj = {
+            r["node"]: r["hops"]
+            for r in bfs_hops(edges, seeds, max_hops=5).collect()
+        }
+        assert spark.conf.get(_SHJ_CONF) == sentinel  # restored on return
+        # identical result with the conversion off (strategy is
+        # semantics-free; the oracle relies on this)
+        orig = graph._SHJ_THRESHOLD
+        graph._SHJ_THRESHOLD = "0"
+        try:
+            without = {
+                r["node"]: r["hops"]
+                for r in bfs_hops(edges, seeds, max_hops=5).collect()
+            }
+        finally:
+            graph._SHJ_THRESHOLD = orig
+        assert with_shj == without == {1: 0, 2: 1, 3: 1, 4: 2}
+        # exception path: a mid-loop failure must still restore the conf
+        bad_seeds = spark.createDataFrame([("x",)], "node string")
+        try:
+            bfs_hops(edges, bad_seeds.selectExpr("node || 'y' as node"), 2)
+        except Exception:
+            pass
+        assert spark.conf.get(_SHJ_CONF) == sentinel
+    finally:
+        spark.conf.set(_SHJ_CONF, prev)
