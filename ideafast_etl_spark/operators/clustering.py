@@ -58,7 +58,14 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plan_audit import checkpoints_enabled
+
 _SCALE = 1_000_000  # fixed-point scale for exact centroid sums
+
+# kmeans_fit's pts-caching posture (r12): module-level so tools/tests can
+# A/B it in-process; production always leaves it on. Plan audits disable
+# it through no_checkpoints() instead, keeping the audited lineage lazy.
+_PERSIST_PTS = True
 
 
 def _pos_exploded(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -109,74 +116,98 @@ def kmeans_fit(
     sums, data-derived seeds, bit-identical under any partitioning."""
     if k is None:
         k = derive_k(df.count(), target_cluster_size)
+    # Persist the pos-exploded corpus across the training loop (r12, the
+    # kmeans_assign_hierarchical discipline finally applied to the flat
+    # fit): every iteration's eager centroid checkpoint consumes pts
+    # TWICE (assignment join + update join), so 2·iters+2 subtree
+    # evaluations of scan+normalize+posexplode collapse to one. The
+    # final assignment is then materialized (n rows of 3 columns) before
+    # the cache is released so callers never re-derive pts either.
+    # Values are unchanged by construction — fixed-point sums are
+    # partitioning-independent. Skipped under plan audits so .explain
+    # keeps the real lazy lineage.
+    do_ckpt = checkpoints_enabled() and _PERSIST_PTS
     pts = _pos_exploded(df, id_col, vec_col)
-    # deterministic seed: the k lowest ids become clusters 0..k-1
-    seed_ids = (
-        df.select(F.col(id_col).alias("__id"))
-        .orderBy("__id")
-        .limit(k)
-        .withColumn(
-            "cid", F.row_number().over(Window.orderBy("__id")) - F.lit(1)
-        )
-    )
-    cent = (
-        pts.join(F.broadcast(seed_ids), "__id")
-        .select("cid", "pos", F.col("ival").alias("icval"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(iters):
-        # assignment: cosine = dot(unit point, unit centroid)
-        sims = (
-            pts.join(F.broadcast(cent), "pos")
-            .groupBy("__id", "cid")
-            .agg(
-                (
-                    F.sum(F.col("ival") * F.col("icval")).cast("double")
-                    / (_SCALE * _SCALE)
-                ).alias("sim")
+    if do_ckpt:
+        pts = pts.persist()
+    try:
+        # deterministic seed: the k lowest ids become clusters 0..k-1
+        seed_ids = (
+            df.select(F.col(id_col).alias("__id"))
+            .orderBy("__id")
+            .limit(k)
+            .withColumn(
+                "cid", F.row_number().over(Window.orderBy("__id")) - F.lit(1)
             )
         )
-        best = sims.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("__id").orderBy(
-                    F.col("sim").desc(), F.col("cid")
-                )
-            ),
-        ).filter(F.col("rn") == 1).select("__id", "cid", "sim")
-        # update: exact fixed-point mean per (cid, pos), then re-normalize
-        sums = (
-            pts.join(best.select("__id", "cid"), "__id")
-            .groupBy("cid", "pos")
-            .agg(
-                F.sum(F.col("ival")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .withColumn("mean", F.col("s").cast("double") / (F.col("n") * _SCALE))
-            .withColumn("imean", F.round(F.col("mean") * _SCALE).cast("long"))
-        )
-        # norm from the quantised components, summed as exact integers
-        cnorm = F.sqrt(
-            F.sum(F.col("imean") * F.col("imean"))
-            .over(Window.partitionBy("cid"))
-            .cast("double")
-        ) / _SCALE
         cent = (
-            sums.withColumn("__cnorm", cnorm)
-            # zero-norm guard: a cluster whose quantised mean is all zeros
-            # would divide by 0 → Inf/NaN → null icval; drop it instead —
-            # its members reassign to the nearest surviving centroid.
-            .filter(F.col("__cnorm") > 0)
-            .select(
-                "cid",
-                "pos",
-                F.round((F.col("imean") / (F.col("__cnorm") * _SCALE)) * _SCALE)
-                .cast("long")
-                .alias("icval"),
-            )
-            .localCheckpoint(eager=True)  # k·dim rows: truncate lineage
+            pts.join(F.broadcast(seed_ids), "__id")
+            .select("cid", "pos", F.col("ival").alias("icval"))
+            .localCheckpoint(eager=True)
         )
-    return _assign_to_centroids(pts, cent, id_col), cent
+        for _ in range(iters):
+            # assignment: cosine = dot(unit point, unit centroid)
+            sims = (
+                pts.join(F.broadcast(cent), "pos")
+                .groupBy("__id", "cid")
+                .agg(
+                    (
+                        F.sum(F.col("ival") * F.col("icval")).cast("double")
+                        / (_SCALE * _SCALE)
+                    ).alias("sim")
+                )
+            )
+            best = sims.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("__id").orderBy(
+                        F.col("sim").desc(), F.col("cid")
+                    )
+                ),
+            ).filter(F.col("rn") == 1).select("__id", "cid", "sim")
+            # update: exact fixed-point mean per (cid, pos), then re-normalize
+            sums = (
+                pts.join(best.select("__id", "cid"), "__id")
+                .groupBy("cid", "pos")
+                .agg(
+                    F.sum(F.col("ival")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .withColumn(
+                    "mean", F.col("s").cast("double") / (F.col("n") * _SCALE)
+                )
+                .withColumn("imean", F.round(F.col("mean") * _SCALE).cast("long"))
+            )
+            # norm from the quantised components, summed as exact integers
+            cnorm = F.sqrt(
+                F.sum(F.col("imean") * F.col("imean"))
+                .over(Window.partitionBy("cid"))
+                .cast("double")
+            ) / _SCALE
+            cent = (
+                sums.withColumn("__cnorm", cnorm)
+                # zero-norm guard: a cluster whose quantised mean is all zeros
+                # would divide by 0 → Inf/NaN → null icval; drop it instead —
+                # its members reassign to the nearest surviving centroid.
+                .filter(F.col("__cnorm") > 0)
+                .select(
+                    "cid",
+                    "pos",
+                    F.round(
+                        (F.col("imean") / (F.col("__cnorm") * _SCALE)) * _SCALE
+                    )
+                    .cast("long")
+                    .alias("icval"),
+                )
+                .localCheckpoint(eager=True)  # k·dim rows: truncate lineage
+            )
+        assign = _assign_to_centroids(pts, cent, id_col)
+        if do_ckpt:
+            assign = assign.localCheckpoint(eager=True)  # n rows of 3 columns
+    finally:
+        if do_ckpt:
+            pts.unpersist()
+    return assign, cent
 
 
 def _assign_to_centroids(pts: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:

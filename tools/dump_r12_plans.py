@@ -1,7 +1,10 @@
 """Dump .explain("formatted") for the queries the r12 optimization round
 touched, one file per query, for the judge's plan-claim audit.
 
-Usage: python tools/dump_r12_plans.py <repo_root> <suffix> <out_dir>
+Usage: python tools/dump_r12_plans.py <repo_root> <suffix> <out_dir> [query ...]
+
+With explicit query names, dumps only those (for incremental additions to
+plans/r12/ without re-dumping the whole set).
 
 Runs inside plan_audit.no_checkpoints() (same discipline as
 tools/explain_plans.py) so iterative operators explain their full lazy
@@ -40,12 +43,18 @@ QUERIES = [
     "minhash_near_dup",
     "minhash_near_dup_star",
     "embedding_near_dup",
+    # clustering.py: kmeans_fit pts persist + assignment checkpoint (the
+    # caching is audit-gated, so these prove the audited plans did NOT
+    # change)
+    "embedding_topk_ivf",
+    "kmeans_embeddings",
+    "semantic_dedup",
 ]
 
 os.makedirs(out_dir, exist_ok=True)
 spark = get_spark("r12-plan-dump")
 qs = entrymod.queries()
-for name in QUERIES:
+for name in sys.argv[4:] or QUERIES:
     fn = qs[name]
     with plan_audit.no_checkpoints():
         df = fn(spark, SF_DIR)
