@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plan_audit import checkpoints_enabled
 from .clustering import _pos_exploded
 
 _SCALE = 1_000_000
@@ -46,6 +47,11 @@ _SCALE = 1_000_000
 PQ_M = 4  # subspaces
 PQ_K = 16  # centroids per subspace
 PQ_ITERS = 4
+
+# pq_train's pts-caching posture (r12): module-level so tools/tests can
+# A/B it in-process; production always leaves it on (see clustering.py's
+# twin flag).
+_PERSIST_PTS = True
 
 
 def _sub_points(
@@ -82,16 +88,30 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     subdim = dim // m
+    # Persist the sub-point relation across training (r12, the kmeans_fit
+    # discipline): train_from_pts consumes it 2·iters+1 times through its
+    # eager per-iteration checkpoints, and its final statement IS an eager
+    # checkpoint, so every consumption completes before the unpersist.
+    # (The residual IVF-PQ caller persists its own rpts the same way.)
+    # Values unchanged — fixed-point sums are partitioning-independent;
+    # skipped under plan audits to keep the lazy lineage.
+    do_persist = checkpoints_enabled() and _PERSIST_PTS
     pts = _sub_points(df, id_col, vec_col, subdim)
-    seed_ids = (
-        df.select(F.col(id_col).alias("__id"))
-        .orderBy("__id")
-        .limit(k)
-        .withColumn(
-            "cid", F.row_number().over(Window.orderBy("__id")) - F.lit(1)
+    if do_persist:
+        pts = pts.persist()
+    try:
+        seed_ids = (
+            df.select(F.col(id_col).alias("__id"))
+            .orderBy("__id")
+            .limit(k)
+            .withColumn(
+                "cid", F.row_number().over(Window.orderBy("__id")) - F.lit(1)
+            )
         )
-    )
-    return train_from_pts(pts, seed_ids, iters)
+        return train_from_pts(pts, seed_ids, iters)
+    finally:
+        if do_persist:
+            pts.unpersist()
 
 
 def train_from_pts(

@@ -1,10 +1,11 @@
-"""A/B kmeans_fit's pts-caching posture (r12): ``clustering._PERSIST_PTS``
-is a module flag read at call time, so one process can interleave the
-cached and uncached variants per query (the ab_shj.py discipline — JVM and
-codegen state symmetric between variants, same-process pairs per REPRO.md).
-Asserts the query RESULT is identical under both settings (sorted-row
-hash) before timing: persist/localCheckpoint must not change fixed-point
-values.
+"""A/B the trainer pts-caching postures (r12): ``clustering._PERSIST_PTS``
+and ``pq._PERSIST_PTS`` are module flags read at call time, so one process
+can interleave the cached and uncached variants per query (the ab_shj.py
+discipline — JVM and codegen state symmetric between variants,
+same-process pairs per REPRO.md). Both flags toggle together; each query
+routes through at most one of the two trainers. Asserts the query RESULT
+is identical under both settings (sorted-row hash) before timing:
+persist/localCheckpoint must not change fixed-point values.
 
 Usage: python tools/ab_kmeans_cache.py [sf_dir] [query ...]
 """
@@ -19,8 +20,13 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
-from ideafast_etl_spark.operators import clustering  # noqa: E402
+from ideafast_etl_spark.operators import clustering, pq  # noqa: E402
 from ideafast_etl_spark.session import get_spark  # noqa: E402
+
+
+def _set_cache(on: bool) -> None:
+    clustering._PERSIST_PTS = on
+    pq._PERSIST_PTS = on
 
 # Every declared query that routes through kmeans_fit's training loop.
 DEFAULT_QUERIES = [
@@ -48,9 +54,9 @@ def main() -> None:
     qs = entrymod.queries()
     for name in names:
         fn = qs[name]
-        clustering._PERSIST_PTS = False
+        _set_cache(False)
         h_off = result_hash(fn(spark, sf_dir))
-        clustering._PERSIST_PTS = True
+        _set_cache(True)
         h_on = result_hash(fn(spark, sf_dir))
         if h_off != h_on:
             print(f"RESULT {name}: MISMATCH off={h_off} on={h_on}")
@@ -60,7 +66,7 @@ def main() -> None:
             # alternate within-pair order so monotone box drift cancels
             order = (False, True) if i % 2 == 0 else (True, False)
             for setting in order:
-                clustering._PERSIST_PTS = setting
+                _set_cache(setting)
                 t0 = time.monotonic()
                 fn(spark, sf_dir).count()
                 dt = time.monotonic() - t0
@@ -74,7 +80,7 @@ def main() -> None:
             f"{on_med:.3f}s min {min(times[True]):.3f}s "
             f"| ratio {on_med / off_med:.3f} | hash {h_off}"
         )
-    clustering._PERSIST_PTS = True
+    _set_cache(True)
 
 
 if __name__ == "__main__":
