@@ -37,6 +37,14 @@ LSH_ROWS = 4  # NUM_HASHES / LSH_BANDS
 MINHASH_A = [(i * 2_654_435_761 + 1) % MERSENNE31 for i in range(1, NUM_HASHES + 1)]
 MINHASH_B = [(i * 40_503 + 17) % MERSENNE31 for i in range(1, NUM_HASHES + 1)]
 
+# r12 job shave (near_dup_clusters): detect min-label-propagation
+# convergence from a change flag computed INSIDE the label-update
+# projection instead of re-joining new labels to old labels each round —
+# equivalent because labels are monotone non-increasing (new != old iff
+# neighbour_min < old). Module flag for same-process A/B
+# (tools/ab_jobshave.py); parity pinned in tests/test_loop_jobshave.py.
+_FUSED_CC_CHANGE = True
+
 
 def _tokens(col: Column) -> Column:
     return F.split(norm_text(col), " ")
@@ -552,21 +560,46 @@ def near_dup_clusters(
                 .groupBy(edges.id_a.alias(id_col))
                 .agg(F.min("cluster_id").alias("n_min"))
             )
-            new_labels = (
-                labels.join(neighbor_min, id_col, "left")
-                .select(
-                    F.col(id_col),
-                    F.least(F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))).alias("cluster_id"),
+            if _FUSED_CC_CHANGE:
+                # r12 job shave: labels only ever DECREASE (least of old and
+                # neighbour mins), so "new != old" is exactly
+                # "neighbour_min < old" — compute the change flag inside the
+                # label-update projection instead of re-joining the new
+                # label relation against the old one every round. Same
+                # single convergence-probe job per iteration, one join (and
+                # its exchange/broadcast build) fewer.
+                new_labels = (
+                    labels.join(neighbor_min, id_col, "left")
+                    .select(
+                        F.col(id_col),
+                        F.least(
+                            F.col("cluster_id"),
+                            F.coalesce(F.col("n_min"), F.col("cluster_id")),
+                        ).alias("cluster_id"),
+                        (
+                            F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                            < F.col("cluster_id")
+                        ).alias("__chg"),
+                    )
+                    .persist()
                 )
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), id_col)
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .limit(1)
-                .count()
-            )
+                changed = new_labels.filter(F.col("__chg")).limit(1).count()
+            else:
+                new_labels = (
+                    labels.join(neighbor_min, id_col, "left")
+                    .select(
+                        F.col(id_col),
+                        F.least(F.col("cluster_id"), F.coalesce(F.col("n_min"), F.col("cluster_id"))).alias("cluster_id"),
+                    )
+                    .persist()
+                )
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), id_col)
+                    .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                    .limit(1)
+                    .count()
+                )
             labels.unpersist()
             labels = new_labels
             if changed == 0:
@@ -580,7 +613,7 @@ def near_dup_clusters(
                 "within 50 rounds — a pair-graph component has diameter > 50; "
                 "raise the bound or switch to large-star/small-star."
             )
-        return labels.localCheckpoint(eager=True)
+        return labels.select(id_col, "cluster_id").localCheckpoint(eager=True)
     finally:
         edges.unpersist()
         labels.unpersist()

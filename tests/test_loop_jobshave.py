@@ -1,0 +1,83 @@
+"""r12 loop job-shaves are value-free: the lazy BPE merge checkpoint and
+the fused CC convergence check must produce bit-identical results to the
+eager/joined forms they replace (REPRO.md same-values discipline; the
+speed evidence lives in tools/ab_jobshave.py + OPTIMIZATION_r12.md)."""
+
+import pytest
+
+from ideafast_etl_spark.operators import dedup, tokenizer
+
+
+@pytest.fixture()
+def _restore_flags():
+    bpe_flag = tokenizer._EAGER_MERGE_CKPT
+    cc_flag = dedup._FUSED_CC_CHANGE
+    yield
+    tokenizer._EAGER_MERGE_CKPT = bpe_flag
+    dedup._FUSED_CC_CHANGE = cc_flag
+
+
+def test_bpe_lazy_merge_ckpt_matches_eager(spark, _restore_flags):
+    """Checkpoint eagerness must not change what bpe_train learns: the
+    lazy vocab checkpoint (materialized by the next merge's top-pair
+    collect) yields the same merge list and the same final symbolized
+    vocabulary as the eager 2-jobs-per-merge form."""
+    rows = [
+        (i, f"low lower lowest newest widest new wid{i % 3} er est")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {}
+    for eager in (True, False):
+        tokenizer._EAGER_MERGE_CKPT = eager
+        merges, vocab = tokenizer.bpe_train(docs, n_merges=8)
+        out[eager] = (
+            merges,
+            sorted(map(tuple, vocab.select("word", "freq", "sym").collect())),
+        )
+    assert out[True] == out[False]
+    assert len(out[True][0]) > 0  # the fixture actually trains merges
+
+
+def test_cc_fused_change_check_matches_join_check(spark, _restore_flags):
+    """Min-label propagation is monotone non-increasing, so the fused
+    in-projection change flag (neighbour_min < old) decides convergence
+    exactly like the old labels⋈new_labels inequality join — same
+    clusters, same labels, on a fixture whose pair graph takes multiple
+    propagation rounds (a template cluster plus satellite dups)."""
+    template = " ".join(f"w{i}" for i in range(40))
+    rows = [(i, f"{template} u{i}a u{i}b") for i in range(24)]
+    rows += [
+        (200 + i, "totally unrelated prose block "
+                  f"num{i} top{i} it{i} th{i} ex{i} mo{i} wo{i} he{i}")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for fused in (False, True):
+        dedup._FUSED_CC_CHANGE = fused
+        for mode in ("all", "star"):
+            got[(fused, mode)] = sorted(
+                map(
+                    tuple,
+                    dedup.near_dup_clusters(
+                        docs, threshold=0.5, candidates=mode
+                    ).collect(),
+                )
+            )
+    assert got[(False, "all")] == got[(True, "all")]
+    assert got[(False, "star")] == got[(True, "star")]
+    # the fixture is non-trivial: the template cluster resolved to min id 0
+    assert [p for p in got[(True, "all")] if p[0] < 200] == [
+        (i, 0) for i in range(24)
+    ]
+
+
+def test_cc_output_schema_drops_change_flag(spark, _restore_flags):
+    """The fused path's internal __chg column must never leak into the
+    operator's output schema."""
+    dedup._FUSED_CC_CHANGE = True
+    rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.near_dup_clusters(docs, threshold=0.5)
+    assert out.columns == ["doc_id", "cluster_id"]
