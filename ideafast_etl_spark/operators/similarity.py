@@ -132,6 +132,12 @@ def brute_force_topk(
 # fixed affine sequence mapped to [-1, 1]. Engine-reproducible and cheap.
 NUM_HYPERPLANES = 16
 
+# r12: cache the grid-star representative relation across its three
+# consumers (see grid_near_dup_pairs) — module flag so
+# tools/ab_jobshave.py can A/B the cached and uncached forms in one
+# process; production default ON, plan audits bypass it entirely.
+_PERSIST_STAR_REPS = True
+
 
 def _hyperplane(dim: int, i: int) -> list[float]:
     vals = []
@@ -872,47 +878,73 @@ def grid_near_dup_pairs(
                 for i in range(block_dims)
             ],
         )
-        intra = (
-            g.join(
-                reps.select(
+        # r12: the rep relation is consumed THREE times (the intra build
+        # side plus both legs of the cross stage) and the fine-keyed
+        # corpus relation g twice more behind it. Without a cache Spark
+        # plans three INDEPENDENT corpus-sized sort-aggregates — the
+        # consumers' pushed filters differ below the exchange, so
+        # ReusedExchange never fires (verified in the audited plan:
+        # 8 parquet scans, 0 reuses) — measured 18-20 s vs 3.3 s for the
+        # all-pairs posture at sf0.1. Persist both, materialize the small
+        # verified-pair result, release (the minhash shingle-cache
+        # lifecycle). Skipped under plan audits so .explain keeps the
+        # full lazy lineage; flag for same-process A/B
+        # (tools/ab_jobshave.py).
+        from ..plan_audit import checkpoints_enabled
+
+        do_ckpt = checkpoints_enabled() and _PERSIST_STAR_REPS
+        if do_ckpt:
+            g = g.persist()
+            reps = reps.persist()
+        try:
+            intra = (
+                g.join(
+                    reps.select(
+                        "__fk",
+                        F.col("pid").alias("id_a"),
+                        F.col("uv").alias("va"),
+                    ),
                     "__fk",
-                    F.col("pid").alias("id_a"),
-                    F.col("uv").alias("va"),
-                ),
-                "__fk",
+                )
+                .filter(F.col("pid") > F.col("id_a"))
+                .withColumn(
+                    "cosine_sim", F.round(dot(F.col("va"), F.col("uv")), 6)
+                )
+                .filter(F.col("cosine_sim") >= threshold)
+                .select(
+                    "id_a", F.col("pid").alias("id_b"), "cosine_sim"
+                )
             )
-            .filter(F.col("pid") > F.col("id_a"))
-            .withColumn(
-                "cosine_sim", F.round(dot(F.col("va"), F.col("uv")), 6)
+            u = reps  # the quadratic stage sees one row per fine group
+            a = u.select(
+                F.col("pid").alias("id_a"),
+                F.col("uv").alias("va"),
+                F.explode(_probe_keys(block_dims)).alias("ck"),
             )
-            .filter(F.col("cosine_sim") >= threshold)
-            .select(
-                "id_a", F.col("pid").alias("id_b"), "cosine_sim"
+            b = u.select(
+                F.col("pid").alias("id_b"),
+                F.col("uv").alias("vb"),
+                _home_key(block_dims).alias("ck"),
             )
-        )
-        u = reps  # the quadratic stage sees one row per fine group
-        a = u.select(
-            F.col("pid").alias("id_a"),
-            F.col("uv").alias("va"),
-            F.explode(_probe_keys(block_dims)).alias("ck"),
-        )
-        b = u.select(
-            F.col("pid").alias("id_b"),
-            F.col("uv").alias("vb"),
-            _home_key(block_dims).alias("ck"),
-        )
-        cross = (
-            a.join(b, "ck")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn(
-                "cosine_sim", F.round(dot(F.col("va"), F.col("vb")), 6)
+            cross = (
+                a.join(b, "ck")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .withColumn(
+                    "cosine_sim", F.round(dot(F.col("va"), F.col("vb")), 6)
+                )
+                .filter(F.col("cosine_sim") >= threshold)
+                .select("id_a", "id_b", "cosine_sim")
             )
-            .filter(F.col("cosine_sim") >= threshold)
-            .select("id_a", "id_b", "cosine_sim")
-        )
-        # disjoint by construction: intra pairs share a fine group, cross
-        # pairs are two distinct groups' representatives
-        return intra.unionByName(cross)
+            # disjoint by construction: intra pairs share a fine group,
+            # cross pairs are two distinct groups' representatives
+            out = intra.unionByName(cross)
+            if do_ckpt:
+                out = out.localCheckpoint(eager=True)
+        finally:
+            if do_ckpt:
+                reps.unpersist()
+                g.unpersist()
+        return out
     a = u.select(
         F.col("pid").alias("id_a"),
         F.col("uv").alias("va"),

@@ -5,16 +5,18 @@ speed evidence lives in tools/ab_jobshave.py + OPTIMIZATION_r12.md)."""
 
 import pytest
 
-from ideafast_etl_spark.operators import dedup, tokenizer
+from ideafast_etl_spark.operators import dedup, similarity, tokenizer
 
 
 @pytest.fixture()
 def _restore_flags():
     bpe_flag = tokenizer._EAGER_MERGE_CKPT
     cc_flag = dedup._FUSED_CC_CHANGE
+    star_flag = similarity._PERSIST_STAR_REPS
     yield
     tokenizer._EAGER_MERGE_CKPT = bpe_flag
     dedup._FUSED_CC_CHANGE = cc_flag
+    similarity._PERSIST_STAR_REPS = star_flag
 
 
 def test_bpe_lazy_merge_ckpt_matches_eager(spark, _restore_flags):
@@ -71,6 +73,36 @@ def test_cc_fused_change_check_matches_join_check(spark, _restore_flags):
     assert [p for p in got[(True, "all")] if p[0] < 200] == [
         (i, 0) for i in range(24)
     ]
+
+
+def test_grid_star_reps_persist_matches_uncached(spark, _restore_flags):
+    """Caching the grid-star representative relation across its three
+    consumers must not change the verified pair set — on a corpus with a
+    planted near-identical cluster (exercising the intra leg) plus spread
+    vectors (exercising the cross leg)."""
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    base = [rnd.uniform(-1, 1) for _ in range(8)]
+    for i in range(12):  # jitter cluster: collapses into fine groups
+        rows.append((i, [v + rnd.uniform(-1e-4, 1e-4) for v in base]))
+    for i in range(40):  # spread vectors for the representative stage
+        rows.append((100 + i, [rnd.uniform(-1, 1) for _ in range(8)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {}
+    for cached in (False, True):
+        similarity._PERSIST_STAR_REPS = cached
+        got[cached] = sorted(
+            map(
+                tuple,
+                similarity.grid_near_dup_pairs(
+                    df, threshold=0.95, candidates="star"
+                ).collect(),
+            )
+        )
+    assert got[False] == got[True]
+    assert len(got[True]) >= 11  # the planted cluster's intra pairs exist
 
 
 def test_cc_output_schema_drops_change_flag(spark, _restore_flags):

@@ -7,9 +7,10 @@
   re-joining new labels to old labels per iteration; new form folds the
   change flag into the label-update projection (min-label propagation is
   monotone, so ``new != old`` iff ``neighbour_min < old``).
-- ``kmeans``: clustering._LAZY_CENT_CKPT — old form eagerly checkpoints
-  the k·dim centroid relation per iteration; new form checkpoints lazily
-  so the next iteration's broadcast build materializes it.
+- ``star``: similarity._PERSIST_STAR_REPS — new form persists the
+  grid-star representative relation across its three consumers (and the
+  fine-keyed corpus relation across its two) instead of re-planning a
+  corpus-sized sort-aggregate per consumer.
 
 All three are value-free by construction (checkpoint eagerness never
 changes data; the CC flag is an equivalent predicate); the harness
@@ -30,7 +31,11 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
-from ideafast_etl_spark.operators import clustering, dedup, tokenizer  # noqa: E402
+from ideafast_etl_spark.operators import (  # noqa: E402
+    dedup,
+    similarity,
+    tokenizer,
+)
 from ideafast_etl_spark.session import get_spark  # noqa: E402
 
 # change -> (module, flag, value_for_NEW_variant, default queries)
@@ -47,11 +52,11 @@ CHANGES = {
         True,
         ["near_dup_clusters", "near_dup_clusters_star", "leakage_safe_splits"],
     ),
-    "kmeans": (
-        clustering,
-        "_LAZY_CENT_CKPT",
+    "star": (
+        similarity,
+        "_PERSIST_STAR_REPS",
         True,
-        ["embedding_topk_ivf", "kmeans_embeddings", "semantic_dedup"],
+        ["embedding_near_dup_star"],
     ),
 }
 
