@@ -37,6 +37,14 @@ LSH_ROWS = 4  # NUM_HASHES / LSH_BANDS
 MINHASH_A = [(i * 2_654_435_761 + 1) % MERSENNE31 for i in range(1, NUM_HASHES + 1)]
 MINHASH_B = [(i * 40_503 + 17) % MERSENNE31 for i in range(1, NUM_HASHES + 1)]
 
+# r12: persist the doc-keyed signature/size aggregate (minhash) and the
+# fingerprint relation (simhash) across their multiple consumers — the
+# column-pruned consumers plant different ReadSchemas below the partial
+# aggregate, so ReusedExchange never fires and the corpus-sized aggregate
+# re-executes per branch. Flags for same-process A/B (tools/ab_jobshave.py).
+_PERSIST_PER_DOC = True
+_PERSIST_SIMHASH_FP = True
+
 # r12 job shave (near_dup_clusters): detect min-label-propagation
 # convergence from a change flag computed INSIDE the label-update
 # projection instead of re-joining new labels to old labels each round —
@@ -312,12 +320,17 @@ def minhash_near_dup_pairs(
     sh = shingle_rows(_spread(df, id_col), text_col, id_col)
     if do_ckpt:
         sh = sh.persist()
+    per_doc_cached = None
     try:
         # ONE aggregation computes the shingle count AND all 32 signature
-        # mins: the per-doc exchange is then identical under the banding
-        # branch and both size-lookup branches, so Spark's ReusedExchange
-        # materialises the shuffle once instead of re-aggregating the (big)
-        # shingle relation per branch.
+        # mins, consumed by the banding branch and both size-lookup
+        # branches. r12: PERSIST it (n rows × 34 narrow columns, bounded
+        # by doc count) — per-consumer column pruning plants different
+        # ReadSchemas below the partial aggregate, so the "identical
+        # exchange" this comment used to bank on never canonicalizes
+        # equal and ReusedExchange does NOT fire (measured: the doc-keyed
+        # aggregate over the big shingle cache re-executed per branch;
+        # same root cause as the grid-star fix, OPTIMIZATION_r12 §10b/c).
         per_doc = sh.select(
             F.col(id_col), _shingle_hash(F.col("shingle")).alias("h")
         ).groupBy(id_col).agg(
@@ -327,6 +340,9 @@ def minhash_near_dup_pairs(
                 for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
             ]
         )
+        if do_ckpt and _PERSIST_PER_DOC:
+            per_doc = per_doc.persist()
+            per_doc_cached = per_doc
         sizes = per_doc.select(id_col, "n_sh")
         sig = per_doc
         bands = F.array(
@@ -413,6 +429,8 @@ def minhash_near_dup_pairs(
         out = verified.localCheckpoint(eager=True)
     finally:
         if do_ckpt:
+            if per_doc_cached is not None:
+                per_doc_cached.unpersist()
             sh.unpersist()
     return out
 
@@ -680,10 +698,9 @@ def simhash_near_dup_pairs(
     bucket-min pairs) instead of the quadratic in-bucket self-join — the
     degenerate-duplicate-density posture; see
     :func:`minhash_near_dup_pairs` for the semantics trade. ``"auto"``
-    measures the band-bucket sizes first (:func:`_auto_candidates`);
-    NOTE the diagnostic agg re-runs the fingerprint pipeline once (this
-    operator keeps no persisted intermediate) — one extra linear pass to
-    avoid an unrunnable quadratic one on dup-dense input."""
+    measures the band-bucket sizes first (:func:`_auto_candidates`) —
+    since r12 the diagnostic reads the persisted fingerprint relation
+    instead of re-running the fingerprint pipeline."""
     assert max_hamming < n_bands, "pigeonhole completeness needs max_hamming < n_bands"
     if candidates not in ("all", "star", "auto"):
         raise ValueError(f"unknown candidates mode {candidates!r}")
@@ -719,6 +736,16 @@ def simhash_near_dup_pairs(
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         acc = term if acc is None else acc + term
     fp = votes.select(F.col(id_col), acc.cast("bigint").alias("simhash"))
+    # r12: the fingerprint relation (n rows × 2 columns) feeds two banded
+    # consumers (the star agg + probe, or the all-pairs self-join legs)
+    # and the auto diagnostic — each re-derived the full corpus pipeline
+    # (distinct tokens → document-frequency cut → 32-bit vote aggregate)
+    # because the consumers' pruned schemas defeat exchange reuse.
+    # Persist it, materialize the small verified pair set, release
+    # (the shingle-cache lifecycle; audit mode keeps the lazy lineage).
+    do_ckpt = checkpoints_enabled() and _PERSIST_SIMHASH_FP
+    if do_ckpt:
+        fp = fp.persist()
     bands = F.array(
         *[
             F.struct(
@@ -768,13 +795,20 @@ def simhash_near_dup_pairs(
             )
             .distinct()
         )
-    return (
-        cands.withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    try:
+        out = (
+            cands.withColumn(
+                "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+        if do_ckpt:
+            out = out.localCheckpoint(eager=True)
+    finally:
+        if do_ckpt:
+            fp.unpersist()
+    return out
 
 
 def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:

@@ -13,10 +13,14 @@ def _restore_flags():
     bpe_flag = tokenizer._EAGER_MERGE_CKPT
     cc_flag = dedup._FUSED_CC_CHANGE
     star_flag = similarity._PERSIST_STAR_REPS
+    perdoc_flag = dedup._PERSIST_PER_DOC
+    fp_flag = dedup._PERSIST_SIMHASH_FP
     yield
     tokenizer._EAGER_MERGE_CKPT = bpe_flag
     dedup._FUSED_CC_CHANGE = cc_flag
     similarity._PERSIST_STAR_REPS = star_flag
+    dedup._PERSIST_PER_DOC = perdoc_flag
+    dedup._PERSIST_SIMHASH_FP = fp_flag
 
 
 def test_bpe_lazy_merge_ckpt_matches_eager(spark, _restore_flags):
@@ -103,6 +107,38 @@ def test_grid_star_reps_persist_matches_uncached(spark, _restore_flags):
         )
     assert got[False] == got[True]
     assert len(got[True]) >= 11  # the planted cluster's intra pairs exist
+
+
+def test_minhash_perdoc_and_simhash_fp_persist_match_uncached(
+    spark, _restore_flags
+):
+    """Persisting the doc-keyed signature aggregate (minhash) / the
+    fingerprint relation (simhash) across their consumers must not change
+    the verified pair sets."""
+    rows = [(i, f"the quick brown fox jumps over lazy dog {i % 4}")
+            for i in range(16)]
+    rows += [(100 + i, f"completely different text body num{i} tok{i} "
+                       f"it{i} th{i} ex{i} mo{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for cached in (False, True):
+        dedup._PERSIST_PER_DOC = cached
+        dedup._PERSIST_SIMHASH_FP = cached
+        got[("mh", cached)] = sorted(
+            map(tuple, dedup.minhash_near_dup_pairs(
+                docs, threshold=0.3).collect())
+        )
+        got[("mh_star", cached)] = sorted(
+            map(tuple, dedup.minhash_near_dup_pairs(
+                docs, threshold=0.3, candidates="star").collect())
+        )
+        got[("sh", cached)] = sorted(
+            map(tuple, dedup.simhash_near_dup_pairs(
+                docs, max_hamming=3).collect())
+        )
+    for key in ("mh", "mh_star", "sh"):
+        assert got[(key, False)] == got[(key, True)], key
+    assert len(got[("mh", True)]) > 0
 
 
 def test_cc_output_schema_drops_change_flag(spark, _restore_flags):

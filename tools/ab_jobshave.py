@@ -58,6 +58,18 @@ CHANGES = {
         True,
         ["embedding_near_dup_star"],
     ),
+    "perdoc": (
+        dedup,
+        "_PERSIST_PER_DOC",
+        True,
+        ["minhash_near_dup", "minhash_near_dup_star"],
+    ),
+    "simhash": (
+        dedup,
+        "_PERSIST_SIMHASH_FP",
+        True,
+        ["simhash_near_dup", "simhash_near_dup_star"],
+    ),
 }
 
 
