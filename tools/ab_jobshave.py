@@ -11,14 +11,19 @@
   grid-star representative relation across its three consumers (and the
   fine-keyed corpus relation across its two) instead of re-planning a
   corpus-sized sort-aggregate per consumer.
+- ``perdoc``: dedup._PERSIST_PER_DOC — new form persists the minhash
+  doc-keyed signature/size aggregate across the banding branch and both
+  size-lookup branches.
+- ``simhash``: dedup._PERSIST_SIMHASH_FP — new form persists the
+  simhash fingerprint relation across the banded consumers.
 
-All three are value-free by construction (checkpoint eagerness never
-changes data; the CC flag is an equivalent predicate); the harness
-asserts the query RESULT hash is identical under both settings before
-timing, and reports Spark jobs/run alongside the medians (the
-box-independent structural metric from bench.py).
+All changes are value-free by construction (caching/checkpoint
+eagerness never changes data; the CC flag is an equivalent predicate);
+the harness asserts the query RESULT hash is identical under both
+settings before timing, and reports Spark jobs/run alongside the
+medians (the box-independent structural metric from bench.py).
 
-Usage: python tools/ab_jobshave.py <bpe|cc|kmeans> [sf_dir] [query ...]
+Usage: python tools/ab_jobshave.py <change> [sf_dir] [query ...]
 """
 
 from __future__ import annotations
