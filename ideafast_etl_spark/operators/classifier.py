@@ -45,6 +45,12 @@ from .packing import stable_bucket
 _FP = 1_000_000_000  # fixed-point grid for gradient quantization
 _SALT = "qclf"
 
+# r13: persist the feature relation across train+score (see
+# train_and_score_logreg). Module flag for same-process A/B harnesses
+# (the clustering._PERSIST_PTS discipline); False reproduces the plain
+# composed form. Results are bit-identical either way.
+_PERSIST_FEATS = True
+
 
 def doc_features(
     df: DataFrame,
@@ -115,14 +121,23 @@ def train_logreg(
     )
     joined = joined.persist()
     try:
-        n = joined.count()
-        if n == 0:
-            return [0.0] * (dim + 1)
+        # r13 job shave (VERDICT r12 #5): the doc count used to be its own
+        # job before the gradient loop. Every feature array from
+        # doc_features ends with the always-on bias feature at idx==dim
+        # (and stable_bucket maps real tokens into [0, dim), so nothing
+        # collides with it) — the FIRST gradient pass therefore carries n
+        # as the per-idx doc count at the bias row, one aggregate column
+        # on a job that runs anyway. iters+1 jobs -> iters jobs; weights
+        # unchanged (same gradient rows, same arithmetic).
+        n = 0
         w = [0.0] * (dim + 1)
-        for _ in range(iters):
+        for it in range(iters):
             err = (
                 F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w))) - F.col("y")
             )
+            aggs = [F.sum("g").alias("g")]
+            if it == 0:
+                aggs.append(F.count(F.lit(1)).alias("c"))
             grad_rows = (
                 joined.withColumn("err", err)
                 .select(F.explode("feats").alias("s"), "err")
@@ -133,14 +148,59 @@ def train_logreg(
                     ).cast("long").alias("g"),
                 )
                 .groupBy("idx")
-                .agg(F.sum("g").alias("g"))
+                .agg(*aggs)
                 .collect()
             )
+            if it == 0:
+                n = next((r["c"] for r in grad_rows if r["idx"] == dim), 0)
+                if n == 0:
+                    return [0.0] * (dim + 1)
             for r in grad_rows:
                 w[r["idx"]] -= lr * (r["g"] / _FP) / n
         return w
     finally:
         joined.unpersist()
+
+
+def train_and_score_logreg(
+    feats: DataFrame,
+    labels: DataFrame,
+    dim: int = 256,
+    iters: int = 10,
+    lr: float = 0.5,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Train then score with the feature relation computed ONCE.
+
+    Composed separately, ``feats`` (tokenize + explode + two keyed
+    aggregations — the query's heaviest subtree) is derived twice: once
+    materializing the training join and once again by the scoring pass
+    (r12's grid-star/minhash root cause: nothing re-uses the exchange
+    across the two consumers). Persist it for the life of the call and
+    eagerly checkpoint the doc-count-sized scored result (n x 3 narrow
+    columns — the ccnet ``scored`` checkpoint class) before releasing
+    the cache. Weights and scores are bit-identical by construction
+    (fixed-point gradients; the cache changes nothing the plan computes).
+    Audit mode returns the full lazy lineage."""
+    from ..plan_audit import checkpoints_enabled
+
+    cache = None
+    if checkpoints_enabled() and _PERSIST_FEATS:
+        feats = feats.persist()
+        cache = feats
+    try:
+        w = train_logreg(
+            feats, labels, dim=dim, iters=iters, lr=lr,
+            id_col=id_col, label_col=label_col,
+        )
+        scored = score_logreg(feats, w, id_col=id_col)
+        if cache is None:
+            return scored  # plan-audit path: full lineage, nothing cached
+        return scored.localCheckpoint(eager=True)
+    finally:
+        if cache is not None:
+            cache.unpersist()
 
 
 def score_logreg(

@@ -53,6 +53,11 @@ from .pq import _assign, train_from_pts
 _SCALE = 1_000_000
 _S2 = _SCALE * _SCALE
 
+# r13: persist the hot-cell member relation across the split's six passes
+# (see _split_hot_cells). Module flag for same-process A/B harnesses (the
+# clustering._PERSIST_PTS discipline); results are bit-identical either way.
+_PERSIST_HOT_MEMBERS = True
+
 
 def _split_hot_cells(
     pts: DataFrame,
@@ -91,34 +96,98 @@ def _split_hot_cells(
     sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("csz"))
     hot = sizes.filter(F.col("csz") > max_cell_size)
     hpts = pts.join(cells, "__id").join(F.broadcast(hot), "cell")
-    # k₂ = min(ceil(size/cap), max_split) seeds per hot cell (its lowest
-    # member ids). The k₂ bound matters as much as the cap: a 30 %-hot
-    # cell at 100x would otherwise seed ceil(60k/64) ≈ 940 sub-centroids
-    # and the flat sub-assign goes O(members·k₂) — the same blowup
-    # kmeans_assign_hierarchical exists to avoid (measured: TIMED-OUT
-    # > 600 s on the dup-dense 100x harness without the bound). Capped,
-    # sub-cell size degrades gracefully to size/max_split while assign
-    # work stays O(members·max_split).
-    k2 = F.least(
-        F.ceil(F.col("csz") / F.lit(float(max_cell_size))).cast("long"),
-        F.lit(int(max_split)).cast("long"),
-    )
-    seed = (
-        cells.join(F.broadcast(hot), "cell")
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("cell").orderBy("__id")),
+    # r13: the hot-member exploded relation feeds SIX corpus-scale passes
+    # (seed-centroid build, assign+update per split iteration, final
+    # assign) and each re-derived the full pts explode + both joins from
+    # scratch — the same re-derivation shape the r12 kmeans_fit/pq_train
+    # fixes measured at 0.65-0.70x (OPTIMIZATION_r12 §9) and the bulk of
+    # the documented dup-dense hot-split floor. Persist it for the life
+    # of the split; every downstream op is fixed-point and partitioning-
+    # independent so results are bit-identical (the SQL oracle replays
+    # the split exactly). Audit mode keeps the full lazy lineage.
+    hcache = None
+    if checkpoints_enabled() and _PERSIST_HOT_MEMBERS:
+        hpts = hpts.persist()
+        hcache = hpts
+    try:
+        # k₂ = min(ceil(size/cap), max_split) seeds per hot cell (its lowest
+        # member ids). The k₂ bound matters as much as the cap: a 30 %-hot
+        # cell at 100x would otherwise seed ceil(60k/64) ≈ 940 sub-centroids
+        # and the flat sub-assign goes O(members·k₂) — the same blowup
+        # kmeans_assign_hierarchical exists to avoid (measured: TIMED-OUT
+        # > 600 s on the dup-dense 100x harness without the bound). Capped,
+        # sub-cell size degrades gracefully to size/max_split while assign
+        # work stays O(members·max_split).
+        k2 = F.least(
+            F.ceil(F.col("csz") / F.lit(float(max_cell_size))).cast("long"),
+            F.lit(int(max_split)).cast("long"),
         )
-        .filter(F.col("rn") <= k2)
-        .select("cell", "__id", (F.col("rn") - 1).cast("int").alias("scid"))
-    )
-    scent = _ckpt(
-        hpts.join(F.broadcast(seed), ["cell", "__id"]).select(
-            "cell", "scid", "pos", F.col("ival").alias("icval")
+        seed = (
+            cells.join(F.broadcast(hot), "cell")
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("cell").orderBy("__id")),
+            )
+            .filter(F.col("rn") <= k2)
+            .select("cell", "__id", (F.col("rn") - 1).cast("int").alias("scid"))
         )
-    )  # bounded: ≤ (n/cap)·dim rows
-    for _ in range(split_iters):
-        sims = (
+        scent = _ckpt(
+            hpts.join(F.broadcast(seed), ["cell", "__id"]).select(
+                "cell", "scid", "pos", F.col("ival").alias("icval")
+            )
+        )  # bounded: ≤ (n/cap)·dim rows
+        for _ in range(split_iters):
+            sims = (
+                hpts.join(F.broadcast(scent), ["cell", "pos"])
+                .groupBy("__id", "cell", "scid")
+                .agg(
+                    (
+                        F.sum(F.col("ival") * F.col("icval")).cast("double") / _S2
+                    ).alias("sim")
+                )
+            )
+            best = (
+                sims.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("__id").orderBy(
+                            F.col("sim").desc(), F.col("scid")
+                        )
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .select("__id", "scid")
+            )
+            sums = (
+                hpts.join(best, "__id")
+                .groupBy("cell", "scid", "pos")
+                .agg(
+                    F.sum(F.col("ival")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .withColumn(
+                    "mean", F.col("s").cast("double") / (F.col("n") * _SCALE)
+                )
+                .withColumn("imean", F.round(F.col("mean") * _SCALE).cast("long"))
+            )
+            cnorm = F.sqrt(
+                F.sum(F.col("imean") * F.col("imean"))
+                .over(Window.partitionBy("cell", "scid"))
+                .cast("double")
+            ) / _SCALE
+            scent = _ckpt(
+                sums.withColumn("__cnorm", cnorm)
+                .filter(F.col("__cnorm") > 0)
+                .select(
+                    "cell",
+                    "scid",
+                    "pos",
+                    F.round((F.col("imean") / (F.col("__cnorm") * _SCALE)) * _SCALE)
+                    .cast("long")
+                    .alias("icval"),
+                )
+            )
+        fsims = (
             hpts.join(F.broadcast(scent), ["cell", "pos"])
             .groupBy("__id", "cell", "scid")
             .agg(
@@ -127,8 +196,8 @@ def _split_hot_cells(
                 ).alias("sim")
             )
         )
-        best = (
-            sims.withColumn(
+        fbest = (
+            fsims.withColumn(
                 "rn",
                 F.row_number().over(
                     Window.partitionBy("__id").orderBy(
@@ -137,58 +206,16 @@ def _split_hot_cells(
                 ),
             )
             .filter(F.col("rn") == 1)
-            .select("__id", "scid")
+            .select("__id", F.col("scid").alias("__scid"))
         )
-        sums = (
-            hpts.join(best, "__id")
-            .groupBy("cell", "scid", "pos")
-            .agg(
-                F.sum(F.col("ival")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .withColumn(
-                "mean", F.col("s").cast("double") / (F.col("n") * _SCALE)
-            )
-            .withColumn("imean", F.round(F.col("mean") * _SCALE).cast("long"))
-        )
-        cnorm = F.sqrt(
-            F.sum(F.col("imean") * F.col("imean"))
-            .over(Window.partitionBy("cell", "scid"))
-            .cast("double")
-        ) / _SCALE
-        scent = _ckpt(
-            sums.withColumn("__cnorm", cnorm)
-            .filter(F.col("__cnorm") > 0)
-            .select(
-                "cell",
-                "scid",
-                "pos",
-                F.round((F.col("imean") / (F.col("__cnorm") * _SCALE)) * _SCALE)
-                .cast("long")
-                .alias("icval"),
-            )
-        )
-    fsims = (
-        hpts.join(F.broadcast(scent), ["cell", "pos"])
-        .groupBy("__id", "cell", "scid")
-        .agg(
-            (
-                F.sum(F.col("ival") * F.col("icval")).cast("double") / _S2
-            ).alias("sim")
-        )
-    )
-    fbest = (
-        fsims.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("__id").orderBy(
-                    F.col("sim").desc(), F.col("scid")
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("__id", F.col("scid").alias("__scid"))
-    )
+        # bounded: one row per hot-cell member. Materializing the
+        # final sub-assignment here (a) cuts cells2's lineage over
+        # the about-to-be-released cache and (b) lets the persist
+        # go in the finally even on the success path.
+        fbest = _ckpt(fbest)
+    finally:
+        if hcache is not None:
+            hcache.unpersist()
     cells2 = cells.join(fbest, "__id", "left").select(
         "__id",
         "cell",

@@ -3200,17 +3200,20 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.classifier import (
         doc_features,
         quality_labels,
-        score_logreg,
-        train_logreg,
+        train_and_score_logreg,
     )
 
     docs = _t(spark, sf_dir, "documents")
     dim = 256
     feats = doc_features(docs, dim=dim)
     labels = quality_labels(docs)
-    w = train_logreg(feats, labels, dim=dim, iters=5)
+    # r13: train+score composed through the operator that persists the
+    # feature relation across its two consumers (it was derived twice)
+    # and folds the doc-count job into the first gradient pass — see
+    # classifier.train_and_score_logreg; output bit-identical.
+    scored = train_and_score_logreg(feats, labels, dim=dim, iters=5)
     return (
-        score_logreg(feats, w)
+        scored
         .join(labels, "doc_id")
         .select("doc_id", "prob", "predicted", "label")
         .orderBy("doc_id")

@@ -83,6 +83,29 @@ def test_quality_labels_threshold(spark):
     assert got[0] == 1 and got[1] == 0
 
 
+def test_train_and_score_matches_composed(spark, corpus):
+    """r13: the fused train+score operator (feats persisted across the
+    training join and the scoring pass, doc count folded into the first
+    gradient job) must return exactly what the composed form returns."""
+    from ideafast_etl_spark.operators.classifier import train_and_score_logreg
+
+    df = spark.createDataFrame(corpus, ["doc_id", "text", "label"])
+    feats = doc_features(df, dim=DIM)
+    labels = df.select("doc_id", "label")
+    w = train_logreg(feats, labels, dim=DIM, iters=5)
+    composed = {
+        (r.doc_id, r.prob, r.predicted)
+        for r in score_logreg(feats, w).collect()
+    }
+    fused = {
+        (r.doc_id, r.prob, r.predicted)
+        for r in train_and_score_logreg(
+            feats, labels, dim=DIM, iters=5
+        ).collect()
+    }
+    assert fused == composed
+
+
 def test_empty_labels(spark):
     df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
     feats = doc_features(df, dim=DIM)

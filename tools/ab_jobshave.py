@@ -37,7 +37,9 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
 from ideafast_etl_spark.operators import (  # noqa: E402
+    classifier,
     dedup,
+    ivfpq,
     similarity,
     tokenizer,
 )
@@ -74,6 +76,23 @@ CHANGES = {
         "_PERSIST_SIMHASH_FP",
         True,
         ["simhash_near_dup", "simhash_near_dup_star"],
+    ),
+    # r13: hot-split member relation persisted across the split's six
+    # passes (run at sf0.01 / the 100x harness dirs — the hotsplit query
+    # is ~12 s/run at sf0.1)
+    "hotmem": (
+        ivfpq,
+        "_PERSIST_HOT_MEMBERS",
+        True,
+        ["embedding_topk_ivfpq_hotsplit"],
+    ),
+    # r13: classifier feature relation persisted across train+score
+    # (False reproduces the plain composed form)
+    "clf": (
+        classifier,
+        "_PERSIST_FEATS",
+        True,
+        ["quality_classifier_scores"],
     ),
 }
 
