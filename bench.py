@@ -65,10 +65,18 @@ EXTENDED = [
 # into /tmp on first use and re-derived whenever absent — no query result
 # or intermediate is ever persisted across runs. Set
 # SPARK_GRAFT_BENCH_SF_MULT=0 to disable the block entirely.
+#
+# Mult default 40 and this query set were MEASURED (r13): at 10x every
+# candidate still read ~1.0 (scheduler-bound); at 40x these five read
+# 1.5-1.8x warm-best on 8-vs-32 cores (tpch_q1 1.81, sessionization 1.70,
+# ngram_lm 1.69, minhash 1.58, substring_dup_spans 1.47) while adding only
+# ~30 s generation (reused across invocations on the same box) + ~70-110 s
+# of timed work per bench run. exact_dedup/tpch_q9 were probed and REJECTED
+# (inverse or flat scaling at this volume — coalesce-bound).
 SCALED = [
     "tpch_q1_pricing_summary",
-    "tpch_q9_product_type_profit",
-    "exact_dedup",
+    "ngram_lm_perplexity",
+    "substring_dup_spans",
     "sessionization",
     "minhash_near_dup",
 ]
@@ -202,7 +210,7 @@ def main() -> None:
     # iterations + jobs/run), fewer warm iterations (the queries are ~10x
     # heavier), keys suffixed `_x<mult>` so nothing pre-existing changes.
     scaled_meta: dict = {}
-    mult = int(os.environ.get("SPARK_GRAFT_BENCH_SF_MULT", "10") or "0")
+    mult = int(os.environ.get("SPARK_GRAFT_BENCH_SF_MULT", "40") or "0")
     scaled_iters = max(
         1, int(os.environ.get("SPARK_GRAFT_BENCH_SCALED_ITERS", "2"))
     )

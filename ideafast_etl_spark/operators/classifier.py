@@ -121,45 +121,52 @@ def train_logreg(
     )
     joined = joined.persist()
     try:
-        # r13 job shave (VERDICT r12 #5): the doc count used to be its own
-        # job before the gradient loop. Every feature array from
-        # doc_features ends with the always-on bias feature at idx==dim
-        # (and stable_bucket maps real tokens into [0, dim), so nothing
-        # collides with it) — the FIRST gradient pass therefore carries n
-        # as the per-idx doc count at the bias row, one aggregate column
-        # on a job that runs anyway. iters+1 jobs -> iters jobs; weights
-        # unchanged (same gradient rows, same arithmetic).
-        n = 0
-        w = [0.0] * (dim + 1)
-        for it in range(iters):
-            err = (
-                F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w))) - F.col("y")
-            )
-            aggs = [F.sum("g").alias("g")]
-            if it == 0:
-                aggs.append(F.count(F.lit(1)).alias("c"))
-            grad_rows = (
-                joined.withColumn("err", err)
-                .select(F.explode("feats").alias("s"), "err")
-                .select(
-                    F.col("s.idx").alias("idx"),
-                    F.round(
-                        F.col("err") * F.col("s.cnt").cast("double") * _FP
-                    ).cast("long").alias("g"),
-                )
-                .groupBy("idx")
-                .agg(*aggs)
-                .collect()
-            )
-            if it == 0:
-                n = next((r["c"] for r in grad_rows if r["idx"] == dim), 0)
-                if n == 0:
-                    return [0.0] * (dim + 1)
-            for r in grad_rows:
-                w[r["idx"]] -= lr * (r["g"] / _FP) / n
-        return w
+        return _gd_loop(joined, dim, iters, lr)
     finally:
         joined.unpersist()
+
+
+def _gd_loop(joined: DataFrame, dim: int, iters: int, lr: float) -> list[float]:
+    """The GD steps over an already-persisted (…, feats, y) relation —
+    shared by :func:`train_logreg` and :func:`train_and_score_logreg` so
+    the fused form can score off the SAME cached relation."""
+    # r13 job shave (VERDICT r12 #5): the doc count used to be its own
+    # job before the gradient loop. Every feature array from
+    # doc_features ends with the always-on bias feature at idx==dim
+    # (and stable_bucket maps real tokens into [0, dim), so nothing
+    # collides with it) — the FIRST gradient pass therefore carries n
+    # as the per-idx doc count at the bias row, one aggregate column
+    # on a job that runs anyway. iters+1 jobs -> iters jobs; weights
+    # unchanged (same gradient rows, same arithmetic).
+    n = 0
+    w = [0.0] * (dim + 1)
+    for it in range(iters):
+        err = (
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w))) - F.col("y")
+        )
+        aggs = [F.sum("g").alias("g")]
+        if it == 0:
+            aggs.append(F.count(F.lit(1)).alias("c"))
+        grad_rows = (
+            joined.withColumn("err", err)
+            .select(F.explode("feats").alias("s"), "err")
+            .select(
+                F.col("s.idx").alias("idx"),
+                F.round(
+                    F.col("err") * F.col("s.cnt").cast("double") * _FP
+                ).cast("long").alias("g"),
+            )
+            .groupBy("idx")
+            .agg(*aggs)
+            .collect()
+        )
+        if it == 0:
+            n = next((r["c"] for r in grad_rows if r["idx"] == dim), 0)
+            if n == 0:
+                return [0.0] * (dim + 1)
+        for r in grad_rows:
+            w[r["idx"]] -= lr * (r["g"] / _FP) / n
+    return w
 
 
 def train_and_score_logreg(
@@ -171,36 +178,51 @@ def train_and_score_logreg(
     id_col: str = "doc_id",
     label_col: str = "label",
 ) -> DataFrame:
-    """Train then score with the feature relation computed ONCE.
+    """Train then score with the feature relation computed ONCE, scoring
+    off the SAME cached relation the trainer iterates on.
 
     Composed separately, ``feats`` (tokenize + explode + two keyed
     aggregations — the query's heaviest subtree) is derived twice: once
-    materializing the training join and once again by the scoring pass
-    (r12's grid-star/minhash root cause: nothing re-uses the exchange
-    across the two consumers). Persist it for the life of the call and
-    eagerly checkpoint the doc-count-sized scored result (n x 3 narrow
-    columns — the ccnet ``scored`` checkpoint class) before releasing
-    the cache. Weights and scores are bit-identical by construction
-    (fixed-point gradients; the cache changes nothing the plan computes).
-    Audit mode returns the full lazy lineage."""
+    materializing the training join's cache and once again by the scoring
+    pass (r12's grid-star/minhash root cause: nothing re-uses the exchange
+    across the two consumers). The first r13 attempt persisted ``feats``
+    itself IN ADDITION to the trainer's ``joined`` cache — measured 1.26×
+    SLOWER at 40× (two corpus-scale caches + the second cache's write cost
+    exceed the one saved derivation). This form instead carries ``id_col``
+    into the single training cache and scores from it: one corpus
+    derivation and one cache total. The doc-count-sized scored result
+    (n × 3 narrow columns — the ccnet ``scored`` checkpoint class) is
+    eagerly checkpointed before the cache is released. Weights and scores
+    are bit-identical to the composed form for every doc in
+    ``feats ⋈ labels`` (the training population — all docs, in the
+    declared query); audit mode returns the full lazy lineage with
+    nothing cached.
+    """
     from ..plan_audit import checkpoints_enabled
 
-    cache = None
-    if checkpoints_enabled() and _PERSIST_FEATS:
-        feats = feats.persist()
-        cache = feats
-    try:
+    joined = feats.join(labels, id_col).select(
+        id_col, "feats", F.col(label_col).cast("double").alias("y")
+    )
+    do_ckpt = checkpoints_enabled() and _PERSIST_FEATS
+    if not do_ckpt:
+        # plan-audit path / A/B old-variant: the plain composed form
         w = train_logreg(
             feats, labels, dim=dim, iters=iters, lr=lr,
             id_col=id_col, label_col=label_col,
         )
-        scored = score_logreg(feats, w, id_col=id_col)
-        if cache is None:
-            return scored  # plan-audit path: full lineage, nothing cached
+        return score_logreg(feats, w, id_col=id_col)
+    joined = joined.persist()
+    try:
+        w = _gd_loop(joined, dim, iters, lr)
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w)))
+        scored = joined.select(
+            F.col(id_col),
+            F.round(prob, 6).alias("prob"),
+            (prob >= 0.5).alias("predicted"),
+        )
         return scored.localCheckpoint(eager=True)
     finally:
-        if cache is not None:
-            cache.unpersist()
+        joined.unpersist()
 
 
 def score_logreg(
